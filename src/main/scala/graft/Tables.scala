@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loader.
+  *
+  * The reference reads one HDF5 dataset per column via collective MPI I/O
+  * (`/root/reference/src/capture-api.jl:609-635`,
+  * `src/cgen-hpat-pattern-match.jl:849-1048`). On Spark the equivalent
+  * scale-path is a columnar Parquet scan: each executor reads its own row
+  * groups, column pruning and predicate pushdown happen at the source.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read a named fixture table from a scale-factor directory. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

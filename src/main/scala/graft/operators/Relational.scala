@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast => sparkBroadcast, _}
+
+/** HPAT-parity relational surface, re-expressed as a thin wrapper over
+  * `DataFrame` so every operator stays a declarative Catalyst plan
+  * (predicate pushdown, column pruning, join selection, partial
+  * aggregation and AQE all apply unchanged).
+  *
+  * Reference semantics covered (citations into `/root/reference/`):
+  *  - filter `t[cond]`            — capture-api.jl:208-272 (single compaction
+  *    pass, no communication) → `DataFrame.filter`, which Spark executes as a
+  *    narrow codegen'd stage, same communication profile.
+  *  - join `join(t1,t2,:a==:b,:k)`— capture-api.jl:286-378: inner equi-join,
+  *    single key, duplicate keys yield the full cross-product of matches
+  *    (test/join_test1.jl:35-36), output schema = [kout; rest(t1); rest(t2)]
+  *    with the key emitted once. HPAT's physical plan is hash-partition +
+  *    alltoallv + timsort + merge (cgen-hpat-pattern-match-table.jl:139-472)
+  *    — exactly Spark's SortMergeJoin; Catalyst additionally picks
+  *    BroadcastHashJoin when one side is small (HPAT has no broadcast join).
+  *  - aggregate `aggregate(t,:k,:o=f(e))` — capture-api.jl:387-479 with
+  *    f ∈ {sum, length, maximum, length∘unique}; physical plan is
+  *    partial/final hash aggregation (cgen-hpat-pattern-match-table.jl:535-659)
+  *    — Spark's HashAggregateExec partial→final, identical topology.
+  *  - vcat `[t1; t2]`             — capture-api.jl:146-184, schemas must match.
+  *  - sort/limit                  — declared surface only in the reference
+  *    (examples/queries_devel/query_syntax.txt, q25.jl:25); first-class here.
+  */
+final case class Table(df: DataFrame) {
+
+  /** `t2 = t1[cond]` — reference capture-api.jl:208-272. */
+  def filter(cond: Column): Table = Table(df.filter(cond))
+
+  /** `t3 = join(t1, t2, :k1==:k2, :kout)` — inner equi-join with the key
+    * coalesced into a single output column named `outKey`.
+    * Reference: capture-api.jl:286-378 (schema at 322-333).
+    */
+  def join(other: Table, leftKey: String, rightKey: String, outKey: String): Table = {
+    val l = df.alias("l")
+    val r = other.df.alias("r")
+    val joined = l.join(r, col(s"l.$leftKey") === col(s"r.$rightKey"), "inner")
+      .drop(col(s"r.$rightKey"))
+    val out =
+      if (leftKey == outKey) joined
+      else joined.withColumnRenamed(leftKey, outKey)
+    Table(out)
+  }
+
+  /** Broadcast variant for small dimension tables: same semantics as
+    * `join`, but hints Catalyst to replicate `other` to every executor —
+    * the shuffle-free plan HPAT cannot express (its benchmark scripts
+    * force Spark's broadcast join OFF to compare like-for-like,
+    * examples/queries_devel/q26/run-query.sh:63).
+    */
+  def joinBroadcast(other: Table, leftKey: String, rightKey: String, outKey: String): Table = {
+    val l = df.alias("l")
+    val r = sparkBroadcast(other.df.alias("r"))
+    val joined = l.join(r, col(s"l.$leftKey") === col(s"r.$rightKey"), "inner")
+      .drop(col(s"r.$rightKey"))
+    val out =
+      if (leftKey == outKey) joined
+      else joined.withColumnRenamed(leftKey, outKey)
+    Table(out)
+  }
+
+  /** `t2 = aggregate(t1, :kout = :key, :out1 = f1(e1), ...)` —
+    * reference capture-api.jl:387-493 (key rename at 481-493).
+    * Aggs are (outputName, aggregate Column) pairs built with [[Agg]].
+    */
+  def aggregate(key: String, outKey: String, aggs: (String, Column)*): Table = {
+    val exprs = aggs.map { case (name, c) => c.as(name) }
+    Table(df.groupBy(col(key).as(outKey)).agg(exprs.head, exprs.tail: _*))
+  }
+
+  def aggregate(key: String, aggs: (String, Column)*): Table =
+    aggregate(key, key, aggs: _*)
+
+  /** `[t1; t2]` union-all; schemas must match exactly
+    * (reference capture-api.jl:146-184 asserts this).
+    */
+  def vcat(other: Table): Table = {
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      other.df.schema.fields.map(f => (f.name, f.dataType))),
+      s"vcat schema mismatch: ${df.schema.simpleString} vs ${other.df.schema.simpleString}")
+    Table(df.unionByName(other.df))
+  }
+
+  /** Declared-surface sort (reference examples/queries_devel/q25.jl:25). */
+  def sort(cols: Column*): Table = Table(df.orderBy(cols: _*))
+
+  /** Declared-surface limit / top-k (reference q02.jl:48-49). */
+  def limit(n: Int): Table = Table(df.limit(n))
+
+  def select(cols: Column*): Table = Table(df.select(cols: _*))
+
+  /** Derived column — declared but unimplemented in the reference
+    * (capture-api.jl:55-56 TODO); trivial on Spark. */
+  def withColumn(name: String, c: Column): Table = Table(df.withColumn(name, c))
+}
+
+/** Aggregate-function surface of the reference's `aggregate(...)`:
+  * sum / length(count) / maximum / length(unique(...)), over arbitrary
+  * element-wise expressions (capture-api.jl:387-479).
+  */
+object Agg {
+  /** `sum(expr)`; HPAT sums booleans as ints (`sum(:c==3)`,
+    * test/q26_test.jl:69-84) — pass boolean Columns through [[countIf]]
+    * or cast explicitly. */
+  def sum(e: Column): Column = org.apache.spark.sql.functions.sum(e)
+
+  /** HPAT `sum(bool_expr)` — conditional count. */
+  def countIf(cond: Column): Column =
+    org.apache.spark.sql.functions.sum(cond.cast("long"))
+
+  /** `length(t)` — group row count. */
+  def length(): Column = count(lit(1))
+
+  /** `maximum(expr)`. */
+  def maximum(e: Column): Column = max(e)
+
+  /** `minimum(expr)` — trivially symmetric to maximum (SURVEY §2.5). */
+  def minimum(e: Column): Column = min(e)
+
+  /** `length(unique(expr))` — EXACT distinct count
+    * (reference cgen-hpat-pattern-match-table.jl:665-684 uses an exact
+    * unordered_set; `approx_count_distinct` would not be parity). */
+  def lengthUnique(e: Column): Column = countDistinct(e)
+}

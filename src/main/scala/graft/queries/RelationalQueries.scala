@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.{Agg, Table}
+import graft.functions.Exact.{d, dsum}
+
+/** Relational query suite: every SURVEY §2.2-§2.7 operator exercised on
+  * the TPC-H-ish fixtures, with a DuckDB-equivalent oracle per query.
+  *
+  * Query shapes mirror the reference's end-to-end tests:
+  *  - q26_shape: /root/reference/test/q26_test.jl:63-88 (join → filter →
+  *    wide conditional-sum aggregate → having-filter)
+  *  - q05_shape: /root/reference/test/q05_test.jl:40-60 (sentinel filter →
+  *    join → wide aggregate → join → join)
+  *  - q25_shape: /root/reference/test/length_unique_test.jl:9-18 +
+  *    examples/queries_devel/q25.jl:3-27 (count-distinct/max/sum
+  *    aggregate + union)
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Table(Tables.load(s, dir, name))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan → filter → partial/final hash aggregate.
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(d(col("l_extendedprice")) * (d(lit(1)) - d(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(d(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Filter: reference t[cond] — capture-api.jl:208-272.
+    "q_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .df),
+
+    // Join: key-coalesced inner equi-join — capture-api.jl:286-378.
+    // customer is small → broadcast (no shuffle of orders).
+    "q_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .joinBroadcast(t(s, dir, "customer"), "o_custkey", "c_custkey", "custkey")
+        .select(col("custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("c_name"), col("c_acctbal"))
+        .df),
+
+    // q26 shape: join → filter → conditional-sum aggregate → having.
+    "q26_shape" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .joinBroadcast(t(s, dir, "part"), "l_partkey", "p_partkey", "partkey")
+        .filter(col("p_type") === "STANDARD")
+      val ag = j.aggregate("l_orderkey", "orderkey",
+        (1 to 7).map(k => s"id$k" -> Agg.countIf(col("p_size") % 7 === (k - 1))) :+
+          ("cnt" -> Agg.length()): _*)
+      ag.filter(col("cnt") >= 1 && col("cnt") <= 100).df
+    }),
+
+    // q05 shape: sentinel filter → join → wide aggregate → join → join.
+    "q05_shape" -> ((s, dir) => {
+      val j1 = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 0) // sentinel not-null filter, q05_test.jl:46
+        .join(t(s, dir, "orders"), "l_orderkey", "o_orderkey", "orderkey")
+      val ag = j1.aggregate("o_custkey", "custkey",
+        "r1" -> Agg.countIf(col("o_orderpriority") === "1-URGENT"),
+        "r2" -> Agg.countIf(col("o_orderpriority") === "2-HIGH"),
+        "r3" -> Agg.countIf(col("o_orderpriority") === "3-MEDIUM"),
+        "r4" -> Agg.countIf(col("o_orderpriority") === "4-NOT SPECIFIED"),
+        "r5" -> Agg.countIf(col("o_orderpriority") === "5-LOW"),
+        "flag_r" -> Agg.countIf(col("l_returnflag") === "R"),
+        "stat_f" -> Agg.countIf(col("o_orderstatus") === "F"),
+        "amount" -> dsum(col("l_extendedprice")))
+      ag.join(t(s, dir, "customer"), "custkey", "c_custkey", "custkey")
+        .joinBroadcast(t(s, dir, "nation"), "c_nationkey", "n_nationkey", "nationkey")
+        .select(col("custkey"), col("n_name"), col("r1"), col("r2"), col("r3"),
+          col("r4"), col("r5"), col("flag_r"), col("stat_f"), col("amount"))
+        .df
+    }),
+
+    // q25 shape: count-distinct/max/sum aggregate per date range + vcat.
+    "q25_shape" -> ((s, dir) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      def aggFor(tab: Table): Table = tab.aggregate("o_custkey", "cid",
+        "frequency" -> Agg.lengthUnique(col("o_orderkey")),
+        "most_recent" -> Agg.maximum(date_format(col("o_orderdate"), "yyyy-MM-dd")),
+        "amount" -> dsum(col("o_totalprice")))
+      val o = t(s, dir, "orders")
+      aggFor(o.filter(col("o_orderdate") < cut))
+        .vcat(aggFor(o.filter(col("o_orderdate") >= cut)))
+        .df
+    }),
+
+    // vcat: union-all with exact schema match — capture-api.jl:146-184.
+    "q_vcat" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hi = li.filter(col("l_quantity") > 48)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val lo = li.filter(col("l_quantity") < 2)
+        .select(col("l_orderkey"), col("l_quantity"))
+      hi.vcat(lo).df
+    }),
+
+    // Declared-surface sort + limit (q25.jl:25, q02.jl:48-49). Ties broken
+    // by the unique key so top-k is deterministic.
+    "q_sort_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .sort(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .df),
+
+    // Distinct (set-op surface beyond the reference, free in Spark).
+    "q_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // Windowed top-k per group (partitioned sort, no global shuffle).
+    "q_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Tables.load(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+    }),
+
+    // Semi/anti joins (beyond-reference capability, SURVEY §2.4 "not
+    // supported" list — first-class in our engine).
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+
+    "q_join" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q26_shape" ->
+      """SELECT l_orderkey AS orderkey,
+        | CAST(SUM(CASE WHEN p_size % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS id1,
+        | CAST(SUM(CASE WHEN p_size % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS id2,
+        | CAST(SUM(CASE WHEN p_size % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS id3,
+        | CAST(SUM(CASE WHEN p_size % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS id4,
+        | CAST(SUM(CASE WHEN p_size % 7 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS id5,
+        | CAST(SUM(CASE WHEN p_size % 7 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS id6,
+        | CAST(SUM(CASE WHEN p_size % 7 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS id7,
+        | COUNT(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD'
+        |GROUP BY l_orderkey
+        |HAVING COUNT(*) >= 1 AND COUNT(*) <= 100""".stripMargin,
+
+    "q05_shape" ->
+      """WITH ag AS (
+        |  SELECT o_custkey AS custkey,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+        |   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS flag_r,
+        |   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS stat_f,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity > 0
+        |  GROUP BY o_custkey)
+        |SELECT custkey, n_name, r1, r2, r3, r4, r5, flag_r, stat_f, amount
+        |FROM ag
+        |JOIN customer ON custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    "q25_shape" ->
+      """SELECT o_custkey AS cid, COUNT(DISTINCT o_orderkey) AS frequency,
+        | MAX(strftime(o_orderdate, '%Y-%m-%d')) AS most_recent,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_custkey
+        |UNION ALL
+        |SELECT o_custkey AS cid, COUNT(DISTINCT o_orderkey) AS frequency,
+        | MAX(strftime(o_orderdate, '%Y-%m-%d')) AS most_recent,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q_vcat" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 48
+        |UNION ALL
+        |SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 2""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_topk_window" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  ROW_NUMBER() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        | FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+  )
+}

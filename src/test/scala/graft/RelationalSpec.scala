@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Agg, Table}
+
+/** Golden-vector tests ported from the reference's unit suite
+  * (/root/reference/test/, datasets per /root/repo/FIXTURES.md).
+  * Outputs are compared as sorted multisets — the reference's goldens
+  * happen to be in hash-iteration order (SURVEY §7.3).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // t1/t2 fixtures: /root/reference/test/filter_test1.jl:25-26,
+  // join_test1.jl:25-28.
+  def t1: Table = Table(
+    Seq((1L, 1.1), (2L, 2.1), (3L, 3.1), (1L, 3.2), (2L, 1.9))
+      .toDF("userid", "val2"))
+  def t2: Table = Table(Seq((1L, 7.1), (3L, 8.3)).toDF("userid", "val3"))
+
+  test("filter userid>2 → ([3],[3.1]) (filter_test1.jl:33-34)") {
+    val got = t1.filter(col("userid") > 2).df.collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((3L, 3.1)))
+  }
+
+  test("join dup-key multiplicity → ([1,1,3],[7.1,7.1,8.3]) (join_test1.jl:35-36)") {
+    val got = t1.join(t2, "userid", "userid", "userid").df
+      .select("userid", "val3").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 7.1), (1L, 7.1), (3L, 8.3)))
+  }
+
+  test("join output schema is key-coalesced [kout; rest1; rest2] (capture-api.jl:322-333)") {
+    val out = t1.join(t2, "userid", "userid", "uid").df
+    assert(out.columns.toSeq == Seq("uid", "val2", "val3"))
+  }
+
+  test("aggregate sum → keys [1,2,3] sums [4.3,4.0,3.1] (aggregate_test1.jl:42-43)") {
+    val got = t1.aggregate("userid", "s" -> Agg.sum(col("val2"))).df
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 10) / 10.0))
+      .sorted.toSeq
+    assert(got == Seq((1L, 4.3), (2L, 4.0), (3L, 3.1)))
+  }
+
+  test("aggregate key rename + conditional count (aggregate_rename_test.jl:14)") {
+    val got = t1.aggregate("userid", "uid",
+      "c11" -> Agg.countIf(col("val2") === 1.1)).df
+    assert(got.columns.toSeq == Seq("uid", "c11"))
+    val m = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("aggregate length (group count)") {
+    val m = t1.aggregate("userid", "n" -> Agg.length()).df
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("vcat of two aggregates → keys [1,2,3,1,2,3] (tables_cat.jl:37-38)") {
+    val a = t1.aggregate("userid", "s" -> Agg.sum(col("val2")))
+    val got = a.vcat(a).df.select("userid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 1L, 2L, 2L, 3L, 3L))
+  }
+
+  test("vcat rejects schema mismatch (capture-api.jl:146-184 assert)") {
+    intercept[IllegalArgumentException] { t1.vcat(t2) }
+  }
+
+  test("length_unique exact distinct (length_unique_test.jl:36-39)") {
+    // store_sales fixture: FIXTURES.md §Q25
+    val ss = Table(Seq(
+      (1L, 10L, 37600L, 100.0), (1L, 10L, 36000L, 20.1), (1L, 11L, 36500L, 8.1),
+      (2L, 20L, 36000L, 25.0), (2L, 21L, 35000L, 28.5))
+      .toDF("cid", "ticket", "date", "paid"))
+    val got = ss.aggregate("cid",
+      "f" -> Agg.lengthUnique(col("ticket")),
+      "m" -> Agg.maximum(col("date")),
+      "a" -> Agg.sum(col("paid"))).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 10) / 10.0)).sorted.toSeq
+    assert(got == Seq((1L, 2L, 37600L, 128.2), (2L, 2L, 36000L, 53.5)))
+  }
+
+  test("sort + limit top-k is deterministic with key tiebreak") {
+    val got = t1.sort(col("val2").desc, col("userid").asc).limit(2).df
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L)) // val2 3.2 then 3.1
+  }
+}
