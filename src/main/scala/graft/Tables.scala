@@ -15,7 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read a named fixture table from a scale-factor directory. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Read a named fixture table from a scale-factor directory.
+    *
+    * `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
+    * by default — read it as epoch-nanos long (the reference models all
+    * dates as Int64 day numbers anyway, SURVEY §1.4).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Ordered-series operators: distributed prefix sum and 1-D stencil.
+  *
+  * The reference implements these as MPI patterns over 1-D block
+  * distributed arrays:
+  *  - cumsum: local sum → `MPI_Exscan` → local rescan
+  *    (/root/reference/src/distributed-pass.jl:1213-1215,
+  *    src/cgen-hpat-pattern-match.jl:433-459)
+  *  - stencil: halo exchange of one boundary element each way via
+  *    `MPI_Isend/Irecv`, with out-of-bounds borders copying the input
+  *    (/root/reference/src/capture-api.jl:111-144,
+  *    src/distributed-pass.jl:882-1001; border rule at 917-919,933-937)
+  *
+  * The Spark-native equivalent keeps the same two-level structure instead
+  * of a single global `Window.orderBy` (which would collapse to ONE
+  * partition and cannot scale):
+  *  1. `repartitionByRange(order)` + `sortWithinPartitions` — the analog
+  *     of HPAT's contiguous 1-D block distribution.
+  *  2. per-partition window functions (narrow, codegen'd).
+  *  3. a tiny driver-side exchange of per-partition boundary state
+  *     (partition sums / edge rows — O(numPartitions) rows, the moral
+  *     equivalent of the Exscan / halo collectives), broadcast-joined
+  *     back on partition id.
+  *
+  * The input is pinned with `persist()` so both passes see identical
+  * partition contents (Spark re-executes the shuffle per action; HPAT's
+  * arrays are naturally resident). Order keys must be unique for
+  * deterministic output, as in the reference's ordered arrays.
+  */
+object Series {
+
+  private val PID = "__graft_pid"
+
+  /** Running (inclusive) prefix sum of `value` in the global order of
+    * `order`, added as column `out`. Exact if `value` is a decimal.
+    */
+  def cumsum(df: DataFrame, order: Column, value: Column, out: String,
+             numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(n, order)
+      .sortWithinPartitions(order)
+      .withColumn(PID, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1 — per-partition totals; exclusive scan on the driver
+    // (numPartitions rows: the MPI_Exscan).
+    val partSums = parted.groupBy(col(PID)).agg(sum(value).as("s"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
+    var running: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    val offsets = partSums.map { case (pid, s) =>
+      val off = running
+      if (s != null) running = running.add(new java.math.BigDecimal(s.toString))
+      (pid, off)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq.map {
+        case (pid, off) => org.apache.spark.sql.Row(pid, off)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(PID,
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__graft_off",
+          org.apache.spark.sql.types.DecimalType(38, 18), nullable = false))))
+
+    // Pass 2 — local rescan + offset.
+    val w = Window.partitionBy(col(PID)).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offDf), PID)
+      .withColumn(out, sum(value).over(w) + col("__graft_off"))
+      .drop(PID, "__graft_off")
+  }
+
+  /** 3-point stencil `f(x[-1], x[0], x[+1])` over `value` in the global
+    * order of `order`; border rows (no left or no right neighbor) copy
+    * the input, matching the reference's `skip` border rule
+    * (stencil_test1.jl:33 golden).
+    */
+  def stencil3(df: DataFrame, order: Column, value: Column, out: String,
+               numPartitions: Int = 0)
+              (f: (Column, Column, Column) => Column): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(n, order)
+      .sortWithinPartitions(order)
+      .withColumn(PID, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Halo exchange: first/last (order, value) of each partition —
+    // 2 rows per partition to the driver, redistributed by broadcast.
+    val edges = parted
+      .groupBy(col(PID))
+      .agg(min_by(value, order).as("first_v"), max_by(value, order).as("last_v"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.get(2))).sortBy(_._1)
+    // carry across empty partitions: neighbor = nearest non-empty
+    val present = edges.map(_._1).toSet
+    val lastOf = edges.map(e => e._1 -> e._3).toMap
+    val firstOf = edges.map(e => e._1 -> e._2).toMap
+    val pids = edges.map(_._1)
+    val halo = pids.map { pid =>
+      val prev = (pid - 1 to 0 by -1).find(present.contains).map(lastOf)
+      val next = (pid + 1 until n).find(present.contains).map(firstOf)
+      org.apache.spark.sql.Row(pid, prev.orNull, next.orNull)
+    }
+    val vType = df.select(value).schema.head.dataType
+    val haloDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(halo.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(PID,
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__prev_last", vType),
+        org.apache.spark.sql.types.StructField("__next_first", vType))))
+
+    val w = Window.partitionBy(col(PID)).orderBy(order)
+    val lagV = coalesce(lag(value, 1).over(w), col("__prev_last"))
+    val leadV = coalesce(lead(value, 1).over(w), col("__next_first"))
+    parted
+      .join(broadcast(haloDf), PID)
+      .withColumn(out,
+        when(lagV.isNull || leadV.isNull, value).otherwise(f(lagV, value, leadV)))
+      .drop(PID, "__prev_last", "__next_first")
+  }
+}

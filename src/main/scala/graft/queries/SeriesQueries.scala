@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Series
+import graft.functions.Exact.d
+
+/** Ordered-series queries over the `events` table (natural unique order
+  * key `event_id`). Mirrors the reference's cumsum/stencil tests
+  * (/root/reference/test/cumsum_test.jl, stencil_test1.jl) at fixture
+  * scale.
+  */
+object SeriesQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Distributed prefix sum (HPAT cumsum — MPI_Exscan pattern).
+    "q_cumsum" -> ((s, dir) =>
+      Series.cumsum(
+        Tables.load(s, dir, "events"),
+        col("event_id"), d(col("value")), "running")
+        .select(col("event_id"), col("running").cast("double").as("running"))),
+
+    // 3-point stencil (x[-1]+2*x[0]+x[1])/4 with borders copying input
+    // (stencil_test1.jl golden semantics).
+    "q_stencil" -> ((s, dir) =>
+      Series.stencil3(
+        Tables.load(s, dir, "events"),
+        col("event_id"), col("value"), "smoothed")(
+        (l, v, r) => (l + lit(2.0) * v + r) / lit(4.0))
+        .select(col("event_id"), col("smoothed")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cumsum" ->
+      """SELECT event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY event_id) AS DOUBLE) AS running
+        |FROM events""".stripMargin,
+
+    "q_stencil" ->
+      """SELECT event_id,
+        | CASE WHEN lag(value) OVER w IS NULL OR lead(value) OVER w IS NULL
+        |   THEN value
+        |   ELSE (lag(value) OVER w + 2.0 * value + lead(value) OVER w) / 4.0
+        | END AS smoothed
+        |FROM events WINDOW w AS (ORDER BY event_id)""".stripMargin
+  )
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Series
+
+/** Goldens from /root/reference/test/cumsum_test.jl and
+  * stencil_test1.jl (fixture data per FIXTURES.md). `numPartitions > 1`
+  * forces the cross-partition offset/halo paths.
+  */
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cumsum of ones(5) → [1,2,3,4,5], total 15 (cumsum_test.jl:6-13)") {
+    val df = (1 to 5).map(i => (i.toLong, 1.0)).toDF("idx", "v")
+    val got = Series.cumsum(df, col("idx"), col("v").cast("decimal(18,2)"),
+        "cs", numPartitions = 3)
+      .orderBy("idx").select(col("cs").cast("double")).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(got.sum == 15.0)
+  }
+
+  test("cumsum multi-partition equals single-partition") {
+    val df = (1 to 97).map(i => (i.toLong, (i % 7) + 0.25)).toDF("idx", "v")
+    def run(n: Int) = Series.cumsum(df, col("idx"),
+        col("v").cast("decimal(18,2)"), "cs", numPartitions = n)
+      .orderBy("idx").select(col("cs").cast("double")).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(run(8) == run(1))
+  }
+
+  test("stencil golden [1.2,2.125,2.875,2.85,1.9] (stencil_test1.jl:33)") {
+    val df = Seq((1L, 1.2), (2L, 2.1), (3L, 3.1), (4L, 3.2), (5L, 1.9))
+      .toDF("idx", "v")
+    val got = Series.stencil3(df, col("idx"), col("v"), "out",
+        numPartitions = 3)(
+        (l, v, r) => (l + lit(2.0) * v + r) / lit(4.0))
+      .orderBy("idx").select("out").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.2, 2.125, 2.875, 2.85, 1.9))
+  }
+
+  test("stencil multi-partition equals single-partition (halo exchange)") {
+    val df = (1 to 53).map(i => (i.toLong, i * 0.5 % 9)).toDF("idx", "v")
+    def run(n: Int) = Series.stencil3(df, col("idx"), col("v"), "out",
+        numPartitions = n)((l, v, r) => (l + lit(2.0) * v + r) / lit(4.0))
+      .orderBy("idx").select("out").collect().map(_.getDouble(0)).toSeq
+    assert(run(7) == run(1))
+  }
+}
