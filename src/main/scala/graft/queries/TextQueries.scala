@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis queries over the `documents` fixture table, each with a
+  * bit-exact DuckDB oracle (same expression tree, same evaluation order —
+  * the driver compares full-precision float reprs).
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting + length stats per document.
+    "q_text_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_m"),
+          Text.avgTokenLen(col("text")).as("avg_tok_len"))),
+
+    // Quality scoring: stopword fluency + digit/punct noise, then a
+    // corpus-level keep/drop decision (the 100 TB filter step).
+    "q_text_quality" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.stopwordRatio(col("text")).as("stop_ratio"),
+          Text.digitRatio(col("text")).as("digit_ratio"),
+          Text.punctRatio(col("text")).as("punct_ratio"),
+          Text.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") > 0.3)),
+
+    // Language ID (stopword-hit argmax) + agreement with the labeled lang.
+    "q_lang_id" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.langId(col("text")).as("pred_lang"))
+        .withColumn("agree", (col("lang") === col("pred_lang")).cast("int"))),
+
+    // Document fingerprinting (md5 of normalized text) + dup-group size.
+    "q_fingerprint" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      d.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_cnt"))
+    })
+  )
+
+  // DuckDB mirrors. Token split = regexp_split_to_array on trimmed lower
+  // text; every double is produced by the same op sequence as the Spark
+  // expression so the full-precision repr compare holds.
+  private val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  private def hits(words: Seq[String]): String =
+    s"""len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"""
+
+  private val stopHits = hits(Text.stopwordsEn)
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         | len($toks) AS n_tokens,
+         | length(text) AS n_chars_m,
+         | CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |   / len($toks) AS avg_tok_len
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT * FROM (SELECT doc_id,
+         | CAST($stopHits AS DOUBLE) / len($toks) AS stop_ratio,
+         | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |   / length(text) AS digit_ratio,
+         | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |   / length(text) AS punct_ratio,
+         | 0.4 * (CAST($stopHits AS DOUBLE) / len($toks))
+         |  + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text))
+         |  + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text))
+         |  AS quality
+         |FROM documents) WHERE quality > 0.3""".stripMargin,
+
+    "q_lang_id" -> {
+      val scores = Text.langStopwords.map { case (l, ws) => l -> hits(ws) }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, h) => s"WHEN $h = $best THEN '$l'" }
+      s"""SELECT doc_id, lang, pred_lang,
+         | CAST(lang = pred_lang AS INT) AS agree
+         |FROM (SELECT doc_id, lang,
+         | CASE WHEN $best <= 0 THEN 'und'
+         |  ${cases.mkString("\n  ")}
+         |  ELSE 'und' END AS pred_lang
+         |FROM documents)""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      s"""SELECT md5(array_to_string($toks, ' ')) AS fp,
+         | MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt
+         |FROM documents GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Golden-vector tests for the text-analysis functions. */
+class TextSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("tokenCount and avgTokenLen") {
+    val r = one("The quick  brown fox")
+      .select(Text.tokenCount(col("text")), Text.avgTokenLen(col("text")))
+      .head()
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) == 16.0 / 4)
+  }
+
+  test("shingles produce overlapping word k-grams") {
+    val r = one("a b c d")
+      .select(Text.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = one("a b")
+      .select(Text.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("langId picks the majority-stopword language, und when none") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat and it is fine",
+      "der hund und die katze ist nicht da",
+      "xyzzy qwerty").toDF("text")
+    val got = df.select(Text.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace-insensitive and case-insensitive") {
+    val a = one("Hello   World").select(Text.fingerprint(col("text"))).head().getString(0)
+    val b = one("hello world").select(Text.fingerprint(col("text"))).head().getString(0)
+    val c = one("hello worlds").select(Text.fingerprint(col("text"))).head().getString(0)
+    assert(a == b && a != c)
+  }
+
+  test("qualityScore rewards stopword-rich prose, penalizes noise") {
+    val prose = one("the cat is on the mat and it is a fine day")
+      .select(Text.qualityScore(col("text"))).head().getDouble(0)
+    val noise = one("x9 77..2 !!!: 123 9z.")
+      .select(Text.qualityScore(col("text"))).head().getDouble(0)
+    assert(prose > noise)
+    assert(prose <= 1.0 && noise >= 0.0)
+  }
+}
