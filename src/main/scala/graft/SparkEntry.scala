@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{RelationalQueries, SeriesQueries, TextQueries}
+import graft.queries.{DedupQueries, RelationalQueries, SeriesQueries,
+  SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ SeriesQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ SeriesQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ SeriesQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ SeriesQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -92,12 +92,19 @@ object Text {
   def fingerprint64(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))
 
-  /** Word k-shingles: overlapping k-grams of the token stream, the unit
-    * set for Jaccard/MinHash dedup. Empty array when fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
+  /** Word k-shingles from an ALREADY-MATERIALIZED token-array column.
+    * Pipelines must stage tokenization as its own projection first:
+    * higher-order-function lambdas are interpreted without common
+    * subexpression elimination, so embedding `tokens(text)` here would
+    * re-run the regex split once per shingle element. */
+  def shinglesOfTokens(ts: Column, k: Int): Column =
     when(size(ts) < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(ts) - k),
         i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
-  }
+
+  /** Word k-shingles straight from text — convenience for single-row /
+    * test use. In pipelines prefer staging [[tokens]] into a column and
+    * calling [[shinglesOfTokens]] (see note there). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfTokens(tokens(text), k)
 }

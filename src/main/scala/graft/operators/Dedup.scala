@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB shapes):
+  *  - Exact dedup is one hash-groupBy: shuffle carries (fingerprint, id),
+  *    never the document bodies.
+  *  - MinHash+LSH: signatures and band hashes are computed in the scan
+  *    stage (pure column expressions, whole-stage codegen); the candidate
+  *    self-join shuffles only (band, bandHash, id) triples; exact Jaccard
+  *    verification touches shingle sets for candidate pairs only. Hot
+  *    buckets (boilerplate text that hashes thousands of docs to one
+  *    bucket) are capped at `maxBucket` docs — at scale those need a
+  *    dedicated pass (they are exact-dup families, caught by exact dedup).
+  *  - SimHash: 64-bit signature in 4×16-bit chunks; pigeonhole banding —
+  *    hamming ≤ 3 implies at least one chunk equal — so candidates come
+  *    from 4 chunk-equality joins, then exact hamming verification.
+  *  - Embedding near-dup: blocked pairwise cosine inside a blocking key
+  *    (label, LSH bucket, or IVF cell); never an unblocked cross-join.
+  *
+  * The reference engine has no string/dedup surface (SURVEY §1.4);
+  * this is part of the beyond-reference training-data pipeline layer.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one surviving row (min id) per normalized-content
+    * fingerprint. Returns (id, fp) of keepers. */
+  def exactKeepers(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), Text.fingerprint(col(text)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(id)).as(id))
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature over an already-materialized shingle-set column:
+    * `numHashes` minima, hash family = xxhash64 salted by hash index.
+    * `sh` MUST be an attribute (staged projection), not a nested
+    * expression — HOF lambdas are interpreted with no CSE, so a nested
+    * shingle expression would be recomputed once per hash seed. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  /** LSH band hashes: signature split into `bands` bands of
+    * `rowsPerBand` hashes, each band hashed to one long. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)), j))
+
+  /** Staged, cached (id, shingle-set, band-hash array) table: tokens →
+    * shingles → signature → bands, each its own projection so every
+    * regex split / hash runs exactly once per row, spread over
+    * `defaultParallelism` partitions regardless of input file layout
+    * (a single small parquet file otherwise pins the whole expression
+    * pipeline to one task). */
+  private def shingleBands(df: DataFrame, id: String, text: String,
+                           k: Int, numHashes: Int, bands: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), Text.tokens(col(text)).as("__toks"))
+      .select(col(id),
+        array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col(id), col("sh"),
+        bandHashes(col("sig"), bands, numHashes / bands).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate pairs (idA < idB) that share at least one LSH band bucket.
+    * Buckets larger than `maxBucket` are dropped (exact-dup families —
+    * handled by [[exactKeepers]]; keeps the self-join skew-free). */
+  def lshCandidates(df: DataFrame, id: String, text: String,
+                    k: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16, maxBucket: Int = 64): DataFrame =
+    lshCandidatesFrom(shingleBands(df, id, text, k, numHashes, bands),
+      id, maxBucket)
+
+  private def lshCandidatesFrom(prepped: DataFrame, id: String,
+                                maxBucket: Int): DataFrame = {
+    val buckets = prepped
+      .select(col(id), posexplode(col("bands")).as(Seq("band", "bhash")))
+    val capped = buckets
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bhash"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard between two shingle-set columns (set semantics,
+    * deterministic int counts → bit-exact double across engines). */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB))
+
+  /** MinHash+LSH near-dup pipeline: candidates from banding, verified
+    * with exact shingle-set Jaccard ≥ `threshold`.
+    * Returns (id_a, id_b, jaccard). */
+  def minhashDedup(df: DataFrame, id: String, text: String,
+                   k: Int = 3, threshold: Double = 0.8,
+                   numHashes: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 64): DataFrame = {
+    val prepped = shingleBands(df, id, text, k, numHashes, bands)
+    val cands = lshCandidatesFrom(prepped, id, maxBucket)
+    val sh = prepped.select(col(id), col("sh"))
+    cands
+      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash vote vector from an already-materialized token-hash array:
+    * +1/-1 vote per token per bit position, summed. */
+  private def simhashVotes(hashes: Column): Column =
+    aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)): _*),
+        (a, b) => a + b))
+
+  /** Chunk a materialized 64-entry vote vector into `chunks` unsigned
+    * 16-bit ints (LSB-chunk first). Chunked rather than one long so
+    * banding and hamming stay in int arithmetic (ANSI-safe). */
+  private def votesToChunks(votes: Column, chunks: Int): Column = {
+    val bitsPerChunk = 64 / chunks
+    array((0 until chunks).map { c =>
+      (0 until bitsPerChunk).map { i =>
+        when(element_at(votes, c * bitsPerChunk + i + 1) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** SimHash of the token stream as chunked ints — convenience for
+    * single-expression use (tests); pipelines stage each step. */
+  def simhashChunks(text: Column, chunks: Int = 4): Column =
+    votesToChunks(simhashVotes(transform(Text.tokens(text),
+      t => xxhash64(t))), chunks)
+
+  /** Hamming distance between two chunked simhashes. */
+  def hammingChunks(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, d) => acc + d)
+
+  /** SimHash near-dup: candidates share at least one equal 16-bit chunk
+    * (pigeonhole: hamming ≤ chunks-1 guarantees this), verified with
+    * exact hamming ≤ `maxHamming`. Returns (id_a, id_b, hamming). */
+  def simhashDedup(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Staged + cached: tokenize → hash → vote → chunk each run once per
+    // row, spread across partitions; both self-join legs reuse the cache.
+    val withSig = df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), transform(Text.tokens(col(text)),
+        t => xxhash64(t)).as("__th"))
+      .select(col(id), simhashVotes(col("__th")).as("__votes"))
+      .select(col(id), votesToChunks(col("__votes"), chunks).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = withSig.select(col(id), col("sig"),
+      posexplode(col("sig")).as(Seq("chunk", "cval")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hammingChunks(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------- embedding near-dup
+
+  /** Bit-exact cosine between two array<float/double> columns: products
+    * and sums in double, strict left-to-right fold — the same IEEE op
+    * sequence is expressible in the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(arr: Column) = aggregate(arr, lit(0.0), (s, x) => s + x)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
+    dot / sqrt(na) / sqrt(nb)
+  }
+
+  /** Embedding near-dup: pairwise cosine ≥ `threshold` inside a blocking
+    * key (never unblocked). Returns (id_a, id_b, cos). */
+  def embeddingNearDup(df: DataFrame, id: String, vec: String,
+                       blockKey: String, threshold: Double): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val v = df.select(col(id), col(vec), col(blockKey).as("blk"))
+      .repartition(par, col("blk"))
+    v.as("a")
+      .join(v.as("b"),
+        col("a.blk") === col("b.blk") && col(s"a.$id") < col(s"b.$id"))
+      .withColumn("cos", cosine(col(s"a.$vec"), col(s"b.$vec")))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication queries over the `documents` / `embeddings` fixtures.
+  *
+  * Oracle strategy: the DuckDB oracles compute the near-dup sets by
+  * brute force (blocked pairwise), while the Spark side runs the LSH
+  * pipelines — the fixtures' pair-similarity distribution is cleanly
+  * bimodal (planted dups at J≥0.98, background <0.15), so the
+  * approximate candidate generation provably recovers the exact answer
+  * (P(miss) < 1e-20 per pair at 16 bands × 4 rows) and the differential
+  * check validates the whole pipeline, not just the verifier.
+  * SimHash and IVF have no SQL-expressible oracle → rows-only + specs.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: survivors after content-hash grouping.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactKeepers(Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)),
+
+    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+
+    // Embedding-cosine near-dup, blocked on the label column.
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.35))
+  )
+
+  private val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  // DuckDB 3-shingle set; range() is end-exclusive so this yields the
+  // same n-2 shingles as Spark's sequence(0, n-3).
+  private val shingleSet =
+    s"""list_distinct(list_transform(range(1, len($toks) - 1),
+       | i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
+  private val jac =
+    """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      | / len(list_distinct(list_concat(a.s, b.s)))""".stripMargin
+  // Bit-exact cosine mirror of Dedup.cosine: double products, strict
+  // left-to-right reduction, dot/sqrt(na)/sqrt(nb).
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(list_zip($x, $y),
+         | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+         | (acc, v) -> acc + v)""".stripMargin
+    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT md5(array_to_string($toks, ' ')) AS fp, MIN(doc_id) AS doc_id
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b
+         | ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin
+  )
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over the `embeddings` fixture. The query
+  * set is the first 16 vectors (broadcast-small, per the ANN contract);
+  * the corpus is the whole table.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact cosine top-10 via broadcast + bounded-heap partial top-k.
+    "q_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // IVF (k-means cells, nprobe=4) approximate top-10 — no oracle
+    // (approximate by design); recall measured in SimilaritySpec.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 10)
+    })
+  )
+
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(list_zip($x, $y),
+         | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+         | (acc, v) -> acc + v)""".stripMargin
+    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("qv", "e.embedding")} AS cos
+         | FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         | SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         | FROM s) WHERE rank <= 10""".stripMargin
+  )
+}

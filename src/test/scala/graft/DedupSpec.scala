@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Planted-duplicate tests for the dedup operators. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    Seq(
+      (1L, base),
+      (2L, base),                                         // exact dup of 1
+      (3L, base.replace("today", "tonight")),             // near dup of 1
+      (4L, "completely different words about spark catalyst tungsten shuffle exchange plans"),
+      (5L, "another unrelated document mentioning parquet columnar scans and predicate pushdown")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactKeepers keeps one row per distinct content") {
+    val keepers = Dedup.exactKeepers(corpus, "doc_id", "text")
+    assert(keepers.count() == 4) // 1&2 collapse
+    val ids = keepers.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L)) // min id survives
+  }
+
+  test("minhashDedup finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashDedup(corpus, "doc_id", "text",
+      k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("jaccard of identical docs is 1.0") {
+    val j = Dedup.minhashDedup(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head().getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("simhashDedup: identical docs at hamming 0, unrelated docs far") {
+    val pairs = Dedup.simhashDedup(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0))
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L && p._1 == 4L))
+  }
+
+  test("embeddingNearDup finds planted near-identical vectors") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val vNear = v.clone(); vNear(0) = v(0) + 0.001f
+    val vFar = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq(
+      (1L, v.toSeq, 0), (2L, vNear.toSeq, 0), (3L, vFar.toSeq, 0),
+      (4L, v.toSeq, 1) // same vector, different block → never paired
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", "label", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

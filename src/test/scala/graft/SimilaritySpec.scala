@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** ANN tests: brute-force exactness on a tiny golden set, IVF recall on
+  * the embeddings fixture. */
+class SimilaritySpec extends SparkSpec {
+
+  test("bruteForceTopK returns exact ranked neighbors") {
+    import spark.implicits._
+    // 2-d vectors at known angles from the x-axis query.
+    def vec(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq(
+      (10L, vec(5)), (11L, vec(30)), (12L, vec(60)), (13L, vec(90)),
+      (14L, vec(170))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(0))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    assert(got.head.getDouble(3) > 0.99)
+  }
+
+  test("ivfTopK achieves high recall vs brute force on fixture embeddings") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+      nCells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // every IVF result set still has k rows per query
+    assert(approx.size == exact.size)
+  }
+}

