@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, RelationalQueries, SeriesQueries,
-  SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, MLQueries, RelationalQueries,
+  SeriesQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ SeriesQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MLQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ SeriesQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ MLQueries.oracles
 }

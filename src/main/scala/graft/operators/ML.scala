@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ML kernel bridge — the reference's library surface re-expressed on
+  * spark.ml plus closed-form / iterative dataflow variants.
+  *
+  * Reference surface (/root/reference/src/api.jl:6,32-55):
+  * `Kmeans(points, k, iters)`, `LinearRegression(points, responses)`,
+  * `NaiveBayes(points, responses, classes)`; DistributedPass swaps in
+  * Intel DAAL distributed kernels (partial results gathered to rank 0,
+  * model broadcast back — src/cgen-hpat-pattern-match-daal.jl:28-471).
+  * spark.ml's implementations have the same partial/merge topology
+  * (treeAggregate of sufficient statistics → driver solve → broadcast),
+  * so the bridge is a thin feature-column adapter.
+  *
+  * `transposeHcat` replaces the reference's `__hpat_transpose_hcat`
+  * fusion (src/domain-pass.jl:590-617): instead of materializing a D×N
+  * matrix, rows carry an array<double> feature vector — no transpose
+  * ever exists.
+  */
+object ML {
+
+  /** `transpose(hcat(cols...))` — N scalar columns to one feature array
+    * per row (the reference's matrix-build,
+    * test/tables_transpose_hcat.jl:20). */
+  def transposeHcat(df: DataFrame, cols: Seq[String], out: String): DataFrame =
+    df.withColumn(out, array(cols.map(c => col(c).cast("double")): _*))
+
+  private def toVec(arr: Column): Column =
+    org.apache.spark.ml.functions.array_to_vector(arr.cast("array<double>"))
+
+  /** `Kmeans(points, k, iters)` → (cluster, size, centroid). Seeded and
+    * deterministic for a fixed input. */
+  def kmeans(df: DataFrame, features: String, k: Int, iters: Int,
+             seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val fv = df.withColumn("__fv", toVec(col(features)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setMaxIter(iters).setSeed(seed).setFeaturesCol("__fv")
+      .fit(fv)
+    val sizes = model.transform(fv)
+      .groupBy(col(model.getPredictionCol).as("cluster"))
+      .agg(count(lit(1)).as("size"))
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }).toDF("cluster", "centroid")
+    sizes.join(centroids, "cluster")
+  }
+
+  /** `LinearRegression(points, responses)` via spark.ml (normal-equation
+    * solver: one pass of sufficient statistics, driver-side solve —
+    * the DAAL topology). Returns one row: (coefficients, intercept). */
+  def linearRegression(df: DataFrame, features: String, label: String): DataFrame = {
+    val spark = df.sparkSession
+    val fv = df.withColumn("__fv", toVec(col(features)))
+    val m = new org.apache.spark.ml.regression.LinearRegression()
+      .setSolver("normal").setFeaturesCol("__fv").setLabelCol(label)
+      .fit(fv)
+    spark.createDataFrame(Seq((m.coefficients.toArray, m.intercept)))
+      .toDF("coefficients", "intercept")
+  }
+
+  /** Closed-form single-feature OLS from EXACT decimal sufficient
+    * statistics — deterministic and oracle-checkable (summation-order
+    * independent), unlike any float solver. slope/intercept by the
+    * textbook formula; one distributed aggregate, driver does two
+    * divisions. */
+  def olsExact(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val xd = x.cast("decimal(18,4)")
+    val yd = y.cast("decimal(18,4)")
+    // Exact decimal sufficient statistics, then a fixed double-op
+    // sequence — mirrored verbatim in the DuckDB oracle. (Keeping the
+    // n·Sxy products in decimal would overflow DuckDB's 38-digit type
+    // derivation; casting the exact sums to double first is
+    // deterministic on both engines.)
+    df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(xd).cast("double").as("sx"), sum(yd).cast("double").as("sy"),
+      sum(xd * xd).cast("double").as("sxx"),
+      sum(xd * yd).cast("double").as("sxy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("n"), col("sx"), col("sy"))
+      .select(col("slope"),
+        (col("sy") / col("n") - col("slope") * (col("sx") / col("n")))
+          .as("intercept"))
+  }
+
+  /** `NaiveBayes(points, responses, classes)` — Gaussian NB (features
+    * may be negative, e.g. embeddings). Returns per-row predictions. */
+  def naiveBayes(df: DataFrame, features: String, label: String,
+                 id: String): DataFrame = {
+    val fv = df.withColumn("__fv", toVec(col(features)))
+      .withColumn("__lbl", col(label).cast("double"))
+    val m = new org.apache.spark.ml.classification.NaiveBayes()
+      .setModelType("gaussian").setFeaturesCol("__fv").setLabelCol("__lbl")
+      .fit(fv)
+    m.transform(fv)
+      .select(col(id), col(label),
+        col(m.getPredictionCol).cast("int").as("prediction"))
+  }
+
+  /** The reference's flagship iterative pattern
+    * (examples/logistic_regression.jl:35-47): batch gradient descent,
+    * w replicated, one gradient-reduce per iteration. Here: features
+    * stay an array column; the per-component gradient is D codegen'd
+    * `sum` aggregates (Spark's treeAggregate ≈ HPAT's MPI_Allreduce);
+    * w returns to the driver each step and re-enters the plan as a
+    * literal (≈ broadcast). Returns final weights as one row. */
+  def logisticRegression(df: DataFrame, features: String, label: String,
+                         dim: Int, iters: Int, lr: Double): DataFrame = {
+    val spark = df.sparkSession
+    val data = df.select(col(features).cast("array<double>").as("x"),
+      col(label).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = Array.fill(dim)(0.0)
+    val n = data.count().toDouble
+    for (_ <- 1 to iters) {
+      val wCol = array(w.map(lit): _*)
+      val margin = aggregate(zip_with(col("x"), wCol, (a, b) => a * b),
+        lit(0.0), (s, v) => s + v)
+      val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")
+      val grad = data.select(transform(col("x"), v => v * err).as("g"))
+        .agg(array((0 until dim).map(j =>
+          sum(element_at(col("g"), j + 1))): _*).as("grad"))
+        .head().getSeq[Double](0)
+      w = w.zip(grad).map { case (wi, gi) => wi - lr * gi / n }
+    }
+    data.unpersist()
+    spark.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("weights")
+  }
+}

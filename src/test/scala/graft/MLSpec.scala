@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ML
+
+/** Golden tests for the ML kernel bridge on small separable data. */
+class MLSpec extends SparkSpec {
+
+  test("transposeHcat builds per-row feature arrays") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("a", "b", "c")
+    val got = ML.transposeHcat(df, Seq("a", "b", "c"), "fv")
+      .select("fv").collect().map(_.getSeq[Double](0))
+    assert(got.toSeq == Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+  }
+
+  test("olsExact recovers a known linear relation") {
+    import spark.implicits._
+    // y = 3x + 7, exactly representable at decimal(18,4)
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0))
+      .toDF("x", "y")
+    val r = ML.olsExact(df, col("x"), col("y")).head()
+    assert(math.abs(r.getDouble(0) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 7.0) < 1e-9)
+  }
+
+  test("kmeans separates two obvious blobs") {
+    import spark.implicits._
+    val pts = (1 to 50).map(i => Seq(0.0 + i * 0.001, 0.0)) ++
+      (1 to 50).map(i => Seq(10.0 + i * 0.001, 10.0))
+    val df = pts.map(Tuple1(_)).toDF("embedding")
+    val r = ML.kmeans(df, "embedding", k = 2, iters = 10)
+      .select("size").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r == Seq(50L, 50L))
+  }
+
+  test("naiveBayes classifies separable gaussians") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i =>
+      (i.toLong, Seq(1.0 + (i % 5) * 0.01, 1.0), 0)) ++
+      (41 to 80).map(i => (i.toLong, Seq(-1.0 - (i % 5) * 0.01, -1.0), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val preds = ML.naiveBayes(df, "embedding", "label", "vec_id")
+    val acc = preds.filter(col("label") === col("prediction")).count().toDouble /
+      preds.count()
+    assert(acc == 1.0)
+  }
+
+  test("logisticRegression learns a separating direction") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => (Seq(1.0, 0.5 + (i % 7) * 0.01), 1.0)) ++
+      (41 to 80).map(i => (Seq(-1.0, -0.5 - (i % 7) * 0.01), 0.0))
+    val df = rows.toDF("x", "y")
+    val w = ML.logisticRegression(df, "x", "y", dim = 2, iters = 50, lr = 1.0)
+      .head().getSeq[Double](0)
+    assert(w(0) > 0.5, s"w=$w should point toward the positive class")
+  }
+}
