@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.{DedupQueries, MLQueries, RelationalQueries,
-  SeriesQueries, SimilarityQueries, TextQueries}
+  SeriesQueries, SimilarityQueries, StreamTextQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ SeriesQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MLQueries.queries
+      SimilarityQueries.queries ++ MLQueries.queries ++
+      StreamTextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ SeriesQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ MLQueries.oracles
+      SimilarityQueries.oracles ++ MLQueries.oracles ++
+      StreamTextQueries.oracles
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.Sessionize
+
+/** Sessionization (oracle-matched gaps-and-islands) and multimodal
+  * plumbing queries (rows-only: the stub decoder is not
+  * SQL-expressible; the plumbing is covered by MultimodalSpec).
+  */
+object StreamTextQueries {
+
+  /** events.ts is epoch-nanos long (Spark 4 legacy nanosAsLong read);
+    * integer-divide to micros — a double division would lose precision
+    * above 2^53. */
+  private val tsUs = expr("ts DIV 1000")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Session windows per user, 30-minute gap. Same operator serves
+    // Structured Streaming via Sessionize.byGapStreaming.
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.byGap(Tables.load(s, dir, "events"),
+        col("user_id"), tsUs, col("value"), "30 minutes")),
+
+    // Multimodal: wrap documents as media, resize, extract features
+    // (stub decode, real batching/pruning plumbing).
+    "q_mm_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "image")
+      Multimodal.extractFeatures(Multimodal.resize(media, 64, 64), dim = 16)
+        .select(col("media_id"), size(col("feature")).as("dim"),
+          element_at(col("feature"), 1).as("f0"))
+    }),
+
+    // Multimodal: frame sampling (every 2nd frame), frames per media.
+    "q_mm_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "video")
+      Multimodal.sampleFrames(media, stride = 2)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame_bytes")).cast("long")).as("bytes_sampled"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Gaps-and-islands mirror of session_window: break when the gap to
+    // the previous event is >= 30 min; session end = last event + gap.
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |m AS (
+        |  SELECT user_id, us, value,
+        |   CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(us) AS session_start_us,
+        |  MAX(us) + 1800000000 AS session_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM g GROUP BY user_id, sid""".stripMargin
+  )
+}

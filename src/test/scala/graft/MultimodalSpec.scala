@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Plumbing tests for multimodal columns (decode is a deterministic
+  * stub; schema/batching/explode shapes are the product). */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "shorter payload")).toDF("doc_id", "text")
+    Multimodal.asMedia(df, "doc_id", "text", "image")
+  }
+
+  test("asMedia produces the typed media schema") {
+    val f = media.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(f("media_id") == "long" && f("bytes") == "binary" &&
+      f("meta") == "struct")
+    assert(media.count() == 2)
+  }
+
+  test("extractFeatures is deterministic, fixed-dim, and drops bytes") {
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    assert(!feats.columns.contains("bytes"))
+    val a = feats.orderBy("media_id").collect().map(_.getSeq[Float](2))
+    val b = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").collect().map(_.getSeq[Float](2))
+    assert(a.forall(_.length == 8))
+    assert(a.map(_.toList).toSeq == b.map(_.toList).toSeq)
+    assert(a(0) != a(1)) // different payloads → different features
+  }
+
+  test("resize truncates payload to the declared shape bound") {
+    val r = Multimodal.resize(media, 2, 3) // target 2*3*3 = 18 bytes
+    val rows = r.orderBy("media_id").collect()
+    assert(rows(0).getAs[Array[Byte]]("bytes").length == 18)
+    assert(rows(1).getAs[Array[Byte]]("bytes").length == 15) // shorter kept
+    assert(rows.forall(_.getStruct(3).getInt(0) == 2))
+  }
+
+  test("sampleFrames emits every stride-th chunk") {
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n_frames = len % 16 + 1; 36 % 16 + 1 = 5 frames -> idx 0,2,4 = 3
+    assert(byId(1L) == 3)
+    val idx = frames.filter(col("media_id") === 1)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq
+    assert(idx == Seq(0, 2, 4))
+  }
+}

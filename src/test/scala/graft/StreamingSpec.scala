@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Sessionize
+
+/** Structured Streaming sessionization: the same operator that passes
+  * the batch DuckDB oracle, driven incrementally from a MemoryStream
+  * with a watermark. */
+class StreamingSpec extends SparkSpec {
+
+  test("byGapStreaming sessionizes a memory stream incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mins = 60L * 1000000L
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts_us", "value")
+    val sessions = Sessionize.byGapStreaming(events,
+      col("user_id"), col("ts_us"), col("value"),
+      gap = "30 minutes", watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess").outputMode("complete").start()
+    try {
+      // user 1: two bursts 2h apart → 2 sessions; user 2: one burst.
+      input.addData((1L, 0 * mins, 1.0), (1L, 10 * mins, 2.0),
+        (1L, 130 * mins, 4.0), (2L, 5 * mins, 8.0))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .select("user_id", "session_start_us", "n_events", "value_sum")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == Set(
+        (1L, 0L, 2L, 3.0),
+        (1L, 130 * mins, 1L, 4.0),
+        (2L, 5 * mins, 1L, 8.0)))
+      // late-arriving event extends an open session on the next trigger
+      input.addData((2L, 20 * mins, 1.5))
+      q.processAllAvailable()
+      val s2 = spark.table("sess").filter(col("user_id") === 2)
+        .select("n_events", "value_sum").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(s2 == Set((2L, 9.5)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming sessionization agree") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mins = 60L * 1000000L
+    val rows = Seq((1L, 0 * mins, 1.0), (1L, 40 * mins, 2.0),
+      (1L, 50 * mins, 3.0), (3L, 0 * mins, 5.0))
+    val batch = Sessionize.byGap(rows.toDF("user_id", "ts_us", "value"),
+      col("user_id"), col("ts_us"), col("value"), "30 minutes")
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = Sessionize.byGapStreaming(
+      input.toDF().toDF("user_id", "ts_us", "value"),
+      col("user_id"), col("ts_us"), col("value"), "30 minutes", "0 seconds")
+    val q = stream.writeStream.format("memory")
+      .queryName("sess_cmp").outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_cmp").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+}
