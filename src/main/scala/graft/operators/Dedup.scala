@@ -194,16 +194,13 @@ object Dedup {
 
   // ---------------------------------------------------- embedding near-dup
 
-  /** Bit-exact cosine between two array<float/double> columns: products
-    * and sums in double, strict left-to-right fold — the same IEEE op
-    * sequence is expressible in the DuckDB oracle. */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(arr: Column) = aggregate(arr, lit(0.0), (s, x) => s + x)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
-    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
-    dot / sqrt(na) / sqrt(nb)
-  }
+  /** Bit-exact cosine between two array<float/double> columns: the
+    * native codegen'd [[graft.functions.CosineSimilarity]] expression —
+    * one fused loop, accumulators summed in index order, so the result
+    * is IDENTICAL to a strict left-to-right double fold and the DuckDB
+    * oracle can mirror it with list_reduce. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** Embedding near-dup: pairwise cosine ≥ `threshold` inside a blocking
     * key (never unblocked). Returns (id_a, id_b, cos). */
