@@ -97,6 +97,25 @@ final case class Table(df: DataFrame) {
   /** Derived column — declared but unimplemented in the reference
     * (capture-api.jl:55-56 TODO); trivial on Spark. */
   def withColumn(name: String, c: Column): Table = Table(df.withColumn(name, c))
+
+  /** `__hpat_arr_rebalance` — re-balance skewed post-filter/join output
+    * to equal chunks (reference src/distributed-pass.jl:1276-1334, done
+    * there with pairwise Isend/Irecv). Spark: round-robin repartition;
+    * under AQE, skewed shuffle outputs are usually rebalanced for free,
+    * so this is only for explicit staging before e.g. ML kernels. */
+  def rebalance(n: Int = 0): Table = {
+    val parts = if (n > 0) n else df.sparkSession.sparkContext.defaultParallelism
+    Table(df.repartition(parts))
+  }
+
+  /** Checkpoint passthrough (reference's hpat_checkpoint pass,
+    * src/HPAT.jl:246-260, rebuilt on lineage + reliable checkpoint). */
+  def checkpoint(eager: Boolean = true): Table = Table(df.checkpoint(eager))
+
+  /** `IN`-list predicate — declared surface
+    * (examples/queries_devel/q01.jl:20). */
+  def filterIn(c: String, values: Seq[Any]): Table =
+    Table(df.filter(col(c).isin(values: _*)))
 }
 
 /** Aggregate-function surface of the reference's `aggregate(...)`:

@@ -15,9 +15,10 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
-    for (i <- 1 to reps) {
+    val dirs = if (args.length > 3) Seq(args(3), dir) else Seq.fill(reps)(dir)
+    for ((d, i) <- dirs.zipWithIndex) {
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
+      val n = fn(spark, d).count()
       println(f"[$name rep$i] rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Agg, Dedup, Series, Table}
+
+/** Algebraic property tests over randomized small tables — the class of
+  * checks the reference lacks entirely (SURVEY §5). Generators are
+  * driven with fixed seeds (the scalatest/scalacheck bridge artifact is
+  * not in the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[T](g: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator failed at seed $i")))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)
+                           (body: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      val a = ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator failed at seed $i"))
+      val b = gb.apply(Gen.Parameters.default, Seed((i + 100).toLong))
+        .getOrElse(fail(s"generator failed at seed $i"))
+      body(a, b)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val rowsGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 9L)
+      v <- Gen.choose(-50L, 50L)
+      d <- Gen.choose(0, 10000).map(_ / 100.0)
+    } yield (k, v, d))
+
+  test("filter∘join ≡ join∘filter when the predicate hits one side") {
+    import spark.implicits._
+    forAll2(rowsGen, rowsGen) { (l, r) =>
+      val lt = Table(l.toDF("k", "v", "d"))
+      val rt = Table(r.map(t => (t._1, t._2)).toDF("k2", "w"))
+      val pred = col("v") > 0
+      val a = lt.join(rt, "k", "k2", "k").filter(pred).df
+        .orderBy("k", "v", "d", "w").collect().toSeq
+      val b = lt.filter(pred).join(rt, "k", "k2", "k").df
+        .orderBy("k", "v", "d", "w").collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("aggregate totals are partition-count invariant") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v", "d")
+      def agg(t: Table) = t.aggregate("k",
+        "s" -> Agg.sum(col("v")), "c" -> Agg.length(),
+        "m" -> Agg.maximum(col("d")), "u" -> Agg.lengthUnique(col("v")))
+        .df.orderBy("k").collect().toSeq
+      assert(agg(Table(df.repartition(1))) == agg(Table(df.repartition(7))))
+    }
+  }
+
+  test("vcat row count adds; join with self-keys yields dup cross-products") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val t = Table(rows.toDF("k", "v", "d"))
+      assert(t.vcat(t).df.count() == 2 * rows.size)
+      // |t ⋈ t on k| = Σ_k cnt(k)^2 (reference dup-key semantics,
+      // test/join_test1.jl:35-36)
+      val expect = rows.groupBy(_._1).map(g => g._2.size.toLong * g._2.size).sum
+      val self = Table(rows.map(x => (x._1, x._2)).toDF("k2", "w"))
+      assert(t.join(self, "k", "k2", "k").df.count() == expect)
+    }
+  }
+
+  test("cumsum final value equals total sum; output is monotone for positives") {
+    import spark.implicits._
+    forAll(Gen.listOfN(40, Gen.choose(1, 100))) { vals =>
+      whenever(vals.nonEmpty) {
+        val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+          .toDF("ord", "v")
+        val out = Series.cumsum(df, col("ord"), col("v").cast("decimal(18,2)"),
+          "run", numPartitions = 4)
+          .orderBy("ord").select("run").collect().map(_.getDecimal(0))
+        assert(out.last.doubleValue() == vals.map(_.toDouble).sum)
+        assert(out.zip(out.tail).forall { case (a, b) => a.compareTo(b) < 0 })
+      }
+    }
+  }
+
+  test("jaccard is symmetric and bounded; minhash candidates verify exactly") {
+    import spark.implicits._
+    forAll(Gen.listOfN(8, Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "d", "e", "f")))) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minhashDedup(df, "doc_id", "text",
+        k = 2, threshold = 0.0, numHashes = 16, bands = 8)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      pairs.foreach { case ((a, b), j) =>
+        assert(a < b); assert(j >= 0.0 && j <= 1.0)
+      }
+    }
+  }
+}
