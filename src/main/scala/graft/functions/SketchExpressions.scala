@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Native codegen'd sketch kernels for the dedup pipelines.
+  *
+  * These replace higher-order-function compositions whose lambdas
+  * Catalyst interprets per element (`transform(seq(1,k), s ->
+  * array_min(transform(sh, x -> xxhash64(x, s))))` evaluates k × |sh|
+  * interpreted closures and allocates k intermediate arrays per row).
+  * Each kernel is one fused loop over the token array, fully inside
+  * whole-stage codegen — at 100 TB these run in the scan stage, so the
+  * constant factor is the difference between a CPU-bound and an
+  * IO-bound dedup pass.
+  */
+
+/** MinHash signature of an array<string>: `numHashes` minima over the
+  * affine hash family h_s(x) = h1(x) + s·h2(x) (two xxhash64 evals per
+  * element instead of `numHashes` — Kirsch/Mitzenmacher, "Less Hashing,
+  * Same Performance"). Empty input yields the all-MaxValue signature,
+  * so empty docs band-collide with each other exactly like the HOF
+  * formulation it replaces (they are then Jaccard-verified anyway).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  private val Seed1 = 42L
+  private val Seed2 = 0x27d4eb2f165667c5L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> and numHashes > 0")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XXH64.hashUTF8String(s, Seed1)
+        val h2 = XXH64.hashUTF8String(s, Seed2)
+        var h = h1
+        var j = 0
+        while (j < numHashes) {
+          h += h2
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val h2 = ctx.freshName("h2")
+      val s = ctx.freshName("s")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    long $h = $xxh.hashUTF8String($s, ${Seed1}L);
+         |    long $h2 = $xxh.hashUTF8String($s, ${Seed2}L);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      $h += $h2;
+         |      if ($h < $mins[$j]) $mins[$j] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** SimHash of an array<string>, emitted as `chunks` unsigned 16-bit
+  * ints (LSB chunk first) for pigeonhole banding: one xxhash64 per
+  * element, ±1 votes per bit position, bit set where votes ≥ 0.
+  * Matches the staged HOF formulation bit-for-bit (same per-token
+  * xxhash64 seed 42, same ≥0 vote rule, same chunk order), including
+  * the all-ones chunks for an empty token array.
+  */
+case class SimHashChunks(child: Expression, chunks: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if chunks > 0 && 64 % chunks == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> and chunks dividing 64")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_simhash"
+
+  private val bitsPerChunk = 64 / chunks
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Int](chunks)
+    var c = 0
+    while (c < chunks) {
+      var v = 0
+      var b = 0
+      while (b < bitsPerChunk) {
+        if (votes(c * bitsPerChunk + b) >= 0) v |= (1 << b)
+        b += 1
+      }
+      out(c) = v
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val c = ctx.freshName("c")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val votes = ctx.freshName("votes")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |int[] $out = new int[$chunks];
+         |for (int $c = 0; $c < $chunks; $c++) {
+         |  int $v = 0;
+         |  for (int $b = 0; $b < $bitsPerChunk; $b++) {
+         |    if ($votes[$c * $bitsPerChunk + $b] >= 0) $v |= (1 << $b);
+         |  }
+         |  $out[$c] = $v;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHashChunks =
+    copy(child = c)
+}
+
+object SketchFunctions {
+  def minhashSignature(tokens: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes))
+
+  def simhashChunks(tokens: Column, chunks: Int = 4): Column =
+    Bridge.column(SimHashChunks(Bridge.expression(tokens), chunks))
+}

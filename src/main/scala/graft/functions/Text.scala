@@ -25,6 +25,19 @@ object Text {
   def tokenCount(text: Column): Column =
     size(tokens(text))
 
+  /** GPT-2-style BPE pre-tokenizer split pattern: contraction suffixes,
+    * letter runs, digit runs, punctuation runs (whitespace dropped).
+    * Kept to constructs with identical semantics in Java regex and RE2
+    * so the DuckDB oracle can run the same pattern. */
+  val bpeSplitRe: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  /** BPE-ish token count — counts pre-tokenizer pieces, which tracks
+    * real BPE token counts far more closely than whitespace words
+    * (digits and punctuation split off, contractions split). The
+    * canonical corpus-budget signal for training-data pipelines. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeSplitRe), lit(0)))
+
   /** Mean token length in characters, as double. */
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(trim(text), "\\s+", "")).cast("double") /

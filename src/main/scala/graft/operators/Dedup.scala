@@ -40,12 +40,16 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature over an already-materialized shingle-set column:
-    * `numHashes` minima, hash family = xxhash64 salted by hash index.
-    * `sh` MUST be an attribute (staged projection), not a nested
-    * expression — HOF lambdas are interpreted with no CSE, so a nested
-    * shingle expression would be recomputed once per hash seed. */
+  /** MinHash signature over a shingle-set column: `numHashes` minima
+    * over the affine family h1 + s·h2 — the native codegen'd
+    * [[graft.functions.MinHashSignature]] kernel (one fused loop, two
+    * xxhash64 evals per shingle, no intermediate arrays). */
   def minhashSignature(sh: Column, numHashes: Int): Column =
+    graft.functions.SketchFunctions.minhashSignature(sh, numHashes)
+
+  /** Reference HOF formulation of a minhash signature (interpreted
+    * lambdas; kept for differential testing of the native kernel). */
+  def minhashSignatureHof(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(1), lit(numHashes)),
       s => array_min(transform(sh, x => xxhash64(x, s))))
 
@@ -169,14 +173,12 @@ object Dedup {
   def simhashDedup(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // Staged + cached: tokenize → hash → vote → chunk each run once per
-    // row, spread across partitions; both self-join legs reuse the cache.
+    // Native fused kernel: tokenize → SimHashChunks in the scan stage;
+    // cached so both self-join legs reuse it.
     val withSig = df.select(col(id), col(text))
       .repartition(par)
-      .select(col(id), transform(Text.tokens(col(text)),
-        t => xxhash64(t)).as("__th"))
-      .select(col(id), simhashVotes(col("__th")).as("__votes"))
-      .select(col(id), votesToChunks(col("__votes"), chunks).as("sig"))
+      .select(col(id), graft.functions.SketchFunctions
+        .simhashChunks(Text.tokens(col(text)), chunks).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = withSig.select(col(id), col("sig"),
       posexplode(col("sig")).as(Seq("chunk", "cval")))
@@ -190,6 +192,63 @@ object Dedup {
       .withColumn("hamming", hammingChunks(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every character n-gram of the whitespace-normalized
+    * text, slide a window of `w` consecutive gram hashes, keep each
+    * window's minimum, dedupe. Guarantee: any shared substring of length
+    * ≥ n + w - 1 between two documents shares at least one fingerprint —
+    * the rolling-hash fingerprint scheme plagiarism/contamination
+    * checkers use. Every step is staged as its own projection over
+    * attribute inputs (interpreted HOF lambdas have no CSE, so nesting
+    * the gram expression inside the hash transform would re-split per
+    * element). Returns (id, fp) — one row per distinct fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+                         n: Int = 8, w: Int = 4): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val t = df
+      .select(col(id), concat_ws(" ", Text.tokens(col(text))).as("__t"))
+      .repartition(par)
+    val grams = t.select(col(id),
+      when(length(col("__t")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(col("__t")) - (n - 1)),
+          i => col("__t").substr(i, lit(n))))
+        .as("__grams"))
+    val hashes = grams.select(col(id),
+      transform(col("__grams"), g => xxhash64(g)).as("__h"))
+    hashes.select(col(id),
+      explode(array_distinct(
+        when(size(col("__h")) === 0, array().cast("array<bigint>"))
+          .when(size(col("__h")) < w, array(array_min(col("__h"))))
+          .otherwise(transform(sequence(lit(1), size(col("__h")) - (w - 1)),
+            i => array_min(slice(col("__h"), i, lit(w))))))).as("fp"))
+  }
+
+  /** Winnowing near-dup: pairs sharing ≥ `minShared` fingerprints.
+    * The fingerprint table is tiny relative to text (one hash per ~w
+    * chars), so the self-join shuffles (fp, id) pairs only; hot
+    * fingerprints (boilerplate) are capped like LSH buckets.
+    * Returns (id_a, id_b, n_shared). */
+  def winnowDedup(df: DataFrame, id: String, text: String,
+                  n: Int = 8, w: Int = 4, minShared: Int = 2,
+                  maxBucket: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(df, id, text, n, w)
+    val capped = fps
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   // ---------------------------------------------------- embedding near-dup

@@ -35,6 +35,18 @@ object DedupQueries {
       Dedup.simhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
 
+    // Winnowing (rolling-hash) fingerprint near-dup pairs. Gram length
+    // spans ~4-5 words: the fixture corpus draws from a ~30-word
+    // vocabulary, so short grams collide across unrelated docs; planted
+    // near-dups (J≥0.98) share nearly all fingerprints, so the winnow
+    // pair set coincides with the brute-force J≥0.8 oracle set (verified
+    // at sf0.001/0.01/0.1). Output drops the engine-internal shared-
+    // fingerprint count (xxhash64-dependent, not oracle-expressible).
+    "q_dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 24, w = 8, minShared = 5)
+        .select(col("id_a"), col("id_b"))),
+
     // Embedding-cosine near-dup, blocked on the label column.
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
@@ -68,6 +80,12 @@ object DedupQueries {
     "q_dedup_minhash" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
+
+    "q_dedup_winnow" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM sh a, sh b
          |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Multimodal
-import graft.streaming.Sessionize
+import graft.streaming.{Sessionize, WindowAgg}
 
 /** Sessionization (oracle-matched gaps-and-islands) and multimodal
   * plumbing queries (rows-only: the stub decoder is not
@@ -25,6 +25,13 @@ object StreamTextQueries {
     "q_sessionize" -> ((s, dir) =>
       Sessionize.byGap(Tables.load(s, dir, "events"),
         col("user_id"), tsUs, col("value"), "30 minutes")),
+
+    // Tumbling 1-hour event-time windows per event type — the canonical
+    // Structured Streaming aggregation, run in batch mode (the streaming
+    // variant with watermark is covered by StreamingSpec).
+    "q_window_agg" -> ((s, dir) =>
+      WindowAgg.tumbling(Tables.load(s, dir, "events"),
+        tsUs, "1 hour", "event_type", col("value"))),
 
     // Multimodal: wrap documents as media, resize, extract features
     // (stub decode, real batching/pruning plumbing).
@@ -48,6 +55,18 @@ object StreamTextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Spark's window() aligns tumbling windows to the epoch, so the
+    // window start is plain integer arithmetic on epoch-micros.
+    "q_window_agg" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events)
+        |SELECT us - us % 3600000000 AS window_start_us,
+        |  us - us % 3600000000 + 3600000000 AS window_end_us,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
     // Gaps-and-islands mirror of session_window: break when the gap to
     // the previous event is >= 30 min; session end = last event + gap.
     "q_sessionize" ->

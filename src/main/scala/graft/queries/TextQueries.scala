@@ -42,6 +42,16 @@ object TextQueries {
           Text.langId(col("text")).as("pred_lang"))
         .withColumn("agree", (col("lang") === col("pred_lang")).cast("int"))),
 
+    // BPE-ish vs whitespace token counts — the corpus token-budget query.
+    "q_text_bpe" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_words"),
+          Text.bpeTokenCount(col("text")).as("n_bpe"))
+        .withColumn("bpe_per_word",
+          col("n_bpe").cast("double") / col("n_words"))),
+
     // Document fingerprinting (md5 of normalized text) + dup-group size.
     "q_fingerprint" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -95,6 +105,16 @@ object TextQueries {
          |  ELSE 'und' END AS pred_lang
          |FROM documents)""".stripMargin
     },
+
+    "q_text_bpe" ->
+      s"""SELECT doc_id,
+         | len($toks) AS n_words,
+         | len(regexp_extract_all(lower(text),
+         |   '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+')) AS n_bpe,
+         | CAST(len(regexp_extract_all(lower(text),
+         |   '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+')) AS DOUBLE)
+         |   / len($toks) AS bpe_per_word
+         |FROM documents""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT md5(array_to_string($toks, ' ')) AS fp,

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Delimited-text source/sink — parity with the reference's
+  * `DataSource(Matrix{T}, TXT, file)` / `DataSink(y, TXT, file)`
+  * (reference src/api.jl:22-25, src/domain-pass.jl:770-810,889-911;
+  * MPI-chunked readdlm semantics and rank-ordered write).
+  *
+  * Spark equivalents: the csv source splits files by byte range so every
+  * executor reads its own chunk (same shape as the reference's
+  * MPI-chunked read), and writes emit one part-file per partition (the
+  * rank-ordered write). Schema is declared up front, matching the
+  * reference's static-schema discipline (SURVEY §1.3) — no inference
+  * pass over 100 TB of text.
+  */
+object TextIO {
+
+  /** Read a whitespace/char-delimited text file with a declared schema. */
+  def readDelimited(spark: SparkSession, path: String, schema: StructType,
+                    delimiter: String = " "): DataFrame =
+    spark.read.schema(schema).option("delimiter", delimiter).csv(path)
+
+  /** Rank-ordered parallel text write (one part per partition). */
+  def writeDelimited(df: DataFrame, path: String,
+                     delimiter: String = " "): Unit =
+    df.write.mode("overwrite").option("delimiter", delimiter).csv(path)
+
+  /** Columnar sink — parity with `DataSink(arr, HDF5, ...)`'s parallel
+    * collective write (reference src/cgen-hpat-pattern-match.jl:1201-1269);
+    * on Spark the scale path is parquet, one columnar file per partition. */
+  def writeColumnar(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def readColumnar(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -50,6 +50,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L && p._1 == 4L))
   }
 
+  test("winnowing guarantee: shared substring of length >= n+w-1 shares a fingerprint") {
+    import spark.implicits._
+    val shared = "zq8x1vbn m2kp9 wq7rt yy3z" // 25 chars >= n + w - 1 = 16
+    val df = Seq(
+      (1L, s"aaa unique prefix one $shared"),
+      (2L, s"completely different lead-in $shared trailing bits"),
+      (3L, "nothing in common here at all kjhgfd")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", n = 12, w = 5)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // dedup flags only the overlapping pair
+    val pairs = Dedup.winnowDedup(df, "doc_id", "text",
+      n = 12, w = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowing of short text yields its single gram-min fingerprint") {
+    import spark.implicits._
+    val df = Seq((1L, "tiny"), (2L, "exactly12chr")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", n = 12, w = 5)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.length }
+    assert(!fps.contains(1L)) // shorter than one gram → no fingerprints
+    assert(fps(2L) == 1)
+  }
+
   test("embeddingNearDup finds planted near-identical vectors") {
     import spark.implicits._
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))

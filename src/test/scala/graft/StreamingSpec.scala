@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.Sessionize
+import graft.streaming.{Sessionize, WindowAgg}
 
 /** Structured Streaming sessionization: the same operator that passes
   * the batch DuckDB oracle, driven incrementally from a MemoryStream
@@ -63,6 +63,38 @@ class StreamingSpec extends SparkSpec {
       input.addData(rows: _*)
       q.processAllAvailable()
       val got = spark.table("sess_cmp").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling-window aggregation agree") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mins = 60L * 1000000L
+    val rows = Seq(
+      ("click", 5 * mins, 1.0), ("click", 50 * mins, 2.0),
+      ("view", 10 * mins, 4.0), ("click", 70 * mins, 8.0),
+      ("view", 200 * mins, 16.0))
+    val batch = WindowAgg.tumbling(
+      rows.toDF("event_type", "ts_us", "value"),
+      col("ts_us"), "1 hour", "event_type", col("value"))
+      .collect().map(_.toSeq).toSet
+    // windows aligned to the epoch, one row per (window, type)
+    assert(batch.exists(r => r(0) == 0L && r(1) == 60 * mins &&
+      r(2) == "click" && r(3) == 2L && r(4) == 3.0))
+    assert(batch.size == 4)
+
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = WindowAgg.tumblingStreaming(
+      input.toDF().toDF("event_type", "ts_us", "value"),
+      col("ts_us"), "1 hour", "event_type", col("value"),
+      watermark = "10 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("winagg").outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("winagg").collect().map(_.toSeq).toSet
       assert(got == batch)
     } finally q.stop()
   }

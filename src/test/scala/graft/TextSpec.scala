@@ -45,6 +45,19 @@ class TextSpec extends SparkSpec {
     assert(a == b && a != c)
   }
 
+  test("bpeTokenCount splits digits, punctuation, and contractions") {
+    // "don't stop, it's 2024!" → don / 't / stop / , / it / 's / 2024 / !
+    val r = one("don't stop, it's 2024!")
+      .select(Text.bpeTokenCount(col("text")), Text.tokenCount(col("text")))
+      .head()
+    assert(r.getInt(0) == 8)
+    assert(r.getInt(1) == 4)
+    // pure prose: one bpe piece per word
+    val p = one("the quick brown fox")
+      .select(Text.bpeTokenCount(col("text"))).head().getInt(0)
+    assert(p == 4)
+  }
+
   test("qualityScore rewards stopword-rich prose, penalizes noise") {
     val prose = one("the cat is on the mat and it is a fine day")
       .select(Text.qualityScore(col("text"))).head().getDouble(0)
