@@ -37,8 +37,12 @@ object ML {
              seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     val fv = df.withColumn("__fv", toVec(col(features)))
+    // Random init: the reference's DAAL bridge seeds from the first
+    // local rows (no k-means|| equivalent), and the parallel init alone
+    // schedules more jobs than `iters` lloyd steps.
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setMaxIter(iters).setSeed(seed).setFeaturesCol("__fv")
+      .setK(k).setMaxIter(iters).setSeed(seed).setInitMode("random")
+      .setFeaturesCol("__fv")
       .fit(fv)
     val sizes = model.transform(fv)
       .groupBy(col(model.getPredictionCol).as("cluster"))
@@ -119,13 +123,23 @@ object ML {
     var w = Array.fill(dim)(0.0)
     val n = data.count().toDouble
     for (_ <- 1 to iters) {
-      val wCol = array(w.map(lit): _*)
-      val margin = aggregate(zip_with(col("x"), wCol, (a, b) => a * b),
-        lit(0.0), (s, v) => s + v)
-      val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")
-      val grad = data.select(transform(col("x"), v => v * err).as("g"))
+      // One codegen'd partial/final aggregate per iteration — the
+      // reference's allreduce-per-iteration shape (SURVEY §3 entry
+      // point 2). Weights ride in a broadcast one-row table rather than
+      // as literals: the generated code is then IDENTICAL across
+      // iterations (only the broadcast data changes), so Janino
+      // compiles the loop body once, not `iters` times. Margin and
+      // error are plain arithmetic (no interpreted HOF lambdas);
+      // `err` is staged so the D gradient sums share one value.
+      val wDf = spark.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("__w")
+      val margin = (0 until dim)
+        .map(j => element_at(col("x"), j + 1) * element_at(col("__w"), j + 1))
+        .reduce(_ + _)
+      val err = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("err")
+      val grad = data.crossJoin(broadcast(wDf))
+        .select(col("x"), err)
         .agg(array((0 until dim).map(j =>
-          sum(element_at(col("g"), j + 1))): _*).as("grad"))
+          sum(element_at(col("x"), j + 1) * col("err"))): _*).as("grad"))
         .head().getSeq[Double](0)
       w = w.zip(grad).map { case (wi, gi) => wi - lr * gi / n }
     }

@@ -91,8 +91,13 @@ object Similarity {
     val spark = corpus.sparkSession
     val toVec = org.apache.spark.ml.functions.array_to_vector(
       col(vec).cast("array<double>"))
+    // Random init + few iterations: an IVF index needs balanced-ish
+    // cells, not converged clusters — k-means|| init alone costs more
+    // driver-coordinated jobs than the whole lloyd loop here, and
+    // recall is governed by nprobe, not centroid quality.
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("__fv")
+      .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("__fv")
     val corpusFv = corpus.select(col(id), col(vec)).withColumn("__fv", toVec)
     val model = km.fit(corpusFv)
     val assigned = model.transform(corpusFv)
