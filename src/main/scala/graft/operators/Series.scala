@@ -131,4 +131,41 @@ object Series {
         when(lagV.isNull || leadV.isNull, value).otherwise(f(lagV, value, leadV)))
       .drop(PID, "__prev_last", "__next_first")
   }
+
+  /** As-of join: for every left row, the single most recent right row of
+    * the same `key` with right.`time` ≤ left.`time` (ties on time broken
+    * by the payload struct's lexicographic order — put a unique id first
+    * after `time` for determinism). A backward as-of join, the operator
+    * Spark lacks natively (DuckDB: `ASOF JOIN`; the reference has no
+    * analog — beyond-reference time-series surface).
+    *
+    * Built by composition, not a custom physical operator: union both
+    * sides, one hash shuffle on `key`, one ordered window pass carrying
+    * `last(right-payload, ignoreNulls)` — per-key linear merge, the same
+    * plan shape a dedicated sort-merge as-of would produce. No range
+    * cross-join blowup (never materializes candidate pairs), so it
+    * survives 100 TB: cost = shuffle(left+right) + sort, like any SMJ.
+    *
+    * Matched right columns come back as `prefix<col>` (null where no
+    * right row precedes — filter on `prefix<time>` IS NOT NULL for the
+    * inner variant). `left` and `right` must both contain `key` and
+    * `time` under the same names.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val fields = (time +: payload).distinct
+    val r = right.select(col(key), col(time),
+      struct(fields.map(col): _*).as("__s"))
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort before left rows at equal time → inclusive ≤.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"), col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__s"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        fields.map(f => col(s"__m.$f").as(s"$prefix$f")): _*)
+  }
 }

@@ -30,7 +30,19 @@ object SeriesQueries {
         Tables.load(s, dir, "events"),
         col("event_id"), col("value"), "smoothed")(
         (l, v, r) => (l + lit(2.0) * v + r) / lit(4.0))
-        .select(col("event_id"), col("smoothed")))
+        .select(col("event_id"), col("smoothed"))),
+
+    // As-of join: each purchase matched to the user's most recent click
+    // at or before it (inner variant — unmatched purchases dropped so
+    // the compared columns stay integral end-to-end).
+    "q_asof_join" -> ((s, dir) => {
+      def side(t: String) = Tables.load(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+      Series.asofJoin(side("purchase"), side("click"),
+        key = "user_id", time = "us", payload = Seq("event_id"))
+        .filter(col("asof_us").isNotNull)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -45,6 +57,20 @@ object SeriesQueries {
         |   THEN value
         |   ELSE (lag(value) OVER w + 2.0 * value + lead(value) OVER w) / 4.0
         | END AS smoothed
-        |FROM events WINDOW w AS (ORDER BY event_id)""".stripMargin
+        |FROM events WINDOW w AS (ORDER BY event_id)""".stripMargin,
+
+    // Most recent click at or before each purchase, ties on time broken
+    // by the larger click event_id (mirrors the payload-struct order).
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT l.event_id, l.user_id, l.us,
+        |  r.us AS asof_us, r.event_id AS asof_event_id
+        |FROM e l JOIN e r
+        |  ON l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND l.user_id = r.user_id AND r.us <= l.us
+        |QUALIFY row_number() OVER (PARTITION BY l.event_id
+        |  ORDER BY r.us DESC, r.event_id DESC) = 1""".stripMargin
   )
 }

@@ -47,4 +47,22 @@ class SeriesSpec extends SparkSpec {
       .orderBy("idx").select("out").collect().map(_.getDouble(0)).toSeq
     assert(run(7) == run(1))
   }
+
+  test("asofJoin: latest right row at or before each left time, per key") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 30L),
+      (103L, 3L, 30L)).toDF("event_id", "user_id", "us")
+    val right = Seq((200L, 1L, 5L), (201L, 1L, 50L), (202L, 1L, 60L),
+      (203L, 2L, 30L), (204L, 2L, 30L)).toDF("event_id", "user_id", "us")
+    val out = Series.asofJoin(left, right, "user_id", "us", Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // inclusive ≤: equal timestamps match; ties pick the larger id
+    assert(out(100L) == (Some(50L), Some(201L)))
+    assert(out(101L) == (Some(5L), Some(200L)))
+    assert(out(102L) == (Some(30L), Some(204L)))
+    // no right row for key 3 → nulls (left-asof)
+    assert(out(103L) == (None, None))
+  }
 }
