@@ -76,6 +76,39 @@ final case class Table(df: DataFrame) {
   def aggregate(key: String, aggs: (String, Column)*): Table =
     aggregate(key, key, aggs: _*)
 
+  /** Hierarchical subtotal aggregate (ROLLUP) — the grouping-sets class
+    * the reference lists as unsupported (SURVEY §2.5); free in Spark
+    * (one shuffle, grouping sets expanded map-side). Subtotal rows carry
+    * null keys, ANSI-style. */
+  def rollup(keys: Seq[String], aggs: (String, Column)*): Table = {
+    val exprs = aggs.map { case (name, c) => c.as(name) }
+    Table(df.rollup(keys.map(col): _*).agg(exprs.head, exprs.tail: _*))
+  }
+
+  /** Salted equi-join for known-skewed keys: probe rows scatter across
+    * `factor` salts (deterministic hash of the whole row), the build
+    * side replicates each row to all salts, and the join key becomes
+    * (key, salt) — one hot key spreads over `factor` tasks instead of
+    * serializing on one. Same result set as [[join]]; AQE's runtime
+    * skew split covers the dynamic cases, this is the static knob.
+    */
+  def joinSalted(other: Table, leftKey: String, rightKey: String,
+                 outKey: String, factor: Int = 8): Table = {
+    val lCols = df.columns
+    val l = df.withColumn("__salt",
+      pmod(hash(lCols.map(col): _*), lit(factor))).alias("l")
+    val r = other.df.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1)))).alias("r")
+    val joined = l.join(r,
+        col(s"l.$leftKey") === col(s"r.$rightKey") &&
+          col("l.__salt") === col("r.__salt"), "inner")
+      .drop(col(s"r.$rightKey")).drop("__salt")
+    val out =
+      if (leftKey == outKey) joined
+      else joined.withColumnRenamed(leftKey, outKey)
+    Table(out)
+  }
+
   /** `[t1; t2]` union-all; schemas must match exactly
     * (reference capture-api.jl:146-184 asserts this).
     */
@@ -145,4 +178,11 @@ object Agg {
     * (reference cgen-hpat-pattern-match-table.jl:665-684 uses an exact
     * unordered_set; `approx_count_distinct` would not be parity). */
   def lengthUnique(e: Column): Column = countDistinct(e)
+
+  /** `collect(expr)` — list aggregation (devel surface,
+    * reference examples/queries_devel/q01.jl:23, q02.jl:40). Emitted
+    * sorted + distinct so the result is a deterministic set literal
+    * (collect_list order is partition-dependent and engines would never
+    * hash-agree on it). */
+  def collectSorted(e: Column): Column = sort_array(collect_set(e))
 }

@@ -138,6 +138,33 @@ object RelationalQueries {
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
     }),
 
+    // ROLLUP subtotals (grouping-sets class, §2.5 "not supported" in
+    // the reference; one shuffle here).
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(Seq("l_returnflag", "l_linestatus"),
+          "n" -> Agg.length(),
+          "qty" -> dsum(col("l_quantity")))
+        .df),
+
+    // List aggregation (devel-surface `collect`, q01.jl:23) — sorted
+    // distinct priorities per order status.
+    "q_collect" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .aggregate("o_orderstatus",
+          "prios" -> Agg.collectSorted(col("o_orderpriority")),
+          "n" -> Agg.length())
+        .df),
+
+    // Salted join: skew-safe variant, result identical to q_join.
+    "q_join_salted" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .joinSalted(t(s, dir, "customer"), "o_custkey", "c_custkey",
+          "custkey", factor = 8)
+        .select(col("custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("c_name"), col("c_acctbal"))
+        .df),
+
     // Semi/anti joins (beyond-reference capability, SURVEY §2.4 "not
     // supported" list — first-class in our engine).
     "q_semi_join" -> ((s, dir) => {
@@ -239,6 +266,22 @@ object RelationalQueries {
         |  ROW_NUMBER() OVER (PARTITION BY p_brand
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         | FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_collect" ->
+      """SELECT o_orderstatus,
+        | list_sort(list(DISTINCT o_orderpriority)) AS prios,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

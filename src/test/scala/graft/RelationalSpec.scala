@@ -87,4 +87,30 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L, 3L)) // val2 3.2 then 3.1
   }
+
+  test("rollup emits group rows, per-key subtotals, and a grand total") {
+    import spark.implicits._
+    val df = Table(Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("k1", "k2", "v"))
+    val got = df.rollup(Seq("k1", "k2"), "s" -> Agg.sum(col("v"))).df
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (Some("a"), Some("x"), 1L), (Some("a"), Some("y"), 2L),
+      (Some("b"), Some("x"), 4L),
+      (Some("a"), None, 3L), (Some("b"), None, 4L),
+      (None, None, 7L)))
+  }
+
+  test("joinSalted returns exactly the plain-join result, dup keys included") {
+    import spark.implicits._
+    val l = Table(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (1L, 11.0))
+      .toDF("k1", "lv"))
+    val r = Table(Seq((1L, "a"), (3L, "c"), (1L, "a2")).toDF("k2", "rv"))
+    def rows(t: Table) = t.df.select("k", "lv", "rv")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(rows(l.joinSalted(r, "k1", "k2", "k", factor = 4)) ==
+      rows(l.join(r, "k1", "k2", "k")))
+  }
 }
