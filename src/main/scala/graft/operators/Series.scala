@@ -168,4 +168,36 @@ object Series {
       .select(left.columns.map(col) ++
         fields.map(f => col(s"__m.$f").as(s"$prefix$f")): _*)
   }
+
+  /** Range (interval) join: all (left, right) pairs of the same `key`
+    * with |left.time − right.time| ≤ `delta`. Spark has no native range
+    * join; the naive formulation (equi-join on key + range filter)
+    * degenerates into a per-key cross product. Here the right side is
+    * replicated to its time bucket ±1 (bucket width = delta) and the
+    * join is a plain equi-join on (key, bucket) + exact range filter:
+    * every qualifying pair is found exactly once, candidate blowup is
+    * bounded by 3× the per-bucket density, and the plan is an ordinary
+    * shuffled hash join — the shape that survives 100 TB.
+    *
+    * Right columns come back as `prefix<col>`.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+                delta: Long, payload: Seq[String],
+                prefix: String = "r_"): DataFrame = {
+    require(delta > 0, "delta must be positive")
+    // Integer DIV, not floor(double /): at epoch-microsecond magnitudes
+    // a double quotient can round across a bucket boundary. Times must
+    // be non-negative (DIV truncates toward zero).
+    val l = left.withColumn("__b", expr(s"`$time` DIV $delta"))
+    val r = right.select(col(key).as("__rk"), col(time).as("__rt"),
+        struct(payload.distinct.map(col): _*).as("__p"))
+      .withColumn("__b", explode(array(
+        expr(s"__rt DIV $delta") - 1,
+        expr(s"__rt DIV $delta"),
+        expr(s"__rt DIV $delta") + 1)))
+    l.join(r, l(key) === r("__rk") && l("__b") === r("__b") &&
+        abs(col(time) - col("__rt")) <= delta)
+      .select(left.columns.map(col) ++
+        payload.distinct.map(p => col(s"__p.$p").as(s"$prefix$p")): _*)
+  }
 }

@@ -42,6 +42,17 @@ object SeriesQueries {
       Series.asofJoin(side("purchase"), side("click"),
         key = "user_id", time = "us", payload = Seq("event_id"))
         .filter(col("asof_us").isNotNull)
+    }),
+
+    // Range join: (purchase, click) pairs by the same user within ±1
+    // hour — bucket-replication equi-join, no per-key cross product.
+    "q_range_join" -> ((s, dir) => {
+      def side(t: String) = Tables.load(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+      Series.rangeJoin(side("purchase"), side("click"),
+        key = "user_id", time = "us", delta = 3600L * 1000000L,
+        payload = Seq("event_id", "us"))
     })
   )
 
@@ -71,6 +82,17 @@ object SeriesQueries {
         |  ON l.event_type = 'purchase' AND r.event_type = 'click'
         | AND l.user_id = r.user_id AND r.us <= l.us
         |QUALIFY row_number() OVER (PARTITION BY l.event_id
-        |  ORDER BY r.us DESC, r.event_id DESC) = 1""".stripMargin
+        |  ORDER BY r.us DESC, r.event_id DESC) = 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT l.event_id, l.user_id, l.us,
+        |  r.event_id AS r_event_id, r.us AS r_us
+        |FROM e l JOIN e r
+        |  ON l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND l.user_id = r.user_id
+        | AND abs(l.us - r.us) <= 3600000000""".stripMargin
   )
 }

@@ -35,4 +35,12 @@ object TextIO {
 
   def readColumnar(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Hive-layout partitioned columnar sink: one directory per partition
+    * value, so a filter on the partition column prunes whole directories
+    * at planning time (PartitionFilters in the scan) — at 100 TB the
+    * difference between scanning a shard and scanning the lake. */
+  def writePartitionedColumnar(df: DataFrame, path: String,
+                               partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

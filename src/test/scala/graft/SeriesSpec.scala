@@ -65,4 +65,19 @@ class SeriesSpec extends SparkSpec {
     // no right row for key 3 → nulls (left-asof)
     assert(out(103L) == (None, None))
   }
+
+  test("rangeJoin finds each in-window pair exactly once, incl. bucket edges") {
+    import spark.implicits._
+    // delta=10; pairs straddle bucket boundaries on purpose
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 9L), (3L, 2L, 50L))
+      .toDF("lid", "user_id", "t")
+    val right = Seq((10L, 1L, 110L), (11L, 1L, 91L), (12L, 1L, 111L),
+      (13L, 1L, 19L), (14L, 2L, 300L)).toDF("rid", "user_id", "t")
+    val got = Series.rangeJoin(left, right, "user_id", "t", 10L,
+      payload = Seq("rid"))
+      .select("lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    // lid=1 t=100 matches rids at 110 (edge, ≤) and 91; 111 is out
+    assert(got == Seq((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
 }

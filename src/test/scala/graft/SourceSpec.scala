@@ -36,6 +36,20 @@ class SourceSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("partitioned columnar write prunes partitions at the scan") {
+    import spark.implicits._
+    val df = Seq((1L, "F", 1.0), (2L, "O", 2.0), (3L, "F", 3.0), (4L, "P", 4.0))
+      .toDF("id", "status", "x")
+    val path = tmpDir("pp")
+    TextIO.writePartitionedColumnar(df, path, Seq("status"))
+    val back = TextIO.readColumnar(spark, path).filter(col("status") === "F")
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(status"), s"expected partition pruning in:\n$plan")
+  }
+
   test("delimited read is distributed: declared schema, no inference scan") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i * 7)).toDF("a", "b")
