@@ -98,7 +98,11 @@ object Similarity {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("__fv")
+    // Cache the assembled vectors: each lloyd iteration re-reads the
+    // input, and uncached it would re-run the scan + array→vector
+    // conversion per iteration.
     val corpusFv = corpus.select(col(id), col(vec)).withColumn("__fv", toVec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = km.fit(corpusFv)
     val assigned = model.transform(corpusFv)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"),

@@ -92,6 +92,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin equals naive equi-join + range filter") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 200L)
+    } yield (k, t))
+    forAll2(evGen, evGen) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = r.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "k", "t")
+      val got = Series.rangeJoin(left, right, "k", "t", 17L, Seq("rid"))
+        .select("lid", "r_rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val want = (for {
+        ((lk, lt), li) <- l.zipWithIndex
+        ((rk, rt), ri) <- r.zipWithIndex
+        if lk == rk && math.abs(lt - rt) <= 17L
+      } yield (li.toLong, ri.toLong)).sorted
+      assert(got == want)
+    }
+  }
+
+  test("asofJoin matches the brute-force latest-at-or-before reference") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 50L) // small range → frequent timestamp ties
+    } yield (k, t))
+    forAll2(evGen, evGen) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = r.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "k", "t")
+      val got = Series.asofJoin(left, right, "k", "t", Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      l.zipWithIndex.foreach { case ((lk, lt), li) =>
+        val cands = r.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == lk && rt <= lt }
+        // ties on time resolve to the max (t, rid) — struct order
+        val want = if (cands.isEmpty) None
+          else Some(cands.maxBy { case ((_, rt), ri) => (rt, ri.toLong) }._2.toLong)
+        assert(got(li.toLong) == want, s"left $li")
+      }
+    }
+  }
+
   test("jaccard is symmetric and bounded; minhash candidates verify exactly") {
     import spark.implicits._
     forAll(Gen.listOfN(8, Gen.listOfN(12,
