@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: readStream over a growing parquet directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mins = 60L * 1000000L
+    Seq(("click", 5 * mins, 1.0), ("view", 10 * mins, 2.0))
+      .toDF("event_type", "ts_us", "value")
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_type STRING, ts_us BIGINT, value DOUBLE")
+      .parquet(dir)
+    val agg = WindowAgg.tumblingStreaming(stream, col("ts_us"), "1 hour",
+      "event_type", col("value"), watermark = "0 seconds")
+    val q = agg.writeStream.format("memory")
+      .queryName("filewin").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filewin").count() == 2)
+      // a new file lands in the directory → picked up incrementally
+      Seq(("click", 20 * mins, 4.0)).toDF("event_type", "ts_us", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val click = spark.table("filewin")
+        .filter(col("event_type") === "click")
+        .select("n_events", "value_sum").head()
+      assert(click.getLong(0) == 2 && click.getDouble(1) == 5.0)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling-window aggregation agree") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
