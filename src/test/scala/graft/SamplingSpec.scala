@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic hash sampling: reproducibility, partition invariance,
+  * approximate rates, split completeness. */
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (1L to n.toLong).toDF("id")
+  }
+
+  test("hashSample is deterministic and partition-layout invariant") {
+    val df = ids(2000)
+    def sample(parts: Int) =
+      Sampling.hashSample(df.repartition(parts), col("id"), 6554)
+        .collect().map(_.getLong(0)).toSet
+    val a = sample(1)
+    assert(a == sample(7))
+    assert(a == sample(3))
+    // ~10% within generous bounds
+    assert(a.size > 120 && a.size < 280, s"got ${a.size}")
+  }
+
+  test("splitColumn partitions every row into exactly one split") {
+    val counts = ids(2000)
+      .withColumn("split", Sampling.splitColumn(col("id"),
+        Seq(("test", 6554), ("val", 13108))))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.keySet == Set("test", "val", "train"))
+    assert(counts("train") > counts("test") && counts("train") > counts("val"))
+    // test and val are disjoint hash ranges of equal width
+    assert(math.abs(counts("test") - counts("val")) < 150)
+  }
+
+  test("sample membership is stable under union with other data") {
+    val base = Sampling.hashSample(ids(500), col("id"), 6554)
+      .collect().map(_.getLong(0)).toSet
+    val wider = Sampling.hashSample(ids(1000), col("id"), 6554)
+      .collect().map(_.getLong(0)).toSet
+    assert(base.subsetOf(wider))
+  }
+}
