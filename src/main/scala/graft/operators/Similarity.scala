@@ -65,9 +65,23 @@ object Similarity {
     topKByGroup(scored, k)
   }
 
-  /** Reduce (query_id, neighbor_id, cos) rows to per-query top-k with the
-    * bounded-heap aggregator + explode back to ranked rows. */
-  private[operators] def topKByGroup(scored: DataFrame, k: Int): DataFrame = {
+  /** Reduce (query_id, neighbor_id, cos) rows to per-query top-k with
+    * the native bounded-heap aggregate ([[graft.functions.TopKPairs]],
+    * a `TypedImperativeAggregate` — primitive heap buffer, flat-bytes
+    * shuffle format) + explode back to ranked rows. */
+  private[graft] def topKByGroup(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions
+        .topK(col("neighbor_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"),
+        posexplode(col("topk")).as(Seq("rank0", "n")))
+      .select(col("query_id"), col("n.id").as("neighbor_id"),
+        (col("rank0") + 1).as("rank"), col("n.score").as("cos"))
+
+  /** `Aggregator`-based formulation of the same top-k (encoder-buffered;
+    * kept for differential testing of the native aggregate). */
+  private[graft] def topKByGroupUdaf(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val agg = udaf(new TopKAgg(k))
