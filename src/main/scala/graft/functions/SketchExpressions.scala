@@ -23,15 +23,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
 /** MinHash signature of an array<string>: `numHashes` minima over the
   * affine hash family h_s(x) = h1(x) + s·h2(x) (two xxhash64 evals per
   * element instead of `numHashes` — Kirsch/Mitzenmacher, "Less Hashing,
-  * Same Performance"). Empty input yields the all-MaxValue signature,
-  * so empty docs band-collide with each other exactly like the HOF
-  * formulation it replaces (they are then Jaccard-verified anyway).
+  * Same Performance"). h1(x) = xxhash64(x) with Spark's default seed;
+  * h2(x) = xxhash64 of the [[MinHashSignature.Seed2]] long chained onto
+  * h1 — exactly what the built-in `xxhash64(x, lit(Seed2))` computes, so
+  * [[graft.operators.Dedup.minhashSignatureHof]] reproduces this kernel
+  * bit-for-bit from independent built-in primitives (differential test
+  * in SketchExpressionSpec). Empty input yields the all-MaxValue
+  * signature, so empty docs band-collide with each other exactly like
+  * the HOF formulation (they are then Jaccard-verified anyway).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
   extends UnaryExpression {
-
-  private val Seed1 = 42L
-  private val Seed2 = 0x27d4eb2f165667c5L
+  import MinHashSignature.{Seed1, Seed2}
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
@@ -51,7 +54,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
         val h1 = XXH64.hashUTF8String(s, Seed1)
-        val h2 = XXH64.hashUTF8String(s, Seed2)
+        val h2 = XXH64.hashLong(Seed2, h1)
         var h = h1
         var j = 0
         while (j < numHashes) {
@@ -84,7 +87,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  if (!$a.isNullAt($i)) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
          |    long $h = $xxh.hashUTF8String($s, ${Seed1}L);
-         |    long $h2 = $xxh.hashUTF8String($s, ${Seed2}L);
+         |    long $h2 = $xxh.hashLong(${Seed2}L, $h);
          |    for (int $j = 0; $j < $numHashes; $j++) {
          |      $h += $h2;
          |      if ($h < $mins[$j]) $mins[$j] = $h;
@@ -97,6 +100,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
+}
+
+object MinHashSignature {
+  /** Spark's fixed xxhash64 seed. */
+  val Seed1 = 42L
+  /** Chained-seed constant: h2 = XXH64.hashLong(Seed2, h1) ==
+    * `xxhash64(x, lit(Seed2))`. */
+  val Seed2 = 0x27d4eb2f165667c5L
 }
 
 /** SimHash of an array<string>, emitted as `chunks` unsigned 16-bit

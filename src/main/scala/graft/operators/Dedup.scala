@@ -29,6 +29,19 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Materialize `out` (cached — near-dup pair sets are tiny relative to
+    * the corpus), then drop the big staged caches so repeated dedup
+    * calls in one session don't accumulate persisted shingle/signature
+    * tables. Callers that are done with the result should
+    * `result.unpersist()` it. */
+  private def materializeAndRelease(out: DataFrame,
+                                    staged: DataFrame*): DataFrame = {
+    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    staged.foreach(_.unpersist(false))
+    cached
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: one surviving row (min id) per normalized-content
@@ -47,11 +60,22 @@ object Dedup {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     graft.functions.SketchFunctions.minhashSignature(sh, numHashes)
 
-  /** Reference HOF formulation of a minhash signature (interpreted
-    * lambdas; kept for differential testing of the native kernel). */
-  def minhashSignatureHof(sh: Column, numHashes: Int): Column =
+  /** Built-in-primitive formulation of the native kernel's exact affine
+    * family: sig[s-1] = min over x of xxhash64(x) + s·xxhash64(x, Seed2)
+    * (`xxhash64(x, lit(Seed2))` chains hashLong(Seed2, ·) onto
+    * xxhash64(x), which is precisely the kernel's h2). Bit-for-bit equal
+    * to [[minhashSignature]] on non-empty inputs — the differential test
+    * of the codegen'd kernel (SketchExpressionSpec). Test-only: the
+    * affine accumulation relies on Java wrap-around long arithmetic, so
+    * it must run with spark.sql.ansi.enabled=false (the native kernel
+    * has no such constraint); and interpreted HOF lambdas re-evaluate
+    * per element, so never put this on a hot path. */
+  def minhashSignatureHof(sh: Column, numHashes: Int): Column = {
+    val seed2 = lit(graft.functions.MinHashSignature.Seed2)
     transform(sequence(lit(1), lit(numHashes)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+      s => array_min(transform(sh,
+        x => xxhash64(x) + s.cast("long") * xxhash64(x, seed2))))
+  }
 
   /** LSH band hashes: signature split into `bands` bands of
     * `rowsPerBand` hashes, each band hashed to one long. */
@@ -84,9 +108,10 @@ object Dedup {
     * handled by [[exactKeepers]]; keeps the self-join skew-free). */
   def lshCandidates(df: DataFrame, id: String, text: String,
                     k: Int = 3, numHashes: Int = 64,
-                    bands: Int = 16, maxBucket: Int = 64): DataFrame =
-    lshCandidatesFrom(shingleBands(df, id, text, k, numHashes, bands),
-      id, maxBucket)
+                    bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+    val prepped = shingleBands(df, id, text, k, numHashes, bands)
+    materializeAndRelease(lshCandidatesFrom(prepped, id, maxBucket), prepped)
+  }
 
   private def lshCandidatesFrom(prepped: DataFrame, id: String,
                                 maxBucket: Int): DataFrame = {
@@ -122,12 +147,13 @@ object Dedup {
     val prepped = shingleBands(df, id, text, k, numHashes, bands)
     val cands = lshCandidatesFrom(prepped, id, maxBucket)
     val sh = prepped.select(col(id), col("sh"))
-    cands
+    val pairs = cands
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(pairs, prepped)
   }
 
   // -------------------------------------------------------------- simhash
@@ -182,7 +208,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = withSig.select(col(id), col("sig"),
       posexplode(col("sig")).as(Seq("chunk", "cval")))
-    buckets.as("a")
+    val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col(s"a.$id") < col(s"b.$id"))
@@ -192,6 +218,7 @@ object Dedup {
       .withColumn("hamming", hammingChunks(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    materializeAndRelease(pairs, withSig)
   }
 
   // ------------------------------------------------------------ winnowing

@@ -107,7 +107,10 @@ object Multimodal {
     * narrow stage. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val n = col("meta.n_frames")
-    val frameLen = greatest(length(col("bytes")).cast("int") / n, lit(1))
+    // Integer division (SQL '/' is double division; truncating i*len
+    // separately would drift chunk boundaries when length % n != 0).
+    val frameLen =
+      greatest(floor(length(col("bytes")) / n).cast("int"), lit(1))
     media
       .select(col("media_id"), col("bytes"), n.as("nf"), frameLen.as("fl"))
       .select(col("media_id"),
@@ -117,9 +120,10 @@ object Multimodal {
       .filter(col("frame_idx") % stride === 0)
   }
 
-  /** Byte-slice helper: frame i of length `len` from a binary column. */
+  /** Byte-slice helper: frame i of (integer) length `len` from a binary
+    * column — all-int arithmetic, so chunk boundaries are exact. */
   private def substring_index_bytes(bytes: org.apache.spark.sql.Column,
                                     i: org.apache.spark.sql.Column,
                                     len: org.apache.spark.sql.Column) =
-    bytes.substr((i * len + 1).cast("int"), len.cast("int"))
+    bytes.substr(i * len + 1, len)
 }

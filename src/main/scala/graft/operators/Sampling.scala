@@ -26,11 +26,18 @@ object Sampling {
 
   private def hex4(n: Int): String = f"$n%04x"
 
+  /** Membership predicate `hash(key) < num/65536`. num==65536 must be
+    * special-cased: hex4(65536)="10000" (5 chars) and a lexicographic
+    * compare of 4-char prefixes against it would keep only prefixes
+    * starting with '0'. */
+  private def below(key: Column, num: Int): Column =
+    if (num >= 65536) lit(true) else prefix(key) < lit(hex4(num))
+
   /** Keep rows whose key hashes below `num`/65536 (deterministic,
-    * engine-portable Bernoulli-style sample). */
+    * engine-portable Bernoulli-style sample); num=65536 keeps all rows. */
   def hashSample(df: DataFrame, key: Column, num: Int): DataFrame = {
     require(num >= 0 && num <= 65536, "rate numerator out of range")
-    df.filter(prefix(key) < lit(hex4(num)))
+    df.filter(below(key, num))
   }
 
   /** Assign each row a deterministic split label by hash range:
@@ -40,9 +47,9 @@ object Sampling {
   def splitColumn(key: Column, cuts: Seq[(String, Int)],
                   defaultLabel: String = "train"): Column = {
     require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must ascend")
-    val p = prefix(key)
+    require(cuts.forall(c => c._2 >= 0 && c._2 <= 65536), "cut out of range")
     cuts.foldRight(lit(defaultLabel): Column) { case ((label, cut), rest) =>
-      when(p < lit(hex4(cut)), lit(label)).otherwise(rest)
+      when(below(key, cut), lit(label)).otherwise(rest)
     }
   }
 

@@ -118,6 +118,10 @@ object Similarity {
     val corpusFv = corpus.select(col(id), col(vec)).withColumn("__fv", toVec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = km.fit(corpusFv)
+    // fit was the iterative consumer; drop the cache now so repeated
+    // index builds don't accumulate persisted RDDs. The single
+    // transform pass below recomputes the (cheap) scan+convert once.
+    corpusFv.unpersist(false)
     val assigned = model.transform(corpusFv)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"),
         col(model.getPredictionCol).as("cell"))

@@ -148,11 +148,13 @@ object RelationalQueries {
         .df),
 
     // List aggregation (devel-surface `collect`, q01.jl:23) — sorted
-    // distinct priorities per order status.
+    // distinct priorities per order status, joined to one scalar string
+    // so every comparator (driver's pandas sort/hash included) can
+    // order and hash the rows.
     "q_collect" -> ((s, dir) =>
       t(s, dir, "orders")
         .aggregate("o_orderstatus",
-          "prios" -> Agg.collectSorted(col("o_orderpriority")),
+          "prios" -> array_join(Agg.collectSorted(col("o_orderpriority")), ","),
           "n" -> Agg.length())
         .df),
 
@@ -275,7 +277,7 @@ object RelationalQueries {
 
     "q_collect" ->
       """SELECT o_orderstatus,
-        | list_sort(list(DISTINCT o_orderpriority)) AS prios,
+        | array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 

@@ -50,4 +50,15 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq
     assert(idx == Seq(0, 2, 4))
   }
+
+  test("frame chunks are contiguous and non-overlapping (int arithmetic)") {
+    // 36 bytes / 5 frames → frameLen 7; offsets 0,7,14,21,28 — with
+    // double division (36/5=7.2) truncated offsets would drift.
+    val frames = Multimodal.sampleFrames(media, stride = 1)
+      .filter(col("media_id") === 1)
+      .orderBy("frame_idx").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("frame_bytes")))
+    assert(frames.forall(_.length == 7))
+    assert(frames.mkString == "abcdefghijklmnopqrstuvwxyz0123456789".take(35))
+  }
 }

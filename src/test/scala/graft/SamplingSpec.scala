@@ -38,6 +38,16 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("test") - counts("val")) < 150)
   }
 
+  test("num=65536 keeps every row (hex4 5-char edge case)") {
+    assert(Sampling.hashSample(ids(500), col("id"), 65536).count() == 500)
+    val labels = ids(500)
+      .withColumn("split", Sampling.splitColumn(col("id"),
+        Seq(("a", 32768), ("all", 65536)), "never"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!labels.contains("never") && labels.values.sum == 500)
+  }
+
   test("sample membership is stable under union with other data") {
     val base = Sampling.hashSample(ids(500), col("id"), 6554)
       .collect().map(_.getLong(0)).toSet

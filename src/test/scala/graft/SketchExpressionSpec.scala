@@ -50,6 +50,25 @@ class SketchExpressionSpec extends SparkSpec {
     assert(flat.getInt(0) >= 0 && flat.getInt(1) <= 0xFFFF)
   }
 
+  test("minhash native kernel matches the built-in-primitive HOF bit-for-bit") {
+    // Same affine family from independent primitives: xxhash64(x) +
+    // s·xxhash64(x, Seed2). Wrap-around long arithmetic → ANSI off for
+    // the duration (the native kernel itself has no such constraint).
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val d = docs()
+        .filter(col("text") =!= "") // empty set: native=MaxValue, HOF=null
+        .select(col("doc_id"),
+          array_distinct(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"),
+          SketchFunctions.minhashSignature(col("sh"), 64).as("native"),
+          Dedup.minhashSignatureHof(col("sh"), 64).as("hof"))
+      assert(d.count() == 3)
+      assert(d.filter(col("native") =!= col("hof")).count() == 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("minhash interpreted eval agrees with codegen eval") {
     // force the interpreted path by evaluating inside a filter on a
     // cached relation vs the codegen'd projection
