@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, MLQueries, RelationalQueries,
-  SampleQueries, SeriesQueries, SimilarityQueries, SourceQueries,
-  StreamTextQueries, TextQueries}
+import graft.queries.{BasketQueries, DedupQueries, MLQueries,
+  RelationalQueries, SampleQueries, SeriesQueries, SimilarityQueries,
+  SourceQueries, StreamTextQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,7 +22,8 @@ object SparkEntry {
     RelationalQueries.queries ++ SeriesQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MLQueries.queries ++
-      StreamTextQueries.queries ++ SourceQueries.queries ++ SampleQueries.queries
+      StreamTextQueries.queries ++ SourceQueries.queries ++
+      SampleQueries.queries ++ BasketQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ SeriesQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ MLQueries.oracles ++
-      StreamTextQueries.oracles ++ SourceQueries.oracles ++ SampleQueries.oracles
+      StreamTextQueries.oracles ++ SourceQueries.oracles ++
+      SampleQueries.oracles ++ BasketQueries.oracles
 }
