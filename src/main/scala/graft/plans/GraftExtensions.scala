@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CosineSimilarity, MinHashSignature, SimHashChunks}
 
 /** SparkSessionExtensions entry point: registers graft's native
-  * expressions as SQL functions, so `spark.sql("... graft_cosine(a,b)
-  * ...")` works next to the Column API. Enable with
+  * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
+  * ...")` works next to the Column API), the [[AsOfJoinPlan]] planner
+  * strategy, and the [[PushFilterThroughAsOfJoin]] optimizer rule.
+  * Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -35,5 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashChunks].getName, "graft_simhash"),
       (children: Seq[Expression]) =>
         SimHashChunks(children.head, intArg(children(1), "graft_simhash"))))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
   }
 }

@@ -44,6 +44,19 @@ object SeriesQueries {
         .filter(col("asof_us").isNotNull)
     }),
 
+    // Same as-of semantics through the custom Catalyst path
+    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec physical merge):
+    // one co-partitioned shuffle + sorted streaming merge per
+    // partition, verified against the identical DuckDB oracle.
+    "q_asof_native" -> ((s, dir) => {
+      def side(t: String) = Tables.load(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+      graft.plans.AsOfJoinPlan.asofJoin(side("purchase"), side("click"),
+        key = "user_id", time = "us", payload = Seq("event_id"))
+        .filter(col("asof_us").isNotNull)
+    }),
+
     // Range join: (purchase, click) pairs by the same user within ±1
     // hour — bucket-replication equi-join, no per-key cross product.
     "q_range_join" -> ((s, dir) => {
@@ -73,6 +86,18 @@ object SeriesQueries {
     // Most recent click at or before each purchase, ties on time broken
     // by the larger click event_id (mirrors the payload-struct order).
     "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT l.event_id, l.user_id, l.us,
+        |  r.us AS asof_us, r.event_id AS asof_event_id
+        |FROM e l JOIN e r
+        |  ON l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND l.user_id = r.user_id AND r.us <= l.us
+        |QUALIFY row_number() OVER (PARTITION BY l.event_id
+        |  ORDER BY r.us DESC, r.event_id DESC) = 1""".stripMargin,
+
+    "q_asof_native" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
         |  FROM events)
