@@ -31,6 +31,29 @@ object MLQueries {
       ML.naiveBayes(Tables.load(s, dir, "embeddings"),
         "embedding", "label", "vec_id")),
 
+    // Monte-Carlo Pi (reference README.md:88-105 benchmark): a pure
+    // generated-parfor + reduction, no table input. The point stream is
+    // a deterministic 31-bit LCG with an xor-shift mix (a plain affine
+    // LCG would make x and y perfectly correlated mod 1), so every
+    // double is exact (value/2^31 is a power-of-two division) and the
+    // DuckDB oracle reproduces the count bit-for-bit.
+    "q_pi_mc" -> ((s, dir) => {
+      val n = 1000000L
+      val m = 2147483648L // 2^31
+      def mix(t: org.apache.spark.sql.Column) = {
+        val u = (lit(1103515245L) * t + 12345L) % m
+        (lit(1103515245L) * u.bitwiseXOR(shiftright(u, 15)) + 12345L) % m
+      }
+      s.range(n).toDF("i")
+        .select(
+          (mix(col("i")).cast("double") / lit(m.toDouble)).as("x"),
+          (mix(col("i") + n).cast("double") / lit(m.toDouble)).as("y"))
+        .agg(sum(when(col("x") * col("x") + col("y") * col("y") < 1.0, 1)
+          .otherwise(0)).cast("long").as("n_inside"))
+        .select(col("n_inside"),
+          (lit(4.0) * col("n_inside") / lit(n.toDouble)).as("pi_est"))
+    }),
+
     // Iterative logistic regression (reference flagship loop shape):
     // binary label = (label % 2), 5 gradient-descent iterations.
     "q_ml_logreg" -> ((s, dir) => {
@@ -43,6 +66,20 @@ object MLQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pi_mc" ->
+      """WITH p AS (
+        |  SELECT
+        |   CAST((1103515245 * xor((1103515245*i + 12345) % 2147483648,
+        |        ((1103515245*i + 12345) % 2147483648) >> 15) + 12345)
+        |     % 2147483648 AS DOUBLE) / 2147483648.0 AS x,
+        |   CAST((1103515245 * xor((1103515245*(i+1000000) + 12345) % 2147483648,
+        |        ((1103515245*(i+1000000) + 12345) % 2147483648) >> 15) + 12345)
+        |     % 2147483648 AS DOUBLE) / 2147483648.0 AS y
+        |  FROM range(0, 1000000) t(i))
+        |SELECT CAST(SUM(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+        |  4.0 * SUM(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END) / 1000000.0 AS pi_est
+        |FROM p""".stripMargin,
+
     "q_ml_ols" ->
       """WITH s AS (SELECT
         |  CAST(COUNT(*) AS DOUBLE) AS n,

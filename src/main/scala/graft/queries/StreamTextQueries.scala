@@ -44,6 +44,8 @@ object StreamTextQueries {
     }),
 
     // Multimodal: frame sampling (every 2nd frame), frames per media.
+    // Pure byte-slice plumbing (no stub decode), so it IS
+    // SQL-expressible — oracle mirrors the int frame arithmetic.
     "q_mm_frames" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables.load(s, dir, "documents"),
         "doc_id", "text", "video")
@@ -55,6 +57,23 @@ object StreamTextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // asMedia: n_frames = length % 16 + 1; sampleFrames: frameLen =
+    // greatest(length // n_frames, 1), frame i = substr(i*fl+1, fl),
+    // keep i % 2 = 0 (fixture text is ASCII: char ops == byte ops).
+    "q_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    length(text) % 16 + 1 AS nf,
+        |    greatest(length(text) // (length(text) % 16 + 1), 1) AS fl
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(len(list_filter(range(0, nf), i -> i % 2 = 0)) AS BIGINT)
+        |    AS n_sampled,
+        |  CAST(list_sum(list_transform(list_filter(range(0, nf), i -> i % 2 = 0),
+        |    i -> length(substr(text, CAST(i*fl + 1 AS INT), CAST(fl AS INT)))))
+        |    AS BIGINT) AS bytes_sampled
+        |FROM m""".stripMargin,
+
     // Spark's window() aligns tumbling windows to the epoch, so the
     // window start is plain integer arithmetic on epoch-micros.
     "q_window_agg" ->
