@@ -158,6 +158,35 @@ object RelationalQueries {
           "n" -> Agg.length())
         .df),
 
+    // CUBE over both group keys (grouping-sets class, §2.5 "not
+    // supported" in the reference; one expanded shuffle).
+    "q_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))),
+
+    // Exact distributed median per group via rank selection: the
+    // sorted-multiset values at positions (n+1)/2 and (n+2)/2 averaged
+    // — well-defined under ties (the value at a rank is unique even if
+    // row numbering among ties is not), decimal-exact, and expressed
+    // identically in the oracle (unlike percentile()/quantile_cont(),
+    // whose interpolation arithmetic differs across engines at 1 ulp).
+    // Scale shape: one hash shuffle on the group key + per-group sort —
+    // the same cost class as any windowed aggregate.
+    "q_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("l_returnflag"))))
+        .filter(col("rn") === expr("(n + 1) DIV 2") ||
+          col("rn") === expr("(n + 2) DIV 2"))
+        .groupBy(col("l_returnflag"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("median"))
+    }),
+
     // Salted join: skew-safe variant, result identical to q_join.
     "q_join_salted" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -284,6 +313,23 @@ object RelationalQueries {
     "q_join_salted" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |   ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

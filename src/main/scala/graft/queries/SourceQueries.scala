@@ -35,6 +35,22 @@ object SourceQueries {
           sum(col("o_orderkey")).as("key_sum"))
     }),
 
+    // JSON-lines sink → source → aggregate. Strings/longs round-trip
+    // exactly through JSON; schema declared on read (no inference).
+    "q_json_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "json")
+      TextIO.writeJsonLines(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        path)
+      TextIO.readJsonLines(s, path, StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        StructField("n_chars", LongType))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
     // Columnar (parquet) sink round-trip — DataSink(HDF5) parity: the
     // full orders table through the columnar sink, then a grouped
     // aggregate with doubles (exactness via decimal staging).
@@ -55,6 +71,12 @@ object SourceQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(n_chars) AS BIGINT) AS chars,
+        | CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_columnar_roundtrip" ->
       """SELECT o_orderstatus,

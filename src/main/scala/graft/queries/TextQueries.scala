@@ -52,6 +52,18 @@ object TextQueries {
         .withColumn("bpe_per_word",
           col("n_bpe").cast("double") / col("n_words"))),
 
+    // Corpus vocabulary stats: term frequency + document frequency,
+    // top-50 terms. The scan-side explode shuffles (term, doc_id) only;
+    // tf is a map-side-combinable count and df an exact distinct —
+    // integer-only output so the oracle comparison is trivially exact.
+    "q_vocab" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term").asc)
+        .limit(50)),
+
     // Document fingerprinting (md5 of normalized text) + dup-group size.
     "q_fingerprint" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -115,6 +127,12 @@ object TextQueries {
          |   '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+')) AS DOUBLE)
          |   / len($toks) AS bpe_per_word
          |FROM documents""".stripMargin,
+
+    "q_vocab" ->
+      s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+         | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+         |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT md5(array_to_string($toks, ' ')) AS fp,

@@ -36,6 +36,17 @@ object TextIO {
   def readColumnar(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines sink (one object per line, one part per partition) —
+    * the interchange format training-data pipelines live on. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with a declared schema — like every source here,
+    * no inference pass over 100 TB of text; files split by byte range. */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Hive-layout partitioned columnar sink: one directory per partition
     * value, so a filter on the partition column prunes whole directories
     * at planning time (PartitionFilters in the scan) — at 100 TB the
