@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Multimodal
-import graft.streaming.{Sessionize, WindowAgg}
+import graft.streaming.{Sessionize, StreamDedup, WindowAgg}
 
 /** Sessionization (oracle-matched gaps-and-islands) and multimodal
   * plumbing queries (rows-only: the stub decoder is not
@@ -33,6 +33,13 @@ object StreamTextQueries {
       WindowAgg.tumbling(Tables.load(s, dir, "events"),
         tsUs, "1 hour", "event_type", col("value"))),
 
+    // Stateful first-seen dedup (flatMapGroupsWithState) run in batch
+    // mode: first event per user — reduces to groupBy.min, which is
+    // the oracle.
+    "q_first_seen" -> ((s, dir) =>
+      StreamDedup.firstSeen(Tables.load(s, dir, "events"),
+        col("user_id"), tsUs).toDF()),
+
     // Multimodal: wrap documents as media, resize, extract features
     // (stub decode, real batching/pruning plumbing).
     "q_mm_features" -> ((s, dir) => {
@@ -57,6 +64,10 @@ object StreamTextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_first_seen" ->
+      """SELECT user_id AS k, MIN(epoch_ns(ts) // 1000) AS first_ts
+        |FROM events GROUP BY user_id""".stripMargin,
+
     // asMedia: n_frames = length % 16 + 1; sampleFrames: frameLen =
     // greatest(length // n_frames, 1), frame i = substr(i*fl+1, fl),
     // keep i % 2 = 0 (fixture text is ASCII: char ops == byte ops).

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{Sessionize, WindowAgg}
+import graft.streaming.{Sessionize, StreamDedup, WindowAgg}
 
 /** Structured Streaming sessionization: the same operator that passes
   * the batch DuckDB oracle, driven incrementally from a MemoryStream
@@ -92,6 +92,48 @@ class StreamingSpec extends SparkSpec {
         .filter(col("event_type") === "click")
         .select("n_events", "value_sum").head()
       assert(click.getLong(0) == 2 && click.getDouble(1) == 5.0)
+    } finally q.stop()
+  }
+
+  test("firstSeen batch == groupBy min(ts)") {
+    import spark.implicits._
+    val df = Seq((1L, 30L), (1L, 10L), (2L, 5L), (2L, 50L), (3L, 7L))
+      .toDF("k", "ts")
+    val got = StreamDedup.firstSeen(df, col("k"), col("ts"))
+      .collect().map(f => (f.k, f.first_ts)).toSet
+    assert(got == Set((1L, 10L), (2L, 5L), (3L, 7L)))
+  }
+
+  test("firstSeenStreaming suppresses dups across triggers, re-admits after horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mins = 60L * 1000000L
+    val input = MemoryStream[(Long, Long)]
+    val dedup = StreamDedup.firstSeenStreaming(
+      input.toDF().toDF("k", "ts"), col("k"), col("ts"),
+      watermark = "0 seconds", horizonUs = 60 * mins)
+    val q = dedup.toDF().writeStream.format("memory")
+      .queryName("firstseen").outputMode("append").start()
+    try {
+      def rows() = spark.table("firstseen").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      input.addData((1L, 1 * mins), (2L, 5 * mins))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 1 * mins), (2L, 5 * mins)))
+      // dup of key 1 + new key 3 → only 3 emitted
+      input.addData((1L, 10 * mins), (3L, 11 * mins))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, 1 * mins), (2L, 5 * mins), (3L, 11 * mins)))
+      // advance the watermark far past key 1's horizon (1 + 60 min),
+      // with a no-key-1 trigger so its timeout fires and state drops
+      input.addData((4L, 200 * mins))
+      q.processAllAvailable()
+      input.addData((5L, 201 * mins))
+      q.processAllAvailable()
+      // key 1 re-admitted after expiry
+      input.addData((1L, 210 * mins))
+      q.processAllAvailable()
+      assert(rows().contains((1L, 210 * mins)))
     } finally q.stop()
   }
 
