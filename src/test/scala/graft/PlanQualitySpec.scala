@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality guards for the scale-critical properties: predicate
+  * pushdown and column pruning must reach the parquet scan, small-dim
+  * joins must broadcast, and no query may plan a raw cartesian product
+  * (broadcast nested-loop against a broadcast-small side is the only
+  * sanctioned non-equi join shape). These are the properties that decide
+  * whether a plan survives a 100 TB input, asserted so a refactor can't
+  * silently regress them. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("small-dimension join plans as broadcast (no shuffle of the big side)") {
+    val plan = RelationalQueriesAccess.q("q_join").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("no query plans a cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  private object RelationalQueriesAccess {
+    def q(name: String) = SparkEntry.queries(name)(spark, sf)
+  }
+}
