@@ -145,10 +145,33 @@ final case class Table(df: DataFrame) {
     * src/HPAT.jl:246-260, rebuilt on lineage + reliable checkpoint). */
   def checkpoint(eager: Boolean = true): Table = Table(df.checkpoint(eager))
 
+  /** Checkpoint only when the iterative job has run longer than the
+    * optimal checkpoint interval for the cluster's fault rate —
+    * Young's formula, exactly the reference's policy
+    * (src/checkpoint.jl:179,200: interval = sqrt(2 · checkpoint_cost ·
+    * system_mttf)). `elapsed`/`checkpointCost`/`systemMttf` in the
+    * same time unit; systemMttf = single-node MTTF / node count. */
+  def checkpointIfDue(elapsed: Double, checkpointCost: Double,
+                      systemMttf: Double): Table =
+    if (elapsed > Table.youngInterval(checkpointCost, systemMttf))
+      checkpoint()
+    else this
+
   /** `IN`-list predicate — declared surface
     * (examples/queries_devel/q01.jl:20). */
   def filterIn(c: String, values: Seq[Any]): Table =
     Table(df.filter(col(c).isin(values: _*)))
+}
+
+object Table {
+  /** Young's optimal checkpoint interval: sqrt(2 · checkpoint_cost ·
+    * system_mttf) — the reference's checkpointing policy
+    * (src/checkpoint.jl:179). */
+  def youngInterval(checkpointCost: Double, systemMttf: Double): Double = {
+    require(checkpointCost > 0 && systemMttf > 0,
+      "checkpoint cost and MTTF must be positive")
+    math.sqrt(2.0 * checkpointCost * systemMttf)
+  }
 }
 
 /** Aggregate-function surface of the reference's `aggregate(...)`:

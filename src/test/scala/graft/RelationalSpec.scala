@@ -82,6 +82,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 37600L, 128.2), (2L, 2L, 36000L, 53.5)))
   }
 
+  test("checkpoint truncates lineage; Young's interval gates it (checkpoint.jl:179)") {
+    spark.sparkContext.setCheckpointDir("/tmp/graft_ckpt")
+    // interval = sqrt(2 · cost · mttf)
+    assert(math.abs(Table.youngInterval(0.5, 100.0) - 10.0) < 1e-9)
+    // elapsed past the interval → checkpointed (lineage becomes an RDD scan)
+    val due = t1.checkpointIfDue(11.0, 0.5, 100.0)
+    assert(due.df.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    assert(due.df.count() == 5)
+    // not yet due → plan untouched
+    val notDue = t1.checkpointIfDue(9.0, 0.5, 100.0)
+    assert(!notDue.df.queryExecution.analyzed.toString.contains("LogicalRDD"))
+  }
+
   test("sort + limit top-k is deterministic with key tiebreak") {
     val got = t1.sort(col("val2").desc, col("userid").asc).limit(2).df
       .collect().map(_.getLong(0)).toSeq
