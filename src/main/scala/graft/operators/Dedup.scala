@@ -264,18 +264,23 @@ object Dedup {
                   n: Int = 8, w: Int = 4, minShared: Int = 2,
                   maxBucket: Int = 64): DataFrame = {
     val fps = winnowFingerprints(df, id, text, n, w)
+    // Cache the capped fingerprint table: both self-join legs read it,
+    // and uncached each leg would recompute the whole gram-hash +
+    // window-min pipeline.
     val capped = fps
       .withColumn("bsize",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp"))))
       .filter(col("bsize") <= maxBucket)
       .drop("bsize")
-    capped.as("a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
       .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    materializeAndRelease(pairs, capped)
   }
 
   // ---------------------------------------------------- embedding near-dup

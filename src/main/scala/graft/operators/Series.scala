@@ -37,6 +37,19 @@ object Series {
 
   private val PID = "__graft_pid"
 
+  /** Materialize `out` (cached), then drop the pinned staging cache so
+    * repeated series ops don't accumulate persisted inputs. The result
+    * must stay cached: its offsets/halos are only valid against the
+    * exact partition contents they were computed from. Callers done
+    * with the result should `unpersist()` it. */
+  private def materializeAndRelease(out: DataFrame,
+                                    staged: DataFrame): DataFrame = {
+    val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    staged.unpersist(false)
+    cached
+  }
+
   /** Running (inclusive) prefix sum of `value` in the global order of
     * `order`, added as column `out`. Exact if `value` is a decimal.
     */
@@ -71,13 +84,18 @@ object Series {
         org.apache.spark.sql.types.StructField("__graft_off",
           org.apache.spark.sql.types.DecimalType(38, 18), nullable = false))))
 
-    // Pass 2 — local rescan + offset.
+    // Pass 2 — local rescan + offset. The result is materialized from
+    // the same pinned partitions the offsets were computed on, then the
+    // staging cache is dropped (recomputing `parted` later could
+    // re-sample different range boundaries and misalign the offsets).
     val w = Window.partitionBy(col(PID)).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .join(broadcast(offDf), PID)
-      .withColumn(out, sum(value).over(w) + col("__graft_off"))
-      .drop(PID, "__graft_off")
+    materializeAndRelease(
+      parted
+        .join(broadcast(offDf), PID)
+        .withColumn(out, sum(value).over(w) + col("__graft_off"))
+        .drop(PID, "__graft_off"),
+      parted)
   }
 
   /** 3-point stencil `f(x[-1], x[0], x[+1])` over `value` in the global
@@ -125,11 +143,14 @@ object Series {
     val w = Window.partitionBy(col(PID)).orderBy(order)
     val lagV = coalesce(lag(value, 1).over(w), col("__prev_last"))
     val leadV = coalesce(lead(value, 1).over(w), col("__next_first"))
-    parted
-      .join(broadcast(haloDf), PID)
-      .withColumn(out,
-        when(lagV.isNull || leadV.isNull, value).otherwise(f(lagV, value, leadV)))
-      .drop(PID, "__prev_last", "__next_first")
+    materializeAndRelease(
+      parted
+        .join(broadcast(haloDf), PID)
+        .withColumn(out,
+          when(lagV.isNull || leadV.isNull, value)
+            .otherwise(f(lagV, value, leadV)))
+        .drop(PID, "__prev_last", "__next_first"),
+      parted)
   }
 
   /** As-of join: for every left row, the single most recent right row of
