@@ -138,6 +138,22 @@ object RelationalQueries {
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
     }),
 
+    // Same per-group top-k through the native bounded-heap aggregate
+    // (TopKPairs): map-side partial top-3 per brand, so the shuffle
+    // carries ≤ 3·partitions rows per brand instead of sorting each
+    // whole group in one task — the plan that survives when the group
+    // count is low and the groups are huge. Same oracle as
+    // q_topk_window (identical tie semantics: score desc, id asc).
+    "q_topk_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(graft.functions.TopKFunctions
+          .topK(col("p_partkey"), col("p_retailprice"), 3).as("topk"))
+        .select(col("p_brand"), posexplode(col("topk")).as(Seq("rank0", "e")))
+        .select(col("p_brand"), col("e.id").as("p_partkey"),
+          col("e.score").as("p_retailprice"),
+          (col("rank0") + 1).cast("int").as("rn"))),
+
     // ROLLUP subtotals (grouping-sets class, §2.5 "not supported" in
     // the reference; one shuffle here).
     "q_rollup" -> ((s, dir) =>
@@ -165,26 +181,34 @@ object RelationalQueries {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))),
 
-    // Exact distributed median per group via rank selection: the
-    // sorted-multiset values at positions (n+1)/2 and (n+2)/2 averaged
-    // — well-defined under ties (the value at a rank is unique even if
-    // row numbering among ties is not), decimal-exact, and expressed
-    // identically in the oracle (unlike percentile()/quantile_cont(),
-    // whose interpolation arithmetic differs across engines at 1 ulp).
-    // Scale shape: one hash shuffle on the group key + per-group sort —
-    // the same cost class as any windowed aggregate.
+    // Exact distributed median per group: the sorted-multiset values
+    // at ranks (n+1)/2 and (n+2)/2 averaged — decimal-exact and
+    // expressed identically in the oracle (unlike
+    // percentile()/quantile_cont(), whose interpolation arithmetic
+    // differs across engines at 1 ulp). Scale shape: a row-level
+    // window would sort each whole group in ONE partition (the group
+    // key is low-cardinality); instead a hash-aggregate collapses to
+    // the per-group VALUE HISTOGRAM first — fully partial-aggregated,
+    // shuffle carries |distinct values| rows — and the rank selection
+    // walks the tiny cumulative histogram. Double-counts the value
+    // when both ranks land on it (odd n), so median = picked-sum / 2.
     "q_median" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag"))
+      val cw = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_quantity"))
+      val nw = Window.partitionBy(col("l_returnflag"))
+      val hit = (k: org.apache.spark.sql.Column) => when(
+        col("cum") - col("cnt") < k && k <= col("cum"), 1).otherwise(0)
       Tables.load(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("l_returnflag"))))
-        .filter(col("rn") === expr("(n + 1) DIV 2") ||
-          col("rn") === expr("(n + 2) DIV 2"))
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cw))
+        .withColumn("n", sum(col("cnt")).over(nw))
+        .withColumn("picks",
+          hit(expr("(n + 1) DIV 2")) + hit(expr("(n + 2) DIV 2")))
+        .filter(col("picks") > 0)
         .groupBy(col("l_returnflag"))
-        .agg((dsum(col("l_quantity")) / count(lit(1))).as("median"))
+        .agg((sum(d(col("l_quantity")) * col("picks")).cast("double") / 2)
+          .as("median"))
     }),
 
     // Salted join: skew-safe variant, result identical to q_join.
@@ -298,6 +322,13 @@ object RelationalQueries {
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         | FROM part) WHERE rn <= 3""".stripMargin,
 
+    "q_topk_agg" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  ROW_NUMBER() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        | FROM part) WHERE rn <= 3""".stripMargin,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(COUNT(*) AS BIGINT) AS n,
@@ -321,14 +352,25 @@ object RelationalQueries {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_median" ->
-      """WITH r AS (
-        |  SELECT l_returnflag, l_quantity,
-        |   ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-        |   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM c),
+        |p AS (
+        |  SELECT *,
+        |   (CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |     THEN 1 ELSE 0 END) +
+        |   (CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum
+        |     THEN 1 ELSE 0 END) AS picks
+        |  FROM w)
         |SELECT l_returnflag,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median
-        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * picks) AS DOUBLE) / 2
+        |  AS median
+        |FROM p WHERE picks > 0
         |GROUP BY l_returnflag""".stripMargin,
 
     "q_semi_join" ->
