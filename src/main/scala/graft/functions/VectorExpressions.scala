@@ -78,11 +78,72 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared euclidean distance over two array<double> columns —
+  * one fused codegen'd loop, index-order accumulation (bit-exact
+  * deterministic). The assignment kernel of the Lloyd k-means loop. */
+case class SquaredDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-API entry for [[CosineSimilarity]]; accepts array<float>
     * via an explicit (codegen'd, exact) cast. */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  /** Column-API entry for [[SquaredDistance]]. */
+  def sqDist(a: Column, b: Column): Column =
+    Bridge.column(SquaredDistance(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
 }

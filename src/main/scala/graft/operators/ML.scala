@@ -53,6 +53,81 @@ object ML {
     sizes.join(centroids, "cluster")
   }
 
+  /** Engine-native distributed Lloyd k-means — the same partial/merge
+    * topology the reference's DAAL bridge generates (local partials →
+    * gather → master update → broadcast,
+    * src/cgen-hpat-pattern-match-daal.jl:28-471) expressed as pure
+    * DataFrame ops, with no opaque library:
+    *  - init: the k rows with the smallest `id` (deterministic, like
+    *    the DAAL bridge seeding from the first local rows);
+    *  - assign: k-way broadcast join + native codegen'd
+    *    [[graft.functions.SquaredDistance]], argmin via min_by with a
+    *    (dist, cell) tiebreak — fully whole-stage-codegen;
+    *  - update: posexplode to (cell, dim, value) and one hash
+    *    aggregate — map-side partial sums, the shuffle carries
+    *    k·dim·partitions rows; new centroids (k·dim doubles) return to
+    *    the driver and re-enter as the next broadcast (the allreduce
+    *    shape, SURVEY §3 entry point 3).
+    * Deterministic for a fixed input. Returns (cluster, size,
+    * centroid). */
+  def kmeansLloyd(df: DataFrame, features: String, id: String,
+                  k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val data = df.select(col(id).as("__id"),
+      col(features).cast("array<double>").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroidSchema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("c", ArrayType(DoubleType, containsNull = false))))
+    def centroidDf(cs: Array[Array[Double]]) =
+      broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cs.toSeq.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }, 1),
+        centroidSchema))
+
+    var centroids = data.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    def assigned(cs: Array[Array[Double]]) = data
+      .crossJoin(centroidDf(cs))
+      .withColumn("d", graft.functions.VectorFunctions.sqDist(col("x"), col("c")))
+      .groupBy(col("__id"), col("x"))
+      .agg(min(struct(col("d"), col("cell"))).as("best"))
+      .select(col("__id"), col("x"), col("best.cell").as("cell"))
+
+    for (_ <- 1 to iters) {
+      val sums = assigned(centroids)
+        .select(col("cell"), posexplode(col("x")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { cell =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case None => centroids(cell) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    val out = assigned(centroids)
+      .groupBy(col("cell").as("cluster"))
+      .agg(count(lit(1)).as("size"))
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.toSeq.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }, 1),
+      StructType(Seq(StructField("cluster", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType, containsNull = false)))))
+    // k-row result: materialize it cached, then drop the big staging
+    // cache (same lifecycle as the dedup pipelines).
+    val res = out.join(cent, "cluster")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    data.unpersist(false)
+    res
+  }
+
   /** `LinearRegression(points, responses)` via spark.ml (normal-equation
     * solver: one pass of sufficient statistics, driver-side solve —
     * the DAAL topology). Returns one row: (coefficients, intercept). */

@@ -26,6 +26,13 @@ object MLQueries {
         k = 8, iters = 10)
         .select(col("cluster"), col("size"))),
 
+    // Engine-native Lloyd k-means (no spark.ml): deterministic init,
+    // codegen'd assignment, partial-aggregated centroid update.
+    "q_ml_kmeans_native" -> ((s, dir) =>
+      ML.kmeansLloyd(Tables.load(s, dir, "embeddings"), "embedding",
+        "vec_id", k = 8, iters = 5)
+        .select(col("cluster"), col("size"))),
+
     // NaiveBayes(points, responses, classes) — gaussian, per-row preds.
     "q_ml_nb" -> ((s, dir) =>
       ML.naiveBayes(Tables.load(s, dir, "embeddings"),

@@ -34,6 +34,33 @@ class MLSpec extends SparkSpec {
     assert(r == Seq(50L, 50L))
   }
 
+  test("kmeansLloyd separates blobs, deterministic across runs") {
+    import spark.implicits._
+    val pts = (1 to 50).map(i => (i.toLong, Seq(0.0 + i * 0.001, 0.0))) ++
+      (1 to 50).map(i => (50L + i, Seq(10.0 + i * 0.001, 10.0)))
+    val df = pts.toDF("id", "embedding")
+    def run() = ML.kmeansLloyd(df, "embedding", "id", k = 2, iters = 5)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toList))
+    val a = run()
+    assert(a.map(_._2).sorted.toSeq == Seq(50L, 50L))
+    // centroids land on the blob means
+    assert(a.exists(c => math.abs(c._3.head - 0.0255) < 1e-3 &&
+      c._3(1) == 0.0))
+    assert(a.exists(c => math.abs(c._3.head - 10.0255) < 1e-3 &&
+      c._3(1) == 10.0))
+    // bit-identical on re-run (deterministic init + codegen'd path)
+    assert(a.toSeq == run().toSeq)
+  }
+
+  test("native sqDist matches scala reference") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(2.0, 0.0, 3.5))).toDF("a", "b")
+    val got = df.select(graft.functions.VectorFunctions
+      .sqDist(col("a"), col("b"))).head().getDouble(0)
+    assert(got == (1.0 + 4.0 + 0.25))
+  }
+
   test("naiveBayes classifies separable gaussians") {
     import spark.implicits._
     val rows = (1 to 40).map(i =>
