@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHashChunks}
+import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSignature,
+  SimHashChunks}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -37,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashChunks].getName, "graft_simhash"),
       (children: Seq[Expression]) =>
         SimHashChunks(children.head, intArg(children(1), "graft_simhash"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName,
+        "graft_deflate_ratio"),
+      (children: Seq[Expression]) => CompressionRatio(children.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
   }

@@ -64,6 +64,16 @@ object TextQueries {
         .orderBy(col("tf").desc, col("term").asc)
         .limit(50)),
 
+    // Compression-ratio quality signal (deflate ratio — low = junk
+    // repetition). Deterministic but not SQL-expressible (no zlib in
+    // SQL) → rows-only + TextSpec.
+    "q_compress" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.CompressionFunctions
+            .deflateRatio(col("text")).as("deflate_ratio"))
+        .withColumn("keep", (col("deflate_ratio") > 0.2).cast("int"))),
+
     // Document fingerprinting (md5 of normalized text) + dup-group size.
     "q_fingerprint" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")

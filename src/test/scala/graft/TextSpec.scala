@@ -66,4 +66,21 @@ class TextSpec extends SparkSpec {
     assert(prose > noise)
     assert(prose <= 1.0 && noise >= 0.0)
   }
+
+  test("deflateRatio flags repetitive junk, is deterministic, SQL-registered") {
+    import graft.functions.CompressionFunctions.deflateRatio
+    val junk = one("spam " * 400)
+      .select(deflateRatio(col("text"))).head().getDouble(0)
+    val varied = one((1 to 400).map(i => s"w${i * 7919 % 1000}x$i").mkString(" "))
+      .select(deflateRatio(col("text"))).head().getDouble(0)
+    assert(junk < 0.05, s"repetition should compress hard, got $junk")
+    assert(varied > 3 * junk, s"varied=$varied junk=$junk")
+    // deterministic re-run, and the SQL registration agrees
+    one("spam " * 400).createOrReplaceTempView("cmp_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_deflate_ratio(text) FROM cmp_docs").head().getDouble(0)
+    assert(viaSql == junk)
+    // empty input is defined
+    assert(one("").select(deflateRatio(col("text"))).head().getDouble(0) == 1.0)
+  }
 }
