@@ -174,6 +174,37 @@ object Table {
   }
 }
 
+/** Order statistics that scale when group keys are low-cardinality. */
+object Stats {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Exact per-group median by histogram rank selection: collapse to
+    * the per-group VALUE HISTOGRAM with a partial-aggregated hash
+    * groupBy (shuffle carries |distinct values| rows — a row-level
+    * window would sort each whole group in ONE partition), then pick
+    * the sorted-multiset values at ranks (n+1)/2 and (n+2)/2 from the
+    * tiny cumulative histogram. The value is double-counted when both
+    * ranks land on it (odd n), so median = picked-sum / 2. Pass a
+    * decimal `value` for engine-exact arithmetic; output
+    * (grp, median: double). */
+  def medianByGroup(df: DataFrame, grp: String, value: Column): DataFrame = {
+    val cw = Window.partitionBy(col(grp)).orderBy(col("__v"))
+    val nw = Window.partitionBy(col(grp))
+    val hit = (k: Column) => when(
+      col("cum") - col("cnt") < k && k <= col("cum"), 1).otherwise(0)
+    df.select(col(grp), value.as("__v"))
+      .groupBy(col(grp), col("__v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .withColumn("n", sum(col("cnt")).over(nw))
+      .withColumn("picks",
+        hit(expr("(n + 1) DIV 2")) + hit(expr("(n + 2) DIV 2")))
+      .filter(col("picks") > 0)
+      .groupBy(col(grp))
+      .agg((sum(col("__v") * col("picks")).cast("double") / 2).as("median"))
+  }
+}
+
 /** Aggregate-function surface of the reference's `aggregate(...)`:
   * sum / length(count) / maximum / length(unique(...)), over arbitrary
   * element-wise expressions (capture-api.jl:387-479).

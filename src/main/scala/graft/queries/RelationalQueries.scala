@@ -192,24 +192,10 @@ object RelationalQueries {
     // shuffle carries |distinct values| rows — and the rank selection
     // walks the tiny cumulative histogram. Double-counts the value
     // when both ranks land on it (odd n), so median = picked-sum / 2.
-    "q_median" -> ((s, dir) => {
-      val cw = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"))
-      val nw = Window.partitionBy(col("l_returnflag"))
-      val hit = (k: org.apache.spark.sql.Column) => when(
-        col("cum") - col("cnt") < k && k <= col("cum"), 1).otherwise(0)
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_quantity"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(cw))
-        .withColumn("n", sum(col("cnt")).over(nw))
-        .withColumn("picks",
-          hit(expr("(n + 1) DIV 2")) + hit(expr("(n + 2) DIV 2")))
-        .filter(col("picks") > 0)
-        .groupBy(col("l_returnflag"))
-        .agg((sum(d(col("l_quantity")) * col("picks")).cast("double") / 2)
-          .as("median"))
-    }),
+    "q_median" -> ((s, dir) =>
+      graft.operators.Stats.medianByGroup(
+        Tables.load(s, dir, "lineitem"), "l_returnflag",
+        d(col("l_quantity")))),
 
     // Salted join: skew-safe variant, result identical to q_join.
     "q_join_salted" -> ((s, dir) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Agg, Dedup, Series, Table}
+import graft.operators.{Agg, Dedup, Series, Stats, Table}
 
 /** Algebraic property tests over randomized small tables — the class of
   * checks the reference lacks entirely (SURVEY §5). Generators are
@@ -138,6 +138,74 @@ class PropertySpec extends SparkSpec {
           else Some(cands.maxBy { case ((_, rt), ri) => (rt, ri.toLong) }._2.toLong)
         assert(got(li.toLong) == want, s"left $li")
       }
+    }
+  }
+
+  test("medianByGroup equals the sorted-multiset median") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50, for {
+      k <- Gen.choose(0L, 3L)
+      v <- Gen.choose(0, 200)
+    } yield (k, v))
+    forAll(gen) { rows =>
+      whenever(rows.nonEmpty) {
+        val got = Stats.medianByGroup(rows.toDF("k", "v"), "k",
+          col("v").cast("decimal(18,2)"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        rows.groupBy(_._1).foreach { case (k, g) =>
+          val s = g.map(_._2).sorted
+          val n = s.size
+          val want = (s((n - 1) / 2) + s(n / 2)) / 2.0
+          assert(got(k) == want, s"group $k: ${s.mkString(",")}")
+        }
+      }
+    }
+  }
+
+  test("native as-of plan equals the window as-of on random data") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(25, for {
+      k <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 40L) // frequent ties
+    } yield (k, t))
+    forAll2(evGen, evGen, n = 3) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = r.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "k", "t")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "asof_t", "asof_rid").collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val viaWindow = canon(
+        Series.asofJoin(left, right, "k", "t", Seq("rid")))
+      val viaPlan = canon(
+        graft.plans.AsOfJoinPlan.asofJoin(left, right, "k", "t", Seq("rid")))
+      assert(viaPlan == viaWindow)
+    }
+  }
+
+  test("bounded-heap top-k aggregate equals the windowed top-k") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, for {
+      g <- Gen.choose(0L, 2L)
+      s <- Gen.choose(0, 15) // small range → score ties
+    } yield (g, s))
+    forAll(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, s), i) => (g, i.toLong, s.toDouble) }
+        .toDF("g", "id", "score")
+      val viaAgg = df.groupBy(col("g"))
+        .agg(graft.functions.TopKFunctions
+          .topK(col("id"), col("score"), 3).as("topk"))
+        .select(col("g"), posexplode(col("topk")).as(Seq("r0", "e")))
+        .select(col("g"), col("e.id"), (col("r0") + 1).as("rn"))
+        .collect().map(_.toSeq).toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        .orderBy(col("score").desc, col("id").asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select(col("g"), col("id"), col("rn").cast("int"))
+        .collect().map(_.toSeq).toSet
+      assert(viaAgg == viaWindow)
     }
   }
 
