@@ -156,6 +156,52 @@ object Dedup {
     materializeAndRelease(pairs, prepped)
   }
 
+  /** Exact n-gram Jaccard dedup WITHOUT sketching: all pairs with
+    * shingle-set Jaccard ≥ `threshold`, found by size blocking instead
+    * of LSH. Soundness of the blocking is a theorem, not a fixture
+    * property: J(A,B) ≥ t implies min|·| ≥ t·max|·|, so
+    * |size_A − size_B| ≤ (1−t)·max; with bucket width `w` ≥
+    * (1−t)·maxSize, qualifying pairs differ by at most one size
+    * bucket. One side replicates to its bucket ±1 (exactly-once pairs,
+    * like rangeJoin), the join is a plain equi-join on the bucket +
+    * size-ratio prefilter, and only surviving candidates pay the exact
+    * set intersection. Cost = per-bucket density², never |corpus|².
+    * Returns (id_a, id_b, jaccard). */
+  def ngramJaccardDedup(df: DataFrame, id: String, text: String,
+                        k: Int = 3, threshold: Double = 0.8,
+                        bucketWidth: Int = 64): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), Text.tokens(col(text)).as("__toks"))
+      .select(col(id),
+        array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.select(col(id).as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a"))
+      .withColumn("b", explode(array(
+        expr(s"sz_a DIV $bucketWidth") - 1,
+        expr(s"sz_a DIV $bucketWidth"),
+        expr(s"sz_a DIV $bucketWidth") + 1)))
+    val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b"))
+      .withColumn("b", expr(s"sz_b DIV $bucketWidth"))
+    // Prefilter is loosened by +1 so double rounding at the exact
+    // boundary (e.g. 0.8·5 > 4 in floats) can only ADD candidates,
+    // never drop a true pair — the exact Jaccard below decides.
+    val pairs = a.join(b,
+        a("b") === b("b") && col("id_a") < col("id_b") &&
+          d(col("sz_a")) * threshold <= col("sz_b") + 1 &&
+          d(col("sz_b")) * threshold <= col("sz_a") + 1)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(pairs, sh)
+  }
+
+  private def d(c: Column): Column = c.cast("double")
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash vote vector from an already-materialized token-hash array:

@@ -30,6 +30,14 @@ object DedupQueries {
       Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8)),
 
+    // Exact n-gram Jaccard near-dup (no sketching): size-blocked
+    // all-pairs with provably complete blocking — same brute-force
+    // oracle as minhash, but here the equality is unconditional (the
+    // operator is exact, not probabilistically exact).
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardDedup(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.8)),
+
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -78,6 +86,12 @@ object DedupQueries {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
+
+    "q_dedup_ngram" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
          |FROM sh a, sh b

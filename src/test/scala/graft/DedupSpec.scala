@@ -42,6 +42,25 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("ngramJaccardDedup is exact: finds dups across size buckets, boundary sizes kept") {
+    val pairs = Dedup.ngramJaccardDedup(corpus, "doc_id", "text",
+      k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L))
+    // boundary: J exactly at threshold survives the float prefilter.
+    // A = 5 shingles, B = subset with 4 → J = 4/5 = 0.8 exactly.
+    import spark.implicits._
+    val boundary = Seq(
+      (1L, "a b c d e f g"),  // shingles: abc bcd cde def efg (5)
+      (2L, "a b c d e f")     // shingles: abc bcd cde def (4) ⊂ A
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardDedup(boundary, "doc_id", "text",
+      k = 3, threshold = 0.8).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 0.8)
+  }
+
   test("simhashDedup: identical docs at hamming 0, unrelated docs far") {
     val pairs = Dedup.simhashDedup(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
