@@ -156,20 +156,27 @@ object Dedup {
     materializeAndRelease(pairs, prepped)
   }
 
-  /** Exact n-gram Jaccard dedup WITHOUT sketching: all pairs with
-    * shingle-set Jaccard ≥ `threshold`, found by size blocking instead
-    * of LSH. Soundness of the blocking is a theorem, not a fixture
-    * property: J(A,B) ≥ t implies min|·| ≥ t·max|·|, so
-    * |size_A − size_B| ≤ (1−t)·max; with bucket width `w` ≥
-    * (1−t)·maxSize, qualifying pairs differ by at most one size
-    * bucket. One side replicates to its bucket ±1 (exactly-once pairs,
-    * like rangeJoin), the join is a plain equi-join on the bucket +
-    * size-ratio prefilter, and only surviving candidates pay the exact
-    * set intersection. Cost = per-bucket density², never |corpus|².
-    * Returns (id_a, id_b, jaccard). */
+  /** Exact n-gram Jaccard dedup WITHOUT sketching, by PREFIX FILTERING
+    * (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.):
+    * under any global total order on shingles, two sets with
+    * J(A,B) ≥ t must share at least one element within each set's
+    * first |A| − ⌈t·|A|⌉ + 1 elements — if all common elements sat in
+    * A's suffix, the overlap would be < t·|A| ≤ |A∩B|. Ordering
+    * rare-shingles-first (document frequency ascending) makes those
+    * prefixes collide almost only for genuinely similar documents.
+    *
+    * Pipeline: shingle sets → global df counts (one partial-aggregated
+    * groupBy) → per-document rank by (df, shingle) → explode only the
+    * prefix (≈ (1−t)·|A| + 2 entries/doc) → equi-join on the prefix
+    * shingle with a size-ratio prefilter (J ≥ t bounds sizes within
+    * factor t) → distinct candidate pairs → exact Jaccard verify.
+    * Unlike size-only blocking, selectivity does not collapse when the
+    * corpus has uniform document lengths; cost tracks per-rare-shingle
+    * density, never |corpus|². Prefix length uses floor(t·sz)+2 and
+    * the ratio prefilter is loosened by +1 so float rounding can only
+    * ADD candidates. Returns (id_a, id_b, jaccard). */
   def ngramJaccardDedup(df: DataFrame, id: String, text: String,
-                        k: Int = 3, threshold: Double = 0.8,
-                        bucketWidth: Int = 64): DataFrame = {
+                        k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sh = df.select(col(id), col(text))
       .repartition(par)
@@ -178,22 +185,25 @@ object Dedup {
         array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sh.select(col(id).as("id_a"), col("sh").as("sh_a"),
-        col("sz").as("sz_a"))
-      .withColumn("b", explode(array(
-        expr(s"sz_a DIV $bucketWidth") - 1,
-        expr(s"sz_a DIV $bucketWidth"),
-        expr(s"sz_a DIV $bucketWidth") + 1)))
-    val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"),
-        col("sz").as("sz_b"))
-      .withColumn("b", expr(s"sz_b DIV $bucketWidth"))
-    // Prefilter is loosened by +1 so double rounding at the exact
-    // boundary (e.g. 0.8·5 > 4 in floats) can only ADD candidates,
-    // never drop a true pair — the exact Jaccard below decides.
-    val pairs = a.join(b,
-        a("b") === b("b") && col("id_a") < col("id_b") &&
-          d(col("sz_a")) * threshold <= col("sz_b") + 1 &&
-          d(col("sz_b")) * threshold <= col("sz_a") + 1)
+    val toks = sh.select(col(id), col("sz"), explode(col("sh")).as("t"))
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("df"), col("t"))
+    val prefix = toks.join(dfreq, "t")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= col("sz") - floor(d(col("sz")) * threshold) + 2)
+      .select(col(id), col("sz"), col("t"))
+    val cands = prefix.select(col(id).as("id_a"), col("sz").as("sz_a"), col("t"))
+      .join(prefix.select(col(id).as("id_b"), col("sz").as("sz_b"), col("t")),
+        Seq("t"))
+      .filter(col("id_a") < col("id_b") &&
+        d(col("sz_a")) * threshold <= col("sz_b") + 1 &&
+        d(col("sz_b")) * threshold <= col("sz_a") + 1)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val pairs = cands
+      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
