@@ -11,18 +11,21 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet paths so timed numbers measure
-    // steady-state operator cost, not first-use Janino compilation +
-    // JIT (cold-vs-warm on one query differs 10×: ~14 s vs ~1 s for
-    // q_dedup_minhash). Each query runs once at the smallest fixture
-    // (sf0.001) — same generated code, negligible data — before any
-    // timing at the target scale factor.
+    // Warm every query once AT THE TARGET SCALE FACTOR so the timed
+    // pass measures steady-state operator cost, not first-use Janino
+    // compilation + JIT (cold vs warm differs 10×+: ~14 s vs ~1 s for
+    // the dedup pipelines). Warming at a smaller fixture is NOT
+    // enough: join strategies (broadcast vs sort-merge) change with
+    // data size, so the small-scale plans compile different generated
+    // classes than the ones the timed run executes. The cache is
+    // cleared between runs, so data is re-read — only codegen/JIT
+    // state carries, which is exactly the steady state a long-lived
+    // session has.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "region").count()
     SparkEntry.entry(spark).count()
-    val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
     spark.catalog.clearCache()
