@@ -188,20 +188,40 @@ object Stats {
     * decimal `value` for engine-exact arithmetic; output
     * (grp, median: double). */
   def medianByGroup(df: DataFrame, grp: String, value: Column): DataFrame = {
-    val cw = Window.partitionBy(col(grp)).orderBy(col("__v"))
-    val nw = Window.partitionBy(col(grp))
     val hit = (k: Column) => when(
-      col("cum") - col("cnt") < k && k <= col("cum"), 1).otherwise(0)
-    df.select(col(grp), value.as("__v"))
-      .groupBy(col(grp), col("__v"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(cw))
-      .withColumn("n", sum(col("cnt")).over(nw))
+      col("__cum") - col("__cnt") < k && k <= col("__cum"), 1).otherwise(0)
+    histogram(df, grp, value)
       .withColumn("picks",
-        hit(expr("(n + 1) DIV 2")) + hit(expr("(n + 2) DIV 2")))
+        hit(expr("(__n + 1) DIV 2")) + hit(expr("(__n + 2) DIV 2")))
       .filter(col("picks") > 0)
       .groupBy(col(grp))
       .agg((sum(col("__v") * col("picks")).cast("double") / 2).as("median"))
+  }
+
+  /** Exact type-1 per-group quantile (no interpolation — the
+    * sorted-multiset value at rank ceil(p·n), computed as integer rank
+    * (p·1000·n + 999) DIV 1000 so both engines derive the identical
+    * rank): same histogram shape as [[medianByGroup]]. `p` in permille
+    * (900 = P90). Output (grp, quantile). */
+  def quantileByGroup(df: DataFrame, grp: String, value: Column,
+                      permille: Int): DataFrame = {
+    require(permille > 0 && permille <= 1000, "permille in (0, 1000]")
+    histogram(df, grp, value)
+      .withColumn("__k", expr(s"($permille * __n + 999) DIV 1000"))
+      .filter(col("__cum") - col("__cnt") < col("__k") && col("__k") <= col("__cum"))
+      .select(col(grp), col("__v").cast("double").as("quantile"))
+  }
+
+  /** (grp, value, cnt, cum, n) — the per-group cumulative value
+    * histogram both rank statistics select from. */
+  private def histogram(df: DataFrame, grp: String, value: Column): DataFrame = {
+    val cw = Window.partitionBy(col(grp)).orderBy(col("__v"))
+    val nw = Window.partitionBy(col(grp))
+    df.select(col(grp), value.as("__v"))
+      .groupBy(col(grp), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(cw))
+      .withColumn("__n", sum(col("__cnt")).over(nw))
   }
 }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSignature,
-  SimHashChunks}
+  SimHashChunks, SquaredDistance}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashChunks].getName, "graft_simhash"),
       (children: Seq[Expression]) =>
         SimHashChunks(children.head, intArg(children(1), "graft_simhash"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
+      (children: Seq[Expression]) =>
+        SquaredDistance(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[CompressionRatio].getName,

@@ -197,6 +197,14 @@ object RelationalQueries {
         Tables.load(s, dir, "lineitem"), "l_returnflag",
         d(col("l_quantity")))),
 
+    // P90 via the same histogram rank selection — type-1 (no
+    // interpolation), rank derived in integer arithmetic on both
+    // engines.
+    "q_p90" -> ((s, dir) =>
+      graft.operators.Stats.quantileByGroup(
+        Tables.load(s, dir, "orders"), "o_orderpriority",
+        d(col("o_totalprice")), permille = 900)),
+
     // Salted join: skew-safe variant, result identical to q_join.
     "q_join_salted" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -307,6 +315,21 @@ object RelationalQueries {
         |  ROW_NUMBER() OVER (PARTITION BY p_brand
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         | FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_p90" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |   COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY v) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c)
+        |SELECT o_orderpriority, CAST(v AS DOUBLE) AS quantile
+        |FROM w
+        |WHERE cum - cnt < (900 * n + 999) // 1000
+        |  AND (900 * n + 999) // 1000 <= cum""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT p_brand, p_partkey, p_retailprice, rn FROM (

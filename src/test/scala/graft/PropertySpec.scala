@@ -162,6 +162,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantileByGroup equals the sorted-multiset rank value") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50, for {
+      k <- Gen.choose(0L, 3L)
+      v <- Gen.choose(0, 200)
+    } yield (k, v))
+    forAll(gen) { rows =>
+      whenever(rows.nonEmpty) {
+        for (pm <- Seq(100, 500, 900, 1000)) {
+          val got = Stats.quantileByGroup(rows.toDF("k", "v"), "k",
+            col("v").cast("decimal(18,2)"), pm)
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          rows.groupBy(_._1).foreach { case (k, g) =>
+            val s = g.map(_._2).sorted
+            val rank = (pm * s.size + 999) / 1000 // ceil(p·n) in ints
+            assert(got(k) == s(rank - 1).toDouble, s"group $k p=$pm")
+          }
+        }
+      }
+    }
+  }
+
   test("native as-of plan equals the window as-of on random data") {
     import spark.implicits._
     val evGen = Gen.listOfN(25, for {
