@@ -15,10 +15,18 @@ object MLQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Closed-form OLS: l_extendedprice ~ l_quantity from exact decimal
-    // sufficient statistics (one distributed aggregate).
-    "q_ml_ols" -> ((s, dir) =>
-      ML.olsExact(Tables.load(s, dir, "lineitem"),
-        col("l_quantity"), col("l_extendedprice"))),
+    // sufficient statistics (one distributed aggregate). Output rounded
+    // to 6 decimals: the normal-equation subtraction cancels ~15 of the
+    // inputs' significant digits at sf0.1, so the engines' (both
+    // correct) decimal→double cast rounding diverges in the last ulps;
+    // rounding keeps the compare meaningful without asserting ulp-level
+    // agreement through catastrophic cancellation.
+    "q_ml_ols" -> ((s, dir) => {
+      val r = ML.olsExact(Tables.load(s, dir, "lineitem"),
+        col("l_quantity"), col("l_extendedprice"))
+      r.select(round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+    }),
 
     // Kmeans(points, k, iters) on the embeddings table.
     "q_ml_kmeans" -> ((s, dir) =>
@@ -97,6 +105,7 @@ object MLQueries {
         | FROM lineitem),
         |sl AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
         |  n, sx, sy FROM s)
-        |SELECT slope, sy / n - slope * (sx / n) AS intercept FROM sl""".stripMargin
+        |SELECT ROUND(slope, 6) AS slope,
+        |  ROUND(sy / n - slope * (sx / n), 6) AS intercept FROM sl""".stripMargin
   )
 }
