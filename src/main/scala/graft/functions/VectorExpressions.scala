@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -133,6 +134,78 @@ case class SquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment: index of the centroid (rows of `cents`)
+  * with minimal squared euclidean distance to the input array<double>,
+  * ties to the smaller index. The centroid matrix rides in the codegen
+  * references array (`addReferenceObj`), so the generated source is
+  * IDENTICAL across Lloyd iterations — one Janino compile for the whole
+  * loop — and the k-way scan fuses into one per-row loop with no join,
+  * no explode, no per-row allocation. */
+case class NearestCell(child: Expression, cents: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if cents.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double> input and a non-empty centroid matrix")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var best = -1
+    var bd = Double.PositiveInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bd) { bd = acc; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bd")
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      s"""
+         |int $best = -1; double $bd = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $m.length; $j++) {
+         |  double[] $c = $m[$j];
+         |  int $n = java.lang.Math.min($a.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $c[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bd) { $bd = $acc; $best = $j; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCell =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column-API entry for [[CosineSimilarity]]; accepts array<float>
     * via an explicit (codegen'd, exact) cast. */
@@ -146,4 +219,9 @@ object VectorFunctions {
     Bridge.column(SquaredDistance(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** Column-API entry for [[NearestCell]]. */
+  def nearestCell(a: Column, cents: Array[Array[Double]]): Column =
+    Bridge.column(NearestCell(
+      Bridge.expression(a.cast("array<double>")), cents))
 }

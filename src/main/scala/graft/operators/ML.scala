@@ -78,23 +78,16 @@ object ML {
     val data = df.select(col(id).as("__id"),
       col(features).cast("array<double>").as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroidSchema = StructType(Seq(
-      StructField("cell", IntegerType, nullable = false),
-      StructField("c", ArrayType(DoubleType, containsNull = false))))
-    def centroidDf(cs: Array[Array[Double]]) =
-      broadcast(spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          cs.toSeq.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }, 1),
-        centroidSchema))
 
     var centroids = data.orderBy(col("__id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    // assignment = ONE narrow codegen'd projection (the native
+    // NearestCell kernel carries the centroid matrix in the codegen
+    // references array — no join, no explode, one compile for all
+    // iterations)
     def assigned(cs: Array[Array[Double]]) = data
-      .crossJoin(centroidDf(cs))
-      .withColumn("d", graft.functions.VectorFunctions.sqDist(col("x"), col("c")))
-      .groupBy(col("__id"), col("x"))
-      .agg(min(struct(col("d"), col("cell"))).as("best"))
-      .select(col("__id"), col("x"), col("best.cell").as("cell"))
+      .withColumn("cell",
+        graft.functions.VectorFunctions.nearestCell(col("x"), cs))
 
     for (_ <- 1 to iters) {
       val sums = assigned(centroids)

@@ -94,47 +94,45 @@ object Similarity {
         (col("rank0") + 1).as("rank"), col("n.score").as("cos"))
   }
 
-  /** IVF top-k: corpus bucketed by nearest of `nCells` k-means centroids
-    * (trained once, seeded); each query probes its `nprobe` closest cells
-    * and runs exact cosine inside them. Returns the same shape as
+  /** IVF top-k: corpus bucketed by nearest of `nCells` centroids from
+    * the engine-native deterministic [[graft.operators.ML.kmeansLloyd]]
+    * index build; each query probes its `nprobe` closest cells and runs
+    * exact cosine inside them. Returns the same shape as
     * [[bruteForceTopK]] — approximate: recall < 1 when a true neighbor
-    * lives outside the probed cells. */
+    * lives outside the probed cells. `seed` is accepted for API
+    * stability but unused (the Lloyd build is deterministic). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               id: String, vec: String, k: Int,
               nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
-    val toVec = org.apache.spark.ml.functions.array_to_vector(
-      col(vec).cast("array<double>"))
-    // Random init + few iterations: an IVF index needs balanced-ish
-    // cells, not converged clusters — k-means|| init alone costs more
-    // driver-coordinated jobs than the whole lloyd loop here, and
-    // recall is governed by nprobe, not centroid quality.
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("__fv")
-    // Cache the assembled vectors: each lloyd iteration re-reads the
-    // input, and uncached it would re-run the scan + array→vector
-    // conversion per iteration.
-    val corpusFv = corpus.select(col(id), col(vec)).withColumn("__fv", toVec)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = km.fit(corpusFv)
-    // fit was the iterative consumer; drop the cache now so repeated
-    // index builds don't accumulate persisted RDDs. The single
-    // transform pass below recomputes the (cheap) scan+convert once.
-    corpusFv.unpersist(false)
-    val assigned = model.transform(corpusFv)
-      .select(col(id).as("neighbor_id"), col(vec).as("cv"),
-        col(model.getPredictionCol).as("cell"))
+    // Engine-native Lloyd index build (ML.kmeansLloyd): deterministic
+    // init, codegen'd assignment, partial-aggregated update — an IVF
+    // index needs balanced-ish cells, not converged clusters (recall
+    // is governed by nprobe), so 5 iterations suffice and no opaque
+    // library sits in the index path.
+    val kmResult = graft.operators.ML
+      .kmeansLloyd(corpus.select(col(id), col(vec)), vec, id,
+        k = nCells, iters = 5)
+    val centroidRows = kmResult.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toSeq))
+      .sortBy(_._1)
+    kmResult.unpersist(false)
+    // cell-indexed centroid matrix for the native assignment kernel,
+    // and a broadcast-small table for query probing
+    val matrix = centroidRows.map(_._2.toArray)
+    val centroids = broadcast(
+      spark.createDataFrame(centroidRows.toSeq).toDF("cell", "centroid"))
 
-    // Broadcast-small centroid table; each query scores all centroids and
-    // keeps its nprobe nearest (centroid count is tiny by construction).
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }).toDF("cell", "centroid")
+    // assignment = one narrow codegen'd projection (same NearestCell
+    // kernel the index build used)
+    val assigned = corpus.select(col(id), col(vec))
+      .withColumn("cell", graft.functions.VectorFunctions
+        .nearestCell(col(vec), matrix))
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
     val probes = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(centroids)
       .withColumn("ccos", Dedup.cosine(col("qv"), col("centroid")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
