@@ -339,6 +339,36 @@ object Dedup {
     materializeAndRelease(pairs, capped)
   }
 
+  /** Winnow-candidate near-dup with exact verification: fingerprint
+    * pairs sharing ≥ `minShared` winnow fingerprints are candidates
+    * (cheap, substring-sensitive recall), then exact shingle-set
+    * Jaccard ≥ `threshold` decides (precision exact by construction —
+    * same candidates-then-verify architecture as [[minhashDedup]]).
+    * A share-count threshold alone is not a similarity measure: at
+    * larger corpora genuinely similar pairs can share few distinct
+    * fingerprints (repetitive text collapses runs to one fingerprint),
+    * so keep `minShared` low and let the verifier decide.
+    * Returns (id_a, id_b, jaccard). */
+  def winnowNearDup(df: DataFrame, id: String, text: String,
+                    n: Int = 24, w: Int = 8, minShared: Int = 2,
+                    maxBucket: Int = 64, k: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    val cands = winnowDedup(df, id, text, n, w, minShared, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), Text.tokens(col(text)).as("__toks"))
+      .select(col(id),
+        array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("sh"))
+    cands
+      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Bit-exact cosine between two array<float/double> columns: the

@@ -43,16 +43,16 @@ object DedupQueries {
       Dedup.simhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
 
-    // Winnowing (rolling-hash) fingerprint near-dup pairs. Gram length
-    // spans ~4-5 words: the fixture corpus draws from a ~30-word
-    // vocabulary, so short grams collide across unrelated docs; planted
-    // near-dups (J≥0.98) share nearly all fingerprints, so the winnow
-    // pair set coincides with the brute-force J≥0.8 oracle set (verified
-    // at sf0.001/0.01/0.1). Output drops the engine-internal shared-
-    // fingerprint count (xxhash64-dependent, not oracle-expressible).
+    // Winnowing (rolling-hash) fingerprint candidates + exact Jaccard
+    // verification — same candidates-then-verify architecture as
+    // minhash, so the brute-force J≥0.8 oracle holds whenever the
+    // candidate stage recalls every qualifying pair (a share-count
+    // threshold alone broke at sf0.1: two J≥0.98 pairs shared only 4
+    // distinct fingerprints). Output drops the jaccard column — its
+    // values are already compared via q_dedup_minhash/q_dedup_ngram.
     "q_dedup_winnow" -> ((s, dir) =>
-      Dedup.winnowDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
-        n = 24, w = 8, minShared = 5)
+      Dedup.winnowNearDup(Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 24, w = 8, minShared = 2)
         .select(col("id_a"), col("id_b"))),
 
     // Embedding-cosine near-dup, blocked on the label column.
