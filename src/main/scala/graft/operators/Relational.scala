@@ -131,6 +131,11 @@ final case class Table(df: DataFrame) {
     * (capture-api.jl:55-56 TODO); trivial on Spark. */
   def withColumn(name: String, c: Column): Table = Table(df.withColumn(name, c))
 
+  /** Column rename `t[:new = :old]` — declared surface only
+    * (examples/queries_devel/query_syntax.txt:19-24). */
+  def rename(from: String, to: String): Table =
+    Table(df.withColumnRenamed(from, to))
+
   /** `__hpat_arr_rebalance` — re-balance skewed post-filter/join output
     * to equal chunks (reference src/distributed-pass.jl:1276-1334, done
     * there with pairwise Isend/Irecv). Spark: round-robin repartition;
