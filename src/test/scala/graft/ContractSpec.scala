@@ -1,0 +1,36 @@
+package graft
+
+/** Driver-contract invariants for SparkEntry: the registry the
+  * correctness gate and bench iterate must stay internally consistent. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("query names are unique across modules (no silent map overwrite)") {
+    val all = Seq(
+      graft.queries.RelationalQueries.queries, graft.queries.SeriesQueries.queries,
+      graft.queries.TextQueries.queries, graft.queries.DedupQueries.queries,
+      graft.queries.SimilarityQueries.queries, graft.queries.MLQueries.queries,
+      graft.queries.StreamTextQueries.queries, graft.queries.SourceQueries.queries,
+      graft.queries.SampleQueries.queries, graft.queries.BasketQueries.queries)
+    val names = all.flatMap(_.keys)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.toSet == SparkEntry.queries.keySet)
+  }
+
+  test("entry (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL never references Spark-only functions") {
+    // guard against xxhash64/spark-isms leaking into DuckDB SQL
+    val bad = SparkEntry.oracleSql.filter { case (_, sql) =>
+      sql.contains("xxhash64") || sql.contains("monotonically_increasing")
+    }
+    assert(bad.isEmpty, s"non-portable oracle SQL in: ${bad.keys}")
+  }
+}
