@@ -119,6 +119,25 @@ final case class Table(df: DataFrame) {
     Table(df.unionByName(other.df))
   }
 
+  /** Set intersection (distinct semantics, SQL INTERSECT) — absent in
+    * the reference (SURVEY §2.6), free in Spark. Schemas must match
+    * like [[vcat]]. */
+  def intersect(other: Table): Table = {
+    requireSameSchema(other, "intersect")
+    Table(df.intersect(other.df))
+  }
+
+  /** Set difference (distinct semantics, SQL EXCEPT). */
+  def except(other: Table): Table = {
+    requireSameSchema(other, "except")
+    Table(df.except(other.df))
+  }
+
+  private def requireSameSchema(other: Table, op: String): Unit =
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      other.df.schema.fields.map(f => (f.name, f.dataType))),
+      s"$op schema mismatch: ${df.schema.simpleString} vs ${other.df.schema.simpleString}")
+
   /** Declared-surface sort (reference examples/queries_devel/q25.jl:25). */
   def sort(cols: Column*): Table = Table(df.orderBy(cols: _*))
 

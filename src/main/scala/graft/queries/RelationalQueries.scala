@@ -123,6 +123,18 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .df),
 
+    // INTERSECT/EXCEPT set ops (§2.6 "absent" in the reference):
+    // ordering customers who never placed a high-value order.
+    "q_setops" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val ordering = Table(o.select(col("o_custkey").as("custkey")))
+      val big = Table(o.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey")))
+      val cust = Table(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey")))
+      cust.intersect(ordering).except(big).df
+    }),
+
     // Distinct (set-op surface beyond the reference, free in Spark).
     "q_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -308,6 +320,12 @@ object RelationalQueries {
 
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_setops" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT SELECT o_custkey AS custkey FROM orders
+        |EXCEPT SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_totalprice > 400000""".stripMargin,
 
     "q_topk_window" ->
       """SELECT p_brand, p_partkey, p_retailprice, rn FROM (

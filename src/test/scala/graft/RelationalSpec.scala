@@ -82,6 +82,17 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 37600L, 128.2), (2L, 2L, 36000L, 53.5)))
   }
 
+  test("intersect/except follow SQL distinct set semantics") {
+    val a = Table(Seq(1L, 1L, 2L, 3L).toDF("k"))
+    val b = Table(Seq(2L, 3L, 3L, 4L).toDF("k"))
+    assert(a.intersect(b).df.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+    assert(a.except(b).df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      a.intersect(Table(Seq(("x", 1)).toDF("a", "b")))
+    }
+  }
+
   test("checkpoint truncates lineage; Young's interval gates it (checkpoint.jl:179)") {
     spark.sparkContext.setCheckpointDir("/tmp/graft_ckpt")
     // interval = sqrt(2 · cost · mttf)
