@@ -113,8 +113,12 @@ object ML {
       StructType(Seq(StructField("cluster", IntegerType, nullable = false),
         StructField("centroid", ArrayType(DoubleType, containsNull = false)))))
     // k-row result: materialize it cached, then drop the big staging
-    // cache (same lifecycle as the dedup pipelines).
-    val res = out.join(cent, "cluster")
+    // cache (same lifecycle as the dedup pipelines). Left join from the
+    // centroid side so an empty cell survives with size 0 — consumers
+    // (e.g. the IVF index build) always see a dense 0..k-1 cluster set.
+    val res = cent.join(out, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("size"), lit(0L)).as("size"),
+        col("centroid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count()
     data.unpersist(false)

@@ -195,7 +195,10 @@ case class AsOfJoinExec(
                   if (rt == null) true
                   else if (timeOrd.compare(rt, lt) <= 0) {
                     curMatch = payProj(rRow).copy()
-                    curMatchKey = rk
+                    // rk may point into a reused row buffer (UTF8String /
+                    // binary / decimal): copy, or the next right row
+                    // silently rewrites the cached key.
+                    curMatchKey = InternalRow.copyValue(rk)
                     true
                   } else false
                 }

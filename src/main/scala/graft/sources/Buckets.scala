@@ -24,6 +24,12 @@ object Buckets {
     * filesystem does not). */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
+    // Unqualified names only: a "db.tbl" name lives under `db.db/tbl`
+    // in the warehouse (and a non-default current database relocates
+    // it again), so the orphan-directory cleanup below would miss the
+    // real location and saveAsTable could read mixed files.
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(

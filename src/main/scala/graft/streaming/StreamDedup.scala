@@ -59,8 +59,16 @@ object StreamDedup {
                 state.update(Seen(n, minTs))
                 Iterator.single(FirstSeen(k, minTs))
               }
-            if (horizonUs > 0)
-              state.setTimeoutTimestamp(minTs / 1000L + horizonUs / 1000L)
+            if (horizonUs > 0) {
+              // Horizon anchors at the STORED first_ts (the documented
+              // contract), not this batch's min — and is clamped above
+              // the current watermark: a straggler more than horizon
+              // behind would otherwise compute a timeout in the past,
+              // which Spark rejects with IllegalArgumentException.
+              val base = state.get.tsFirst / 1000L + horizonUs / 1000L
+              state.setTimeoutTimestamp(
+                math.max(base, state.getCurrentWatermarkMs + 1L))
+            }
             out
           }
       }

@@ -82,6 +82,23 @@ class AsOfPlanSpec extends SparkSpec {
     assert(e.requiredChildOrdering.forall(_.nonEmpty))
   }
 
+  test("string (non-primitive) join keys: cached match key survives row reuse") {
+    // The merge caches the current match's key across right-iterator
+    // advances; for buffer-backed types (UTF8String here) that cache
+    // must be a copy — this pins the semantics on a key type where a
+    // stale pointer would mis-compare.
+    import spark.implicits._
+    val l = Seq(("aa", 10L, 1L), ("bb", 10L, 2L), ("cc", 10L, 3L))
+      .toDF("key", "time", "trade_id")
+    val r = Seq(("aa", 5L, 1.0), ("aa", 6L, 1.5), ("bb", 7L, 2.0),
+      ("cc", 9L, 3.0)).toDF("key", "time", "px")
+    val got = AsOfJoinPlan.asofJoin(l, r, "key", "time", Seq("px"))
+      .orderBy("key").collect()
+      .map(x => (x.getString(0), Option(x.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(("aa", Some(1.5)), ("bb", Some(2.0)),
+      ("cc", Some(3.0))))
+  }
+
   test("left-only filters push below the join; payload filters stay above") {
     val df = AsOfJoinPlan.asofJoin(trades, quotes, "key", "time", Seq("px"))
       .filter(col("trade_id") > 100L && col("asof_px").isNotNull)
