@@ -36,15 +36,35 @@ final case class Table(df: DataFrame) {
     * coalesced into a single output column named `outKey`.
     * Reference: capture-api.jl:286-378 (schema at 322-333).
     */
-  def join(other: Table, leftKey: String, rightKey: String, outKey: String): Table = {
+  def join(other: Table, leftKey: String, rightKey: String, outKey: String): Table =
+    join(other, Seq(leftKey), Seq(rightKey), Seq(outKey))
+
+  /** Composite-key inner equi-join — the reference stops at one key
+    * column (capture-api.jl:293 asserts a single `:k1==:k2`); real
+    * schemas hit composite keys immediately and Spark gives them for
+    * free, so the DSL takes N keys and coalesces each pair into one
+    * output column. Same dup-key cross-product and schema-ordering
+    * semantics as the single-key form. */
+  def join(other: Table, leftKeys: Seq[String], rightKeys: Seq[String],
+           outKeys: Seq[String]): Table =
+    Table(joinImpl(other, leftKeys, rightKeys, outKeys, broadcastRight = false))
+
+  private def joinImpl(other: Table, leftKeys: Seq[String],
+                       rightKeys: Seq[String], outKeys: Seq[String],
+                       broadcastRight: Boolean): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size &&
+      leftKeys.size == outKeys.size,
+      "join needs equally many left, right and output key names")
     val l = df.alias("l")
-    val r = other.df.alias("r")
-    val joined = l.join(r, col(s"l.$leftKey") === col(s"r.$rightKey"), "inner")
-      .drop(col(s"r.$rightKey"))
-    val out =
-      if (leftKey == outKey) joined
-      else joined.withColumnRenamed(leftKey, outKey)
-    Table(out)
+    val r0 = other.df.alias("r")
+    val r = if (broadcastRight) sparkBroadcast(r0) else r0
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (lk, rk) => col(s"l.$lk") === col(s"r.$rk") }
+      .reduce(_ && _)
+    val joined = rightKeys.foldLeft(l.join(r, cond, "inner")) {
+      (d0, rk) => d0.drop(col(s"r.$rk")) }
+    leftKeys.zip(outKeys).foldLeft(joined) { case (d0, (lk, ok)) =>
+      if (lk == ok) d0 else d0.withColumnRenamed(lk, ok) }
   }
 
   /** Broadcast variant for small dimension tables: same semantics as
@@ -53,28 +73,35 @@ final case class Table(df: DataFrame) {
     * force Spark's broadcast join OFF to compare like-for-like,
     * examples/queries_devel/q26/run-query.sh:63).
     */
-  def joinBroadcast(other: Table, leftKey: String, rightKey: String, outKey: String): Table = {
-    val l = df.alias("l")
-    val r = sparkBroadcast(other.df.alias("r"))
-    val joined = l.join(r, col(s"l.$leftKey") === col(s"r.$rightKey"), "inner")
-      .drop(col(s"r.$rightKey"))
-    val out =
-      if (leftKey == outKey) joined
-      else joined.withColumnRenamed(leftKey, outKey)
-    Table(out)
-  }
+  def joinBroadcast(other: Table, leftKey: String, rightKey: String, outKey: String): Table =
+    joinBroadcast(other, Seq(leftKey), Seq(rightKey), Seq(outKey))
+
+  /** Composite-key broadcast join — see [[join(other:graft\.operators\.Table,leftKeys:Seq[String],rightKeys:Seq[String],outKeys:Seq[String])* join]]. */
+  def joinBroadcast(other: Table, leftKeys: Seq[String],
+                    rightKeys: Seq[String], outKeys: Seq[String]): Table =
+    Table(joinImpl(other, leftKeys, rightKeys, outKeys, broadcastRight = true))
 
   /** `t2 = aggregate(t1, :kout = :key, :out1 = f1(e1), ...)` —
     * reference capture-api.jl:387-493 (key rename at 481-493).
     * Aggs are (outputName, aggregate Column) pairs built with [[Agg]].
     */
-  def aggregate(key: String, outKey: String, aggs: (String, Column)*): Table = {
-    val exprs = aggs.map { case (name, c) => c.as(name) }
-    Table(df.groupBy(col(key).as(outKey)).agg(exprs.head, exprs.tail: _*))
-  }
+  def aggregate(key: String, outKey: String, aggs: (String, Column)*): Table =
+    aggregate(Seq(key), Seq(outKey), aggs: _*)
 
   def aggregate(key: String, aggs: (String, Column)*): Table =
     aggregate(key, key, aggs: _*)
+
+  /** Composite-key aggregate — the reference takes exactly one group
+    * key (capture-api.jl:387-399); N keys are free in Spark (one hash
+    * aggregate, keys renamed in place). */
+  def aggregate(keys: Seq[String], outKeys: Seq[String],
+                aggs: (String, Column)*): Table = {
+    require(keys.nonEmpty && keys.size == outKeys.size,
+      "aggregate needs equally many keys and output key names")
+    val exprs = aggs.map { case (name, c) => c.as(name) }
+    val groupCols = keys.zip(outKeys).map { case (k, o) => col(k).as(o) }
+    Table(df.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*))
+  }
 
   /** Hierarchical subtotal aggregate (ROLLUP) — the grouping-sets class
     * the reference lists as unsupported (SURVEY §2.5); free in Spark
@@ -210,7 +237,13 @@ object Stats {
     * tiny cumulative histogram. The value is double-counted when both
     * ranks land on it (odd n), so median = picked-sum / 2. Pass a
     * decimal `value` for engine-exact arithmetic; output
-    * (grp, median: double). */
+    * (grp, median: double).
+    *
+    * CONTRACT: the value column must be DISCRETE (bounded distinct
+    * values per group — l_quantity-like). On a continuous column the
+    * "histogram" is the whole group and the cumulative window becomes a
+    * per-group single-partition sort; use [[quantileByGroup]] (range
+    * refinement, continuous-safe) for those. */
   def medianByGroup(df: DataFrame, grp: String, value: Column): DataFrame = {
     val hit = (k: Column) => when(
       col("__cum") - col("__cnt") < k && k <= col("__cum"), 1).otherwise(0)
@@ -225,14 +258,55 @@ object Stats {
   /** Exact type-1 per-group quantile (no interpolation — the
     * sorted-multiset value at rank ceil(p·n), computed as integer rank
     * (p·1000·n + 999) DIV 1000 so both engines derive the identical
-    * rank): same histogram shape as [[medianByGroup]]. `p` in permille
-    * (900 = P90). Output (grp, quantile). */
+    * rank). `permille` ∈ (0,1000] (900 = P90). Output (grp, quantile).
+    *
+    * Continuous-safe by TWO-PASS RANGE REFINEMENT — never sorts a whole
+    * group anywhere:
+    *  1. one aggregate scan gets each group's (min, max, n, target rank);
+    *  2. rows land in `buckets` fixed-width range buckets; a per-(group,
+    *     bucket) count aggregate (shuffle ≤ |groups|·buckets rows) plus a
+    *     cumulative window over ≤ `buckets` rows/group locates the single
+    *     bucket holding the target rank;
+    *  3. exact rank selection runs only among that bucket's values —
+    *     ~n/buckets of them (4096 buckets turn a 10⁹-row group into a
+    *     ~10⁵-value selection; nest another level before believing a
+    *     bigger group needs it).
+    * Bucket boundaries are computed in double — FP wobble is harmless
+    * because the assignment expression is identical in both passes and
+    * exactness comes from the final rank selection, not the boundaries.
+    * Every window in the plan runs over aggregated histograms, never raw
+    * rows (asserted in PlanQualitySpec). */
   def quantileByGroup(df: DataFrame, grp: String, value: Column,
-                      permille: Int): DataFrame = {
+                      permille: Int, buckets: Int = 4096): DataFrame = {
     require(permille > 0 && permille <= 1000, "permille in (0, 1000]")
-    histogram(df, grp, value)
+    val base = df.select(col(grp), value.as("__v"))
+    val stats = base.groupBy(col(grp)).agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      count(lit(1)).as("__n"))
       .withColumn("__k", expr(s"($permille * __n + 999) DIV 1000"))
-      .filter(col("__cum") - col("__cnt") < col("__k") && col("__k") <= col("__cum"))
+    val bidx = when(col("__hi") <= col("__lo"), lit(0)).otherwise(
+      least(greatest(
+        floor((col("__v") - col("__lo")).cast("double") /
+          ((col("__hi") - col("__lo")).cast("double") / buckets)),
+        lit(0L)), lit((buckets - 1).toLong))).cast("int")
+    val bucketed = base.join(sparkBroadcast(stats), grp)
+      .withColumn("__b", bidx)
+    val bw = Window.partitionBy(col(grp)).orderBy(col("__b"))
+    val winners = bucketed.groupBy(col(grp), col("__b"))
+      .agg(count(lit(1)).as("__c"), first(col("__k")).as("__k"))
+      .withColumn("__before", sum(col("__c")).over(bw) - col("__c"))
+      .filter(col("__before") < col("__k") &&
+        col("__k") <= col("__before") + col("__c"))
+      .select(col(grp), col("__b").as("__wb"),
+        (col("__k") - col("__before")).as("__lk"))
+    val vw = Window.partitionBy(col(grp)).orderBy(col("__v"))
+    bucketed.join(sparkBroadcast(winners), grp)
+      .filter(col("__b") === col("__wb"))
+      .groupBy(col(grp), col("__v"))
+      .agg(count(lit(1)).as("__c"), first(col("__lk")).as("__lk"))
+      .withColumn("__cum", sum(col("__c")).over(vw))
+      .filter(col("__cum") - col("__c") < col("__lk") &&
+        col("__lk") <= col("__cum"))
       .select(col(grp), col("__v").cast("double").as("quantile"))
   }
 

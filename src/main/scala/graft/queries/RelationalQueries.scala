@@ -27,20 +27,20 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // TPC-H Q1 shape: scan → filter → partial/final hash aggregate.
-    "q1_agg" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
-        .df
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(d(col("l_extendedprice")) * (d(lit(1)) - d(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          (sum(d(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-    }),
+    // TPC-H Q1 shape: scan → filter → partial/final hash aggregate,
+    // through the DSL's composite-key aggregate (two group keys).
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .aggregate(Seq("l_returnflag", "l_linestatus"),
+          Seq("l_returnflag", "l_linestatus"),
+          "sum_qty" -> dsum(col("l_quantity")),
+          "sum_base_price" -> dsum(col("l_extendedprice")),
+          "sum_disc_price" -> sum(d(col("l_extendedprice")) *
+            (d(lit(1)) - d(col("l_discount")))).cast("double"),
+          "avg_qty" -> (sum(d(col("l_quantity"))).cast("double") / count(lit(1))),
+          "count_order" -> Agg.length())
+        .df),
 
     // Filter: reference t[cond] — capture-api.jl:208-272.
     "q_filter" -> ((s, dir) =>

@@ -32,6 +32,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("q_p90 windows run over aggregated histograms, never raw rows") {
+    // The range-refinement quantile must not contain a per-group sort
+    // of raw values: every Window's input subtree has to pass through
+    // an Aggregate (bucket or value histogram) first. A Window directly
+    // over the scan would be the all-distinct single-partition sort
+    // that melts at scale.
+    val plan = RelationalQueriesAccess.q("q_p90").queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(aggBelow.nonEmpty,
+        s"window over raw rows (no aggregate below):\n$w")
+    }
+  }
+
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -36,6 +36,39 @@ class RelationalSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("uid", "val2", "val3"))
   }
 
+  test("composite-key join: dup-key cross product and key coalescing on 2 keys") {
+    // Dup-key multiplicity law extended to a composite key, per the
+    // single-key golden (join_test1.jl:35-36): (1,10) appears twice on
+    // the left and twice on the right → 4 output rows.
+    val l = Table(Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+      (2L, 10L, "d")).toDF("k1", "k2", "lv"))
+    val r = Table(Seq((1L, 10L, 1.0), (1L, 10L, 2.0), (2L, 10L, 3.0),
+      (3L, 30L, 4.0)).toDF("j1", "j2", "rv"))
+    val out = l.join(r, Seq("k1", "k2"), Seq("j1", "j2"), Seq("a", "b"))
+    assert(out.df.columns.toSeq == Seq("a", "b", "lv", "rv"))
+    val got = out.df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 10L, "a", 1.0), (1L, 10L, "a", 2.0),
+      (1L, 10L, "b", 1.0), (1L, 10L, "b", 2.0), (2L, 10L, "d", 3.0)))
+    // broadcast variant agrees
+    val bc = l.joinBroadcast(r, Seq("k1", "k2"), Seq("j1", "j2"), Seq("a", "b"))
+      .df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3)))
+      .sorted.toSeq
+    assert(bc == got)
+  }
+
+  test("composite-key aggregate groups on both keys with rename") {
+    val got = t1.withColumn("flag", col("userid") % 2)
+      .aggregate(Seq("userid", "flag"), Seq("uid", "f"),
+        "n" -> Agg.length(), "s" -> Agg.sum(col("val2"))).df
+    assert(got.columns.toSeq == Seq("uid", "f", "n", "s"))
+    val m = got.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(m == Map((1L, 1L) -> 2L, (2L, 0L) -> 2L, (3L, 1L) -> 1L))
+  }
+
   test("aggregate sum → keys [1,2,3] sums [4.3,4.0,3.1] (aggregate_test1.jl:42-43)") {
     val got = t1.aggregate("userid", "s" -> Agg.sum(col("val2"))).df
       .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 10) / 10.0))
