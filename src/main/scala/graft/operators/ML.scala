@@ -90,10 +90,15 @@ object ML {
         graft.functions.VectorFunctions.nearestCell(col("x"), cs))
 
     for (_ <- 1 to iters) {
+      // Exact-decimal component sums (the olsExact trick): the update
+      // is then independent of partition/summation order, so the whole
+      // 5-iteration run is bit-reproducible and DuckDB-oracle-checkable
+      // (q_ml_kmeans_native unrolls these iterations as CTEs).
       val sums = assigned(centroids)
         .select(col("cell"), posexplode(col("x")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("v").cast("decimal(27,18)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
       centroids = centroids.indices.map { cell =>
@@ -208,10 +213,15 @@ object ML {
         .map(j => element_at(col("x"), j + 1) * element_at(col("__w"), j + 1))
         .reduce(_ + _)
       val err = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("err")
+      // Per-row products stay double (deterministic per row); the
+      // cross-row sum is exact decimal so the gradient — and therefore
+      // the whole descent trajectory — is independent of partition
+      // order and engine summation order (oracle-checkable).
       val grad = data.crossJoin(broadcast(wDf))
         .select(col("x"), err)
         .agg(array((0 until dim).map(j =>
-          sum(element_at(col("x"), j + 1) * col("err"))): _*).as("grad"))
+          sum((element_at(col("x"), j + 1) * col("err"))
+            .cast("decimal(27,18)")).cast("double")): _*).as("grad"))
         .head().getSeq[Double](0)
       w = w.zip(grad).map { case (wi, gi) => wi - lr * gi / n }
     }

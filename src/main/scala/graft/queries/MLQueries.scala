@@ -71,16 +71,101 @@ object MLQueries {
 
     // Iterative logistic regression (reference flagship loop shape):
     // binary label = (label % 2), 5 gradient-descent iterations.
+    // Weights rounded to 6dp for the oracle compare: the gradient sums
+    // are decimal-exact (order-independent), leaving libm exp()'s
+    // last-ulp variation across engines as the only divergence source.
     "q_ml_logreg" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("y", (col("label") % 2).cast("double"))
       ML.logisticRegression(e, "embedding", "y", dim = 64,
         iters = 5, lr = 0.5)
         .select(posexplode(col("weights")).as(Seq("idx", "w")))
+        .select(col("idx"), round(col("w"), 6).as("w"))
     })
   )
 
+  /** DuckDB mirror of [[ML.kmeansLloyd]] with the loop UNROLLED as
+    * chained CTEs — one assignment CTE per iteration under the previous
+    * centroids, one exact-decimal mean CTE per update, carrying empty
+    * cells forward, then the final assignment counted per cell. Every
+    * arithmetic step mirrors the Scala kernel's op order (distance
+    * accumulates in index order with a 0.0 seed; means divide the
+    * decimal-exact component sum, cast to double, by the count), so the
+    * compare is bit-exact. */
+  private def kmeansNativeOracle(k: Int, iters: Int, dim: Int): String = {
+    def dist(x: String, c: String) =
+      s"""list_reduce(list_transform(list_zip($x, $c),
+         | p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+         | (a, b) -> a + b)""".stripMargin
+    def assign(i: Int) =
+      s"""a$i AS (
+         | SELECT vec_id, x, cell FROM (
+         |  SELECT p.vec_id, p.x, c.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |     ORDER BY ${dist("p.x", "c.c")} ASC, c.cell ASC) AS rnk
+         |  FROM pts p, c${i - 1} c) t
+         | WHERE rnk = 1)""".stripMargin
+    def update(i: Int) =
+      s"""c$i AS (
+         | SELECT cell, list(m ORDER BY dim) AS c FROM (
+         |  SELECT cell, dim,
+         |   CAST(SUM(CAST(CAST(list_extract(x, dim) AS DOUBLE)
+         |     AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM a$i, range(1, ${dim + 1}) r(dim)
+         |  GROUP BY cell, dim) t
+         | GROUP BY cell
+         | UNION ALL
+         | SELECT cell, c FROM c${i - 1}
+         | WHERE cell NOT IN (SELECT cell FROM a$i))""".stripMargin
+    val steps = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
+    s"""WITH pts AS (SELECT vec_id, embedding AS x FROM embeddings),
+       |c0 AS (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+       | FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k) t),
+       |${steps.mkString(",\n")},
+       |${assign(iters + 1)}
+       |SELECT c.cell AS cluster, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS size
+       |FROM c$iters c LEFT JOIN (
+       | SELECT cell, COUNT(*) AS cnt FROM a${iters + 1} GROUP BY cell) n
+       | ON c.cell = n.cell""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ML.logisticRegression]] unrolled: per iteration
+    * an error CTE (margin expanded as the same left-associated 64-term
+    * sum the Scala plan builds, then the sigmoid) and an exact-decimal
+    * gradient CTE; the weight update repeats the Scala op order
+    * `w - (lr*g)/n`. */
+  private def logregOracle(iters: Int, dim: Int, lr: Double): String = {
+    val margin = (1 to dim).map(j => s"x[$j]*w[$j]").mkString(" + ")
+    def step(i: Int) =
+      s"""e$i AS (
+         | SELECT x, 1.0/(1.0 + exp(-($margin))) - y AS err
+         | FROM pts, w${i - 1}),
+         |g$i AS (
+         | SELECT dim, CAST(SUM(CAST(list_extract(x, dim) * err
+         |   AS DECIMAL(27,18))) AS DOUBLE) AS g
+         | FROM e$i, range(1, ${dim + 1}) r(dim) GROUP BY dim),
+         |w$i AS (
+         | SELECT list(wj ORDER BY dim) AS w FROM (
+         |  SELECT g.dim AS dim, w.w[g.dim] - ($lr * g.g) / nn.nv AS wj
+         |  FROM g$i g, w${i - 1} w, nn) t)""".stripMargin
+    s"""WITH pts AS (
+       | SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+       |  CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM pts),
+       |w0 AS (SELECT list_transform(range(1, ${dim + 1}),
+       |  v -> CAST(0.0 AS DOUBLE)) AS w),
+       |${(1 to iters).map(step).mkString(",\n")}
+       |SELECT CAST(dim - 1 AS INT) AS idx, ROUND(w[dim], 6) AS w
+       |FROM w$iters, range(1, ${dim + 1}) r(dim)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ml_kmeans_native" -> kmeansNativeOracle(k = 8, iters = 5, dim = 64),
+    "q_ml_logreg" -> logregOracle(iters = 5, dim = 64, lr = 0.5),
+
     "q_pi_mc" ->
       """WITH p AS (
         |  SELECT
