@@ -98,14 +98,36 @@ object Series {
       parted)
   }
 
-  /** 3-point stencil `f(x[-1], x[0], x[+1])` over `value` in the global
-    * order of `order`; border rows (no left or no right neighbor) copy
-    * the input, matching the reference's `skip` border rule
-    * (stencil_test1.jl:33 golden).
-    */
+  /** 3-point stencil `f(x[-1], x[0], x[+1])` — radius-1 special case of
+    * [[stencil]] (stencil_test1.jl:33 golden). */
   def stencil3(df: DataFrame, order: Column, value: Column, out: String,
                numPartitions: Int = 0)
-              (f: (Column, Column, Column) => Column): DataFrame = {
+              (f: (Column, Column, Column) => Column): DataFrame =
+    stencil(df, order, value, out, radius = 1, numPartitions)(
+      xs => f(xs(0), xs(1), xs(2)))
+
+  /** Radius-r 1-D stencil: `f` receives the 2r+1 neighbor columns
+    * `x[-r] .. x[0] .. x[+r]` of `value` in the global order of `order`
+    * (the reference's arbitrary-offset `runStencil` lambda surface,
+    * /root/reference/src/capture-api.jl:111-144). Rows within `radius`
+    * of either global border copy the input, matching the reference's
+    * `:oob_skip` rule (test/stencil_test1.jl:33, stencil_test2.jl
+    * goldens).
+    *
+    * Distribution: same halo-exchange shape as the 3-point form, with a
+    * radius-r halo — each partition ships its first/last r rows
+    * (O(partitions·r) driver rows, the MPI_Isend/Irecv boundary
+    * exchange of /root/reference/src/distributed-pass.jl:882-1001);
+    * interior neighbors are per-partition codegen'd lag/lead windows,
+    * boundary neighbors come from the broadcast halo arrays. A halo
+    * spanning more than one upstream partition (partition smaller than
+    * the radius) is stitched on the driver, so correctness does not
+    * depend on partition sizes.
+    */
+  def stencil(df: DataFrame, order: Column, value: Column, out: String,
+              radius: Int, numPartitions: Int = 0)
+             (f: Seq[Column] => Column): DataFrame = {
+    require(radius >= 1, "radius must be >= 1")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -115,41 +137,76 @@ object Series {
       .withColumn(PID, spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Halo exchange: first/last (order, value) of each partition —
-    // 2 rows per partition to the driver, redistributed by broadcast.
-    val edges = parted
-      .groupBy(col(PID))
-      .agg(min_by(value, order).as("first_v"), max_by(value, order).as("last_v"))
-      .collect().map(r => (r.getInt(0), r.get(1), r.get(2))).sortBy(_._1)
-    // carry across empty partitions: neighbor = nearest non-empty
-    val present = edges.map(_._1).toSet
-    val lastOf = edges.map(e => e._1 -> e._3).toMap
-    val firstOf = edges.map(e => e._1 -> e._2).toMap
-    val pids = edges.map(_._1)
-    val halo = pids.map { pid =>
-      val prev = (pid - 1 to 0 by -1).find(present.contains).map(lastOf)
-      val next = (pid + 1 until n).find(present.contains).map(firstOf)
-      org.apache.spark.sql.Row(pid, prev.orNull, next.orNull)
-    }
     val vType = df.select(value).schema.head.dataType
+    val wAsc = Window.partitionBy(col(PID)).orderBy(order)
+    val wAll = Window.partitionBy(col(PID))
+    val idx = row_number().over(wAsc)       // 1-based within partition
+    val cnt = count(lit(1)).over(wAll)
+
+    // Halo exchange: every partition's first and last `radius` rows to
+    // the driver (2r rows per partition; rows 2r-collectives in HPAT).
+    val edgeRows = parted
+      .select(col(PID), order.as("__o"), value.as("__v"),
+        idx.as("__ra"), cnt.as("__cnt"))
+      .filter(col("__ra") <= radius || col("__ra") > col("__cnt") - radius)
+      .collect()
+    val byPid = edgeRows.groupBy(_.getInt(0)).map { case (pid, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))          // by __ra
+      val cntP = rows.head.getLong(4)
+      val head = sorted.filter(_.getInt(3) <= radius).map(_.get(2))
+      val tail = sorted.filter(_.getInt(3) > cntP - radius).map(_.get(2))
+      pid -> (head.toSeq, tail.toSeq)
+    }
+    val pids = byPid.keys.toSeq.sorted
+    // prev halo of p = last r values of all earlier partitions (oldest
+    // first, null-padded at the FRONT so element r is the row
+    // immediately before the partition); next halo symmetric.
+    val halo = pids.map { pid =>
+      val prev = pids.filter(_ < pid).sorted.reverse
+        .foldLeft(Seq.empty[Any]) { (acc, q) =>
+          if (acc.size >= radius) acc else byPid(q)._2.takeRight(radius - acc.size) ++ acc
+        }
+      val next = pids.filter(_ > pid).sorted
+        .foldLeft(Seq.empty[Any]) { (acc, q) =>
+          if (acc.size >= radius) acc else acc ++ byPid(q)._1.take(radius - acc.size)
+        }
+      org.apache.spark.sql.Row(pid,
+        Seq.fill(radius - prev.size)(null) ++ prev,
+        next ++ Seq.fill(radius - next.size)(null))
+    }
     val haloDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(halo.toSeq, 1),
+      spark.sparkContext.parallelize(halo, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(PID,
           org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__prev_last", vType),
-        org.apache.spark.sql.types.StructField("__next_first", vType))))
+        org.apache.spark.sql.types.StructField("__prev",
+          org.apache.spark.sql.types.ArrayType(vType, containsNull = true)),
+        org.apache.spark.sql.types.StructField("__next",
+          org.apache.spark.sql.types.ArrayType(vType, containsNull = true)))))
 
-    val w = Window.partitionBy(col(PID)).orderBy(order)
-    val lagV = coalesce(lag(value, 1).over(w), col("__prev_last"))
-    val leadV = coalesce(lead(value, 1).over(w), col("__next_first"))
+    val nullV = lit(null).cast(vType)
+    // x[-i]: interior rows read the per-partition lag; the first i rows
+    // read halo slot r+idx-i (CASE branches are non-strict, so the
+    // element_at never sees an out-of-range index).
+    def lagCol(i: Int): Column =
+      when(idx > i, lag(value, i).over(wAsc))
+        .otherwise(when(lit(radius) + idx - lit(i) >= 1,
+          element_at(col("__prev"), (lit(radius) + idx - lit(i)).cast("int")))
+          .otherwise(nullV))
+    def leadCol(i: Int): Column =
+      when(idx + lit(i) <= cnt, lead(value, i).over(wAsc))
+        .otherwise(when(idx + lit(i) - cnt <= radius,
+          element_at(col("__next"), (idx + lit(i) - cnt).cast("int")))
+          .otherwise(nullV))
+    val neighbors: Seq[Column] =
+      (radius to 1 by -1).map(lagCol) ++ Seq(value) ++ (1 to radius).map(leadCol)
+    val anyOob = ((radius to 1 by -1).map(lagCol) ++ (1 to radius).map(leadCol))
+      .map(_.isNull).reduce(_ || _)
     materializeAndRelease(
       parted
         .join(broadcast(haloDf), PID)
-        .withColumn(out,
-          when(lagV.isNull || leadV.isNull, value)
-            .otherwise(f(lagV, value, leadV)))
-        .drop(PID, "__prev_last", "__next_first"),
+        .withColumn(out, when(anyOob, value).otherwise(f(neighbors)))
+        .drop(PID, "__prev", "__next"),
       parted)
   }
 

@@ -32,6 +32,17 @@ object SeriesQueries {
         (l, v, r) => (l + lit(2.0) * v + r) / lit(4.0))
         .select(col("event_id"), col("smoothed"))),
 
+    // Radius-2 (5-point) stencil — the generalized runStencil lambda
+    // surface. Gaussian-ish taps 1,4,6,4,1; per-row fixed double op
+    // sequence mirrored in the oracle, so hash-exact.
+    "q_stencil5" -> ((s, dir) =>
+      Series.stencil(
+        Tables.load(s, dir, "events"),
+        col("event_id"), col("value"), "smoothed", radius = 2)(
+        xs => (xs(0) + lit(4.0) * xs(1) + lit(6.0) * xs(2) +
+          lit(4.0) * xs(3) + xs(4)) / lit(16.0))
+        .select(col("event_id"), col("smoothed"))),
+
     // As-of join: each purchase matched to the user's most recent click
     // at or before it (inner variant — unmatched purchases dropped so
     // the compared columns stay integral end-to-end).
@@ -80,6 +91,19 @@ object SeriesQueries {
         | CASE WHEN lag(value) OVER w IS NULL OR lead(value) OVER w IS NULL
         |   THEN value
         |   ELSE (lag(value) OVER w + 2.0 * value + lead(value) OVER w) / 4.0
+        | END AS smoothed
+        |FROM events WINDOW w AS (ORDER BY event_id)""".stripMargin,
+
+    // Same op order as the Spark lambda: ((((l2 + 4*l1) + 6*v) + 4*r1)
+    // + r2) / 16 — fixed per-row double sequence, engine-exact.
+    "q_stencil5" ->
+      """SELECT event_id,
+        | CASE WHEN lag(value, 2) OVER w IS NULL OR lag(value, 1) OVER w IS NULL
+        |   OR lead(value, 1) OVER w IS NULL OR lead(value, 2) OVER w IS NULL
+        |   THEN value
+        |   ELSE ((((lag(value, 2) OVER w + 4.0 * lag(value, 1) OVER w)
+        |     + 6.0 * value) + 4.0 * lead(value, 1) OVER w)
+        |     + lead(value, 2) OVER w) / 16.0
         | END AS smoothed
         |FROM events WINDOW w AS (ORDER BY event_id)""".stripMargin,
 

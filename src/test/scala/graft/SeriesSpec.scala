@@ -48,6 +48,36 @@ class SeriesSpec extends SparkSpec {
     assert(run(7) == run(1))
   }
 
+  test("radius-2 stencil golden: interior = 5-tap average, borders copy") {
+    // values 1..7; taps 1,1,1,1,1 /5 → interior rows are plain means
+    val df = (1 to 7).map(i => (i.toLong, i.toDouble)).toDF("idx", "v")
+    val got = Series.stencil(df, col("idx"), col("v"), "out",
+        radius = 2, numPartitions = 3)(
+        xs => xs.reduce(_ + _) / lit(5.0))
+      .orderBy("idx").select("out").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0))
+  }
+
+  test("radius-2 stencil is asymmetric-safe (no tap reordering)") {
+    val df = (1 to 9).map(i => (i.toLong, i * i * 0.5)).toDF("idx", "v")
+    def run(n: Int) = Series.stencil(df, col("idx"), col("v"), "out",
+        radius = 2, numPartitions = n)(
+        xs => xs(0) - lit(2.0) * xs(1) + xs(2) * xs(3) - xs(4))
+      .orderBy("idx").select("out").collect().map(_.getDouble(0)).toSeq
+    assert(run(4) == run(1))
+  }
+
+  test("radius-r stencil: halo spans multiple partitions smaller than r") {
+    // 25 rows over 12 partitions → ~2 rows per partition < radius 5;
+    // the prev/next halos must stitch values from several partitions.
+    val df = (1 to 25).map(i => (i.toLong, (i % 11) + 0.5)).toDF("idx", "v")
+    def run(n: Int) = Series.stencil(df, col("idx"), col("v"), "out",
+        radius = 5, numPartitions = n)(
+        xs => xs.reduce(_ + _) / lit(11.0))
+      .orderBy("idx").select("out").collect().map(_.getDouble(0)).toSeq
+    assert(run(12) == run(1))
+  }
+
   test("asofJoin: latest right row at or before each left time, per key") {
     import spark.implicits._
     val left = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 30L),
