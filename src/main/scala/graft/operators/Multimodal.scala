@@ -69,21 +69,16 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction: bytes → fixed-`dim` float vector, batched per
-    * partition. Drops the bytes column in the same projection, so the
-    * blob never crosses a stage boundary. */
+  /** Feature extraction: bytes → fixed-`dim` float vector. A typed
+    * Scala UDF inside one narrow projection: the plan stays in Tungsten
+    * (no `DeserializeToObject`/RDD round-trip — the kernel is invoked
+    * from generated code on UnsafeRow data). The bytes column is
+    * dropped in the same projection, so the blob never crosses a stage
+    * boundary. */
   def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("modality", StringType, nullable = false),
-      StructField("feature", ArrayType(FloatType, containsNull = false))))
-    val rdd = media.select("media_id", "modality", "bytes").rdd
-      .mapPartitions(_.map { r =>
-        Row(r.getLong(0), r.getString(1),
-          fakeDecode(r.getAs[Array[Byte]](2), dim).toSeq)
-      })
-    spark.createDataFrame(rdd, outSchema)
+    val decode = udf((bytes: Array[Byte]) => fakeDecode(bytes, dim))
+    media.select(col("media_id"), col("modality"),
+      decode(col("bytes")).as("feature"))
   }
 
   /** Resize: metadata-level transform (STUB payload op — a real impl

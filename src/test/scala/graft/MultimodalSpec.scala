@@ -32,6 +32,14 @@ class MultimodalSpec extends SparkSpec {
     assert(a(0) != a(1)) // different payloads → different features
   }
 
+  test("extractFeatures stays in Tungsten (no RDD/object round-trip)") {
+    val plan = Multimodal.extractFeatures(media, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+  }
+
   test("resize truncates payload to the declared shape bound") {
     val r = Multimodal.resize(media, 2, 3) // target 2*3*3 = 18 bytes
     val rows = r.orderBy("media_id").collect()
