@@ -62,6 +62,24 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("price_sum"))
+    }),
+
+    // HDF5 container round-trip (DataSource/DataSink HDF5, reference
+    // cgen-hpat-pattern-match.jl:849-1048/1201-1269): nation through
+    // the DataSourceV2 sink (one 1-D dataset per column) and back,
+    // then a join-shaped aggregate. The chunk codec is the declared
+    // in-memory stub; the V2 read path (block partitioning, dataset
+    // pruning) is exactly what a libhdf5 backend would execute.
+    "q_hdf5_roundtrip" -> ((s, dir) => {
+      val fmt = "graft.sources.hdf5"
+      val path = s"mem:${tmp(dir, "h5")}"
+      Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.format(fmt).option("path", path).mode("overwrite").save()
+      s.read.format(fmt).option("path", path).load()
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"),
+          max(col("n_name")).as("max_name"))
     })
   )
 
@@ -82,6 +100,13 @@ object SourceQueries {
       """SELECT o_orderstatus,
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_hdf5_roundtrip" ->
+      """SELECT n_regionkey,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        | MAX(n_name) AS max_name
+        |FROM nation GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,239 @@
+package graft.sources.hdf5
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HDF5 DataSource/DataSink — the reference's container format
+  * (`/root/reference/src/cgen-hpat-pattern-match.jl:849-1048` read,
+  * `:1201-1269` write: one 1-D HDF5 dataset per column, each rank
+  * reading/writing its contiguous block via collective MPI I/O).
+  *
+  * This is the full Spark DataSourceV2 shape of that layout:
+  *  - a table is a set of named 1-D column datasets of equal length;
+  *  - scan planning splits the row range into contiguous blocks, one
+  *    `InputPartition` per block (HPAT's 1-D block distribution —
+  *    executors read disjoint ranges, no shuffle);
+  *  - column pruning happens at DATASET granularity
+  *    ([[Hdf5ScanBuilder]] implements `SupportsPushDownRequiredColumns`)
+  *    — an unreferenced column's dataset is never opened, the native
+  *    analog of Parquet column skipping;
+  *  - the write path is per-partition [[DataWriter]]s whose commit
+  *    messages carry their block back to the driver, committed in
+  *    partition order (the collective-write equivalent; a native impl
+  *    would instead pass block offsets down and write in place).
+  *
+  * The byte-level HDF5 chunk codec is STUBBED: no HDF5 native library
+  * exists in this environment, so datasets live in the in-memory
+  * [[Hdf5Store]] keyed by path (same declared-stub pattern as the
+  * multimodal codec — swapping a real libhdf5 JNI reader in replaces
+  * only [[Hdf5Store]]'s array access; every Spark-facing interface,
+  * pruning path, and partition plan stays identical).
+  *
+  * Usage: `spark.read.format("graft.sources.hdf5").option("path", p)` /
+  * `df.write.format("graft.sources.hdf5").option("path", p)`.
+  */
+object Hdf5Store {
+  /** path → ordered (column → (type, values)). The STUB storage layer:
+    * a real implementation maps these to libhdf5 dataset reads. */
+  private val store =
+    new TrieMap[String, Seq[(String, (DataType, IndexedSeq[Any]))]]()
+  /** datasets opened since last `resetOpened` — lets specs assert that
+    * pruned columns are never read. */
+  val opened = new TrieMap[String, Unit]()
+
+  def put(path: String,
+          cols: Seq[(String, (DataType, IndexedSeq[Any]))]): Unit = {
+    val lens = cols.map(_._2._2.size).distinct
+    require(lens.size <= 1, s"ragged column datasets: $lens")
+    store.put(path, cols)
+  }
+  def get(path: String): Option[Seq[(String, (DataType, IndexedSeq[Any]))]] =
+    store.get(path)
+  def drop(path: String): Unit = store.remove(path)
+  def read(path: String, column: String): (DataType, IndexedSeq[Any]) = {
+    opened.put(s"$path/$column", ())
+    store.getOrElse(path, throw new IllegalArgumentException(
+      s"no HDF5 container at $path (in-memory stub store; a native " +
+        "libhdf5 reader replaces Hdf5Store)"))
+      .find(_._1 == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no dataset /$column in $path"))._2
+  }
+  def rowCount(path: String): Long =
+    store.get(path).flatMap(_.headOption.map(_._2._2.size.toLong)).getOrElse(0L)
+  def resetOpened(): Unit = opened.clear()
+}
+
+/** `spark.read.format("graft.sources.hdf5")` resolves here. */
+class DefaultSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "hdf5"
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "hdf5 source requires option(\"path\", ...)")
+    p
+  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Hdf5Store.get(path(options)) match {
+      case Some(cols) =>
+        StructType(cols.map { case (n, (t, _)) => StructField(n, t) })
+      case None => new StructType() // write to a fresh path: schema from DF
+    }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new Hdf5Table(properties.get("path"), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class Hdf5Table(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"hdf5:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Hdf5ScanBuilder(path, tableSchema, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new Hdf5WriteBuilder(path, info.schema())
+}
+
+/** Column pruning at dataset granularity: Spark hands us the required
+  * schema; only those datasets are ever opened. */
+class Hdf5ScanBuilder(path: String, full: StructType,
+                      options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Hdf5Scan(path, required,
+    math.max(1, options.getInt("partitions", 4)))
+}
+
+class Hdf5Scan(path: String, required: StructType, partitions: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // 1-D block distribution: contiguous disjoint row ranges, one per
+  // partition (cgen emits start=rank*n/nranks, end=(rank+1)*n/nranks).
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = Hdf5Store.rowCount(path)
+    (0 until partitions)
+      .map(p => Hdf5Partition(path, (p * n) / partitions, ((p + 1) * n) / partitions))
+      .filter(h => h.end > h.start)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Hdf5ReaderFactory(required)
+}
+
+case class Hdf5Partition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+class Hdf5ReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[Hdf5Partition]
+    new PartitionReader[InternalRow] {
+      // open exactly the pruned datasets, once per partition
+      private val cols: Array[IndexedSeq[Any]] =
+        required.fields.map(f => Hdf5Store.read(p.path, f.name)._2)
+      private var i = p.start
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (i >= p.end) return false
+        val vals = new Array[Any](cols.length)
+        var c = 0
+        while (c < cols.length) {
+          vals(c) = cols(c)(i.toInt) match {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+          c += 1
+        }
+        row = new GenericInternalRow(vals)
+        i += 1
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class Hdf5WriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new Hdf5BatchWrite(path, schema, doTruncate)
+  }
+}
+
+/** Per-partition block writers; the driver commits blocks in partition
+  * order, preserving the global row order of the incoming partitions
+  * (the reference writes each rank's contiguous block at its prefix-sum
+  * offset — same layout, different transport). */
+class Hdf5BatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new Hdf5WriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val blocks = messages.map(_.asInstanceOf[Hdf5Block]).sortBy(_.partitionId)
+    val existing =
+      if (truncate) None else Hdf5Store.get(path)
+    val appended = schema.fields.zipWithIndex.map { case (f, c) =>
+      val fresh: IndexedSeq[Any] =
+        blocks.flatMap(_.columns(c)).toIndexedSeq
+      val prior = existing.flatMap(_.find(_._1 == f.name))
+        .map(_._2._2).getOrElse(IndexedSeq.empty)
+      f.name -> (f.dataType -> (prior ++ fresh))
+    }.toSeq
+    Hdf5Store.put(path, appended)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class Hdf5Block(partitionId: Int, columns: Array[Array[Any]])
+    extends WriterCommitMessage
+
+class Hdf5WriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val bufs =
+        Array.fill(schema.length)(scala.collection.mutable.ArrayBuffer[Any]())
+      override def write(record: InternalRow): Unit = {
+        var c = 0
+        while (c < schema.length) {
+          bufs(c) += (if (record.isNullAt(c)) null
+            else schema(c).dataType match {
+              case LongType    => record.getLong(c)
+              case IntegerType => record.getInt(c)
+              case DoubleType  => record.getDouble(c)
+              case FloatType   => record.getFloat(c)
+              case StringType  => record.getUTF8String(c).toString
+              case BooleanType => record.getBoolean(c)
+              case t => throw new UnsupportedOperationException(
+                s"hdf5 sink: unsupported column type $t")
+            })
+          c += 1
+        }
+      }
+      override def commit(): WriterCommitMessage =
+        Hdf5Block(partitionId, bufs.map(_.toArray))
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
