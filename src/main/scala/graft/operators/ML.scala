@@ -184,6 +184,34 @@ object ML {
         col(m.getPredictionCol).cast("int").as("prediction"))
   }
 
+  /** Engine-native Gaussian Naive Bayes FIT — the DAAL-bridge topology
+    * (local partials → gather → master finalize) as one distributed
+    * aggregate: per (class, dim), count + exact-decimal Σv and Σv² (so
+    * the sufficient statistics are independent of partition/summation
+    * order), then the fixed double op sequence mean = s/n,
+    * var = ss/n − (s/n)², prior = n/total. Deterministic and
+    * DuckDB-oracle-checkable, unlike the float-accumulating library
+    * path ([[naiveBayes]], kept for the per-row prediction surface).
+    * Returns (y, dim, prior, mean, variance) rounded to 6dp — the
+    * variance subtraction cancels a few digits, so ulp-level agreement
+    * through the cancellation is not asserted (same rationale as
+    * [[olsExact]]). */
+  def naiveBayesExact(df: DataFrame, features: String, label: String): DataFrame = {
+    val pts = df.select(col(label).cast("int").as("y"),
+      col(features).cast("array<double>").as("x"))
+    val total = pts.count().toDouble // O(1) driver scalar for the prior
+    pts.select(col("y"), posexplode(col("x")).as(Seq("dim", "v")))
+      .groupBy(col("y"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(27,18)")).cast("double").as("s"),
+        sum((col("v") * col("v")).cast("decimal(27,18)")).cast("double").as("ss"))
+      .select(col("y"), col("dim"),
+        round(col("n") / lit(total), 6).as("prior"),
+        round(col("s") / col("n"), 6).as("mean"),
+        round(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")), 6)
+          .as("variance"))
+  }
+
   /** The reference's flagship iterative pattern
     * (examples/logistic_regression.jl:35-47): batch gradient descent,
     * w replicated, one gradient-reduce per iteration. Here: features

@@ -46,6 +46,15 @@ object MLQueries {
       ML.naiveBayes(Tables.load(s, dir, "embeddings"),
         "embedding", "label", "vec_id")),
 
+    // Engine-native Gaussian NB fit: exact-decimal sufficient
+    // statistics → (prior, mean, variance) per (class, dim),
+    // oracle-exact (the library path above stays rows-only: spark.ml
+    // accumulates in floats, so its params are summation-order noise
+    // at the ulp level).
+    "q_ml_nb_native" -> ((s, dir) =>
+      ML.naiveBayesExact(Tables.load(s, dir, "embeddings"),
+        "embedding", "label")),
+
     // Monte-Carlo Pi (reference README.md:88-105 benchmark): a pure
     // generated-parfor + reduction, no table input. The point stream is
     // a deterministic 31-bit LCG with an xor-shift mix (a plain affine
@@ -164,6 +173,26 @@ object MLQueries {
 
   val oracles: Map[String, String] = Map(
     "q_ml_kmeans_native" -> kmeansNativeOracle(k = 8, iters = 5, dim = 64),
+
+    // Same op order as naiveBayesExact: decimal-exact s/ss, then
+    // mean = s/n, var = ss/n - (s/n)^2, prior = n/total, ROUND 6dp.
+    "q_ml_nb_native" ->
+      """WITH pts AS (
+        | SELECT CAST(label AS INT) AS y,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        | FROM embeddings),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM pts),
+        |st AS (
+        | SELECT y, dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(x[dim] AS DECIMAL(27,18))) AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(x[dim] * x[dim] AS DECIMAL(27,18))) AS DOUBLE) AS ss
+        | FROM pts, range(1, 65) r(dim) GROUP BY y, dim)
+        |SELECT y, CAST(dim - 1 AS INT) AS dim,
+        | ROUND(n / t, 6) AS prior,
+        | ROUND(s / n, 6) AS mean,
+        | ROUND(ss / n - (s / n) * (s / n), 6) AS variance
+        |FROM st, tot""".stripMargin,
     "q_ml_logreg" -> logregOracle(iters = 5, dim = 64, lr = 0.5),
 
     "q_pi_mc" ->

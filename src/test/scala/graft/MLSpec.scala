@@ -73,6 +73,21 @@ class MLSpec extends SparkSpec {
     assert(acc == 1.0)
   }
 
+  test("naiveBayesExact: hand-computed priors/means/variances") {
+    import spark.implicits._
+    // class 0: x1 ∈ {1, 3} → mean 2, var 1; class 1: x1 ∈ {6} → var 0
+    val df = Seq(
+      (1L, Seq(1.0, 10.0), 0), (2L, Seq(3.0, 10.0), 0),
+      (3L, Seq(6.0, -2.0), 1)).toDF("vec_id", "embedding", "label")
+    val got = ML.naiveBayesExact(df, "embedding", "label")
+      .orderBy("y", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0, 0, 0.666667, 2.0, 1.0), (0, 1, 0.666667, 10.0, 0.0),
+      (1, 0, 0.333333, 6.0, 0.0), (1, 1, 0.333333, -2.0, 0.0)))
+  }
+
   test("logisticRegression learns a separating direction") {
     import spark.implicits._
     val rows = (1 to 40).map(i => (Seq(1.0, 0.5 + (i % 7) * 0.01), 1.0)) ++
