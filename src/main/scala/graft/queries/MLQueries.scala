@@ -102,6 +102,18 @@ object MLQueries {
     * decimal-exact component sum, cast to double, by the count), so the
     * compare is bit-exact. */
   private def kmeansNativeOracle(k: Int, iters: Int, dim: Int): String = {
+    s"""WITH ${kmeansCtePrefix(k, iters, dim)}
+       |SELECT c.cell AS cluster, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS size
+       |FROM c$iters c LEFT JOIN (
+       | SELECT cell, COUNT(*) AS cnt FROM a${iters + 1} GROUP BY cell) n
+       | ON c.cell = n.cell""".stripMargin
+  }
+
+  /** The kmeansLloyd CTE chain (everything after `WITH `): `pts`, `c0`,
+    * `a1..a$iters`/`c1..c$iters`, and the final full-corpus assignment
+    * `a${iters+1}` under `c$iters`. Shared by the k-means oracle and
+    * the IVF oracle (whose index build IS this k-means). */
+  private[queries] def kmeansCtePrefix(k: Int, iters: Int, dim: Int): String = {
     def dist(x: String, c: String) =
       s"""list_reduce(list_transform(list_zip($x, $c),
          | p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
@@ -128,17 +140,13 @@ object MLQueries {
          | SELECT cell, c FROM c${i - 1}
          | WHERE cell NOT IN (SELECT cell FROM a$i))""".stripMargin
     val steps = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
-    s"""WITH pts AS (SELECT vec_id, embedding AS x FROM embeddings),
+    s"""pts AS (SELECT vec_id, embedding AS x FROM embeddings),
        |c0 AS (
        | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
        | FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k) t),
        |${steps.mkString(",\n")},
-       |${assign(iters + 1)}
-       |SELECT c.cell AS cluster, CAST(COALESCE(n.cnt, 0) AS BIGINT) AS size
-       |FROM c$iters c LEFT JOIN (
-       | SELECT cell, COUNT(*) AS cnt FROM a${iters + 1} GROUP BY cell) n
-       | ON c.cell = n.cell""".stripMargin
+       |${assign(iters + 1)}""".stripMargin
   }
 
   /** DuckDB mirror of [[ML.logisticRegression]] unrolled: per iteration

@@ -24,8 +24,11 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10)
     }),
 
-    // IVF (k-means cells, nprobe=4) approximate top-10 — no oracle
-    // (approximate by design); recall measured in SimilaritySpec.
+    // IVF (k-means cells, nprobe=4) approximate top-10. Approximate vs
+    // the TRUE top-k (recall floor in SimilaritySpec), but fully
+    // deterministic as a computation — the DuckDB oracle replays the
+    // whole pipeline (Lloyd index build, position-indexed cells, probe
+    // ranking, exact cosine inside probed cells) and hash-matches.
     // Build/probe split: the index is built once per (corpus, params)
     // via the process-level cache and every subsequent invocation —
     // notably each timed bench rep — pays probe cost only, which is the
@@ -54,6 +57,36 @@ object SimilarityQueries {
          |s AS (SELECT query_id, e.vec_id AS neighbor_id,
          |  ${cosSql("qv", "e.embedding")} AS cos
          | FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         | SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         | FROM s) WHERE rank <= 10""".stripMargin,
+
+    // Mirror of cachedIvfIndex(nCells=16, 5 Lloyd iters) + probeIvf
+    // (nprobe=4, k=10): the index build reuses the exact k-means CTE
+    // chain that q_ml_kmeans_native already hash-matches; cells are the
+    // final centroids c5, the corpus assignment is a6, the probe pick
+    // is (ccos DESC, cell ASC) row_number <= nprobe, and the in-cell
+    // scoring + top-k tie-breaks match q_ann_brute.
+    "q_ann_ivf" ->
+      s"""WITH ${MLQueries.kmeansCtePrefix(k = 16, iters = 5, dim = 64)},
+         |cells AS (SELECT cell, c FROM c5),
+         |q AS (SELECT vec_id AS query_id,
+         |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 16),
+         |probes AS (
+         | SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, cells.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cells.c")} DESC, cells.cell ASC)
+         |    AS prank
+         |  FROM q, cells) t WHERE prank <= 4),
+         |s AS (
+         | SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  ${cosSql("p.qv", "a.x")} AS cos
+         | FROM a6 a JOIN probes p
+         |  ON a.cell = p.cell AND a.vec_id <> p.query_id)
          |SELECT query_id, neighbor_id, rank, cos FROM (
          | SELECT query_id, neighbor_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
