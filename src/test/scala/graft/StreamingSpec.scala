@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{Sessionize, StreamDedup, WindowAgg}
+import graft.streaming.{Sessionize, StreamDedup, StreamJoin, WindowAgg}
 
 /** Structured Streaming sessionization: the same operator that passes
   * the batch DuckDB oracle, driven incrementally from a MemoryStream
@@ -165,6 +165,51 @@ class StreamingSpec extends SparkSpec {
       input.addData(rows: _*)
       q.processAllAvailable()
       val got = spark.table("winagg").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join agrees with batch rangeJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mins = 60L * 1000000L
+    // purchases (left) matched to clicks (right) within ±30 min per user
+    val purchases = Seq((1L, 100L, 60 * mins), (1L, 101L, 200 * mins),
+      (2L, 102L, 45 * mins), (3L, 103L, 10 * mins))
+    val clicks = Seq((1L, 900L, 40 * mins), (1L, 901L, 85 * mins),
+      (1L, 902L, 175 * mins), (2L, 903L, 46 * mins), (9L, 904L, 45 * mins))
+    val batch = graft.operators.Series.rangeJoin(
+      purchases.toDF("user_id", "p_id", "ts_us"),
+      clicks.toDF("user_id", "c_id", "ts_us"),
+      "user_id", "ts_us", delta = 30 * mins, payload = Seq("c_id"))
+      .select("user_id", "p_id", "r_c_id")
+      .collect().map(_.toSeq).toSet
+    assert(batch.contains(Seq(1L, 100L, 900L)))  // 60' ↔ 40'
+    assert(!batch.exists(r => r == Seq(1L, 101L, 901L))) // 200' ↔ 85' out
+
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    val joined = StreamJoin.intervalStreaming(
+      lIn.toDF().toDF("user_id", "p_id", "ts_us"),
+      rIn.toDF().toDF("user_id", "c_id", "ts_us"),
+      "user_id", "ts_us", deltaUs = 30 * mins,
+      payload = Seq("c_id"), watermark = "10 minutes")
+      .select("user_id", "p_id", "r_c_id")
+    val q = joined.writeStream.format("memory")
+      .queryName("sjoin").outputMode("append").start()
+    try {
+      // two triggers, event time moving forward (arrival later than
+      // watermark + delta is legitimately dropped by contract, so the
+      // agreement test feeds in-order batches); matches spanning the
+      // trigger boundary (60' purchase ↔ 85' click) must still appear
+      lIn.addData((3L, 103L, 10 * mins), (2L, 102L, 45 * mins))
+      rIn.addData((1L, 900L, 40 * mins), (2L, 903L, 46 * mins))
+      q.processAllAvailable()
+      lIn.addData((1L, 100L, 60 * mins), (1L, 101L, 200 * mins))
+      rIn.addData((1L, 901L, 85 * mins), (1L, 902L, 175 * mins),
+        (9L, 904L, 45 * mins))
+      q.processAllAvailable()
+      val got = spark.table("sjoin").collect().map(_.toSeq).toSet
       assert(got == batch)
     } finally q.stop()
   }
