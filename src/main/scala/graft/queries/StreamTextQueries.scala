@@ -68,6 +68,35 @@ object StreamTextQueries {
       """SELECT user_id AS k, MIN(epoch_ns(ts) // 1000) AS first_ts
         |FROM events GROUP BY user_id""".stripMargin,
 
+    // The STUB decode is deterministic mod-2^64 arithmetic, so it is
+    // fully mirrorable in HUGEINT: resize truncates the payload to
+    // 64*64*3 bytes; the byte fold is (31h + b) mod 2^64 seeded at
+    // 1125899906842597 (fixture text is ASCII, so ord(char) == byte and
+    // Java's signed bytes are 0..127); f0 takes ONE LCG step, then
+    // (h >>> 40)/2^23 - 1 — a <=24-significant-bit value, exact in
+    // float and double alike, so computing in double and casting to
+    // REAL is bit-identical to Spark's float op sequence.
+    "q_mm_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    substr(text, 1, least(length(text), 12288)) AS payload
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT media_id, list_reduce(
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(1, length(payload) + 1),
+        |        i -> CAST(ord(substr(payload, i, 1)) AS HUGEINT))),
+        |    (acc, b) -> (31 * acc + b) % 18446744073709551616::HUGEINT) AS h
+        |  FROM m),
+        |h1 AS (
+        |  SELECT media_id,
+        |    (h * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS h
+        |  FROM h0)
+        |SELECT media_id, CAST(16 AS INT) AS dim,
+        |  CAST((h // 1099511627776::HUGEINT) / 8388608.0 - 1.0 AS REAL) AS f0
+        |FROM h1""".stripMargin,
+
     // asMedia: n_frames = length % 16 + 1; sampleFrames: frameLen =
     // greatest(length // n_frames, 1), frame i = substr(i*fl+1, fl),
     // keep i % 2 = 0 (fixture text is ASCII: char ops == byte ops).
