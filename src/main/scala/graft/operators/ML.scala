@@ -93,18 +93,23 @@ object ML {
       // Exact-decimal component sums (the olsExact trick): the update
       // is then independent of partition/summation order, so the whole
       // 5-iteration run is bit-reproducible and DuckDB-oracle-checkable
-      // (q_ml_kmeans_native unrolls these iterations as CTEs).
+      // (q_ml_kmeans_native unrolls these iterations as CTEs). The
+      // whole-vector native aggregate ([[graft.functions
+      // .VectorExactSum]], same per-element decimal(27,18) rounding in
+      // 128-bit fixed point) sums all dims in one pass — no
+      // |rows|·dim posexplode, and the shuffle carries one 2·dim-long
+      // row per cell per partition.
       val sums = assigned(centroids)
-        .select(col("cell"), posexplode(col("x")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("v").cast("decimal(27,18)")).cast("double").as("s"),
+        .groupBy(col("cell"))
+        .agg(graft.functions.ExactSumFunctions.exactVectorSum(col("x")).as("s"),
           count(lit(1)).as("n"))
         .collect()
-      val byCell = sums.groupBy(_.getInt(0))
+      val byCell = sums.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { cell =>
         byCell.get(cell) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case Some(r) =>
+            val n = r.getLong(2)
+            r.getSeq[Double](1).map(_ / n).toArray
           case None => centroids(cell) // empty cell keeps its centroid
         }
       }.toArray
@@ -200,11 +205,18 @@ object ML {
     val pts = df.select(col(label).cast("int").as("y"),
       col(features).cast("array<double>").as("x"))
     val total = pts.count().toDouble // O(1) driver scalar for the prior
-    pts.select(col("y"), posexplode(col("x")).as(Seq("dim", "v")))
-      .groupBy(col("y"), col("dim"))
+    // Whole-vector native exact sums (Σv, Σv² per dim in one pass,
+    // no |rows|·dim explode); per-element v·v stays a double product
+    // before rounding, as before.
+    pts.groupBy(col("y"))
       .agg(count(lit(1)).as("n"),
-        sum(col("v").cast("decimal(27,18)")).cast("double").as("s"),
-        sum((col("v") * col("v")).cast("decimal(27,18)")).cast("double").as("ss"))
+        graft.functions.ExactSumFunctions.exactVectorSum(col("x")).as("sv"),
+        graft.functions.ExactSumFunctions
+          .exactVectorSum(transform(col("x"), v => v * v)).as("ssv"))
+      .select(col("y"), col("n"),
+        posexplode(arrays_zip(col("sv"), col("ssv"))).as(Seq("dim", "z")))
+      .select(col("y"), col("dim"), col("n"),
+        col("z.sv").as("s"), col("z.ssv").as("ss"))
       .select(col("y"), col("dim"),
         round(col("n") / lit(total), 6).as("prior"),
         round(col("s") / col("n"), 6).as("mean"),
@@ -244,12 +256,16 @@ object ML {
       // Per-row products stay double (deterministic per row); the
       // cross-row sum is exact decimal so the gradient — and therefore
       // the whole descent trajectory — is independent of partition
-      // order and engine summation order (oracle-checkable).
+      // order and engine summation order (oracle-checkable). One
+      // native whole-vector exact sum replaces D separate
+      // Decimal-buffered aggregates (same per-element rounding, same
+      // result bits — ExactSumSpec).
       val grad = data.crossJoin(broadcast(wDf))
         .select(col("x"), err)
-        .agg(array((0 until dim).map(j =>
-          sum((element_at(col("x"), j + 1) * col("err"))
-            .cast("decimal(27,18)")).cast("double")): _*).as("grad"))
+        .select(array((0 until dim).map(j =>
+          element_at(col("x"), j + 1) * col("err")): _*).as("p"))
+        .agg(graft.functions.ExactSumFunctions.exactVectorSum(col("p"))
+          .as("grad"))
         .head().getSeq[Double](0)
       w = w.zip(grad).map { case (wi, gi) => wi - lr * gi / n }
     }
