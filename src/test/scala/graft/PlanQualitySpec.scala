@@ -50,6 +50,37 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("stencil windows are per-partition, never a global sort") {
+    // The radius-r stencil's lag/lead windows must all be keyed by the
+    // partition id — a Window.orderBy with no partitionBy collapses the
+    // whole table into one task, the shape the halo exchange exists to
+    // avoid.
+    // the stencil returns a materialized (cached) result, so the real
+    // plan lives inside the InMemoryRelation's cached physical plan,
+    // behind AQE wrapper nodes (leaf-like: unwrap explicitly)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case qs: QueryStageExec => allNodes(qs.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val q = SparkEntry.queries("q_stencil5")(spark, sf)
+    try {
+      val cached = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan }
+      val windows = (q.queryExecution.executedPlan +: cached)
+        .flatMap(allNodes).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"global (unpartitioned) window in stencil plan:\n$w")
+      }
+    } finally q.unpersist()
+  }
+
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
