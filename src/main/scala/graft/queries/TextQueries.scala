@@ -80,6 +80,31 @@ object TextQueries {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       d.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_cnt"))
+    }),
+
+    // The composed training-data pipeline — the end-to-end shape the
+    // individual operators exist for: language-ID gate (predicted ==
+    // labeled), quality gate, exact near-dup removal (content-
+    // fingerprint keepers), then the per-language corpus budget. One
+    // declarative plan: the gates are codegen'd column expressions in
+    // the scan stage, dedup is one hash groupBy, and only (doc_id)
+    // survivors join back — Catalyst pipelines the whole thing with two
+    // shuffles (fingerprint groupBy + final aggregate).
+    "q_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val filtered = docs
+        .withColumn("pred_lang", Text.langId(col("text")))
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .filter(col("quality") > 0.3)
+      val keepers = graft.operators.Dedup
+        .exactKeepers(filtered, "doc_id", "text").select("doc_id")
+      filtered.join(keepers, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum((col("pred_lang") === col("lang")).cast("long"))
+            .as("n_lang_agree"))
     })
   )
 
@@ -147,6 +172,40 @@ object TextQueries {
     "q_fingerprint" ->
       s"""SELECT md5(array_to_string($toks, ' ')) AS fp,
          | MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt
-         |FROM documents GROUP BY 1""".stripMargin
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Composed pipeline: lang-ID gate == q_lang_id's CASE, quality
+    // gate == q_text_quality's formula, keepers == q_dedup_exact's
+    // MIN(doc_id) per fingerprint, then the per-language budget.
+    "q_pipeline" -> {
+      val scores = Text.langStopwords.map { case (l, ws) => l -> hits(ws) }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, h) => s"WHEN $h = $best THEN '$l'" }
+      val digit =
+        """CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)"""
+      val punct =
+        """CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)"""
+      val quality =
+        s"""0.4 * (CAST($stopHits AS DOUBLE) / len($toks))
+           | + 0.3 * (1.0 - $digit) + 0.3 * (1.0 - $punct)""".stripMargin
+      s"""WITH lid AS (
+         | SELECT doc_id, lang, text,
+         |  CASE WHEN $best <= 0 THEN 'und'
+         |   ${cases.mkString("\n   ")}
+         |   ELSE 'und' END AS pred_lang
+         | FROM documents),
+         |fl AS (
+         | SELECT doc_id, lang, text, pred_lang FROM lid
+         | WHERE ($quality) > 0.3),
+         |keep AS (
+         | SELECT MIN(doc_id) AS doc_id FROM fl
+         | GROUP BY md5(array_to_string($toks, ' ')))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(len($toks)) AS BIGINT) AS n_tokens,
+         | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         | CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_lang_agree
+         |FROM fl JOIN keep USING (doc_id) GROUP BY lang""".stripMargin
+    }
   )
 }
