@@ -39,4 +39,31 @@ class SimilaritySpec extends SparkSpec {
     // every IVF result set still has k rows per query
     assert(approx.size == exact.size)
   }
+
+  test("IVF index round-trips through parquet: saved index probes identically") {
+    // The 100 TB contract: build once, write the index, probe many
+    // times from storage. assigned is partitioned by cell on disk so a
+    // probe reads only its cells' files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val built = Similarity.buildIvfIndex(e, "vec_id", "embedding", nCells = 8)
+    val fresh = Similarity.probeIvf(built, q, "vec_id", "embedding", 10, 4)
+      .collect().map(_.toSeq).toSet
+
+    built.assigned.write.partitionBy("cell").parquet(s"$dir/assigned")
+    built.centroids.write.parquet(s"$dir/centroids")
+    built.release()
+
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val loaded = Similarity.IvfIndex(
+      spark.read.parquet(s"$dir/assigned"),
+      org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(s"$dir/centroids")),
+      cents.map(_._2.toArray))
+    val reloaded = Similarity.probeIvf(loaded, q, "vec_id", "embedding", 10, 4)
+      .collect().map(_.toSeq).toSet
+    assert(reloaded == fresh)
+  }
 }
