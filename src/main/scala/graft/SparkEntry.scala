@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{BasketQueries, DedupQueries, MLQueries,
-  RelationalQueries, SampleQueries, SeriesQueries, SimilarityQueries,
-  SourceQueries, StreamTextQueries, TextQueries}
+import graft.queries.{BasketQueries, DedupQueries, LinalgQueries,
+  MLQueries, RelationalQueries, SampleQueries, SearchQueries,
+  SeriesQueries, SimilarityQueries, SourceQueries, StreamTextQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -23,7 +24,8 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MLQueries.queries ++
       StreamTextQueries.queries ++ SourceQueries.queries ++
-      SampleQueries.queries ++ BasketQueries.queries
+      SampleQueries.queries ++ BasketQueries.queries ++
+      LinalgQueries.queries ++ SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +34,6 @@ object SparkEntry {
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ MLQueries.oracles ++
       StreamTextQueries.oracles ++ SourceQueries.oracles ++
-      SampleQueries.oracles ++ BasketQueries.oracles
+      SampleQueries.oracles ++ BasketQueries.oracles ++
+      LinalgQueries.oracles ++ SearchQueries.oracles
 }

@@ -105,6 +105,13 @@ object Text {
   def fingerprint64(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))
 
+  /** Fraction of tokens that are repeats of an earlier token —
+    * `1 − |distinct|/|tokens|`, the Gopher-style within-document
+    * repetition signal (repetitious boilerplate scores high). Pure
+    * O(len) array expression, rides in the scan stage. */
+  def dupTokenFraction(ts: Column): Column =
+    lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts)
+
   /** Word k-shingles from an ALREADY-MATERIALIZED token-array column.
     * Pipelines must stage tokenization as its own projection first:
     * higher-order-function lambdas are interpreted without common

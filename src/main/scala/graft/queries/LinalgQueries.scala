@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Gemm
+
+/** Distributed blocked GEMM queries (reference §2.8 GEMM patterns /
+  * 2-D ScaLAPACK path, src/distributed-pass.jl:489-610). Every
+  * multiplication is a correctly-rounded double op with a DuckDB
+  * mirror of the identical op order, and all cross-block combining is
+  * the exact-decimal vector sum (partition-order-free); outputs round
+  * to 6dp because the engines' double→decimal casts disagree in the
+  * 18th fractional digit (see Gemm.gram scaladoc).
+  */
+object LinalgQueries {
+
+  private val bs = 16
+  private val dim = 64
+
+  /** embeddings as COO: (vec_id, dim, value) — the X matrix, n×64. */
+  private def xCoo(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id").as("i"),
+        posexplode(transform(col("embedding"), v => v.cast("double")))
+          .as(Seq("j", "v")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gram matrix XᵀX of the embedding corpus via per-row blocked
+    // outer products + exact vector sum — the gemm-reduce pattern.
+    // Output rounded to 6dp: the engines' double→decimal(27,18) casts
+    // round differently in the 18th fractional digit (shortest-repr
+    // HALF_UP vs binary-value round-nearest), so per-product 1e-18
+    // deltas accumulate to ~1e-15 at fixture scale — real, bounded,
+    // and invisible at 6dp (same convention as every decimal-sum
+    // oracle in MLQueries).
+    "q_gemm_gram" -> ((s, dir) =>
+      Gemm.gram(Tables.load(s, dir, "embeddings"), "embedding", dim, bs)
+        .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
+
+    // General 2-D blocked multiply: C = X·W where W is the 64×64
+    // matrix of the first 64 embedding rows. X goes through
+    // COO→blocks, the SUMMA-shaped join/aggregate multiply, and
+    // blocks→COO; padding cells from the last partial block row are
+    // trimmed by a semi-join against the real row ids.
+    "q_gemm_multiply" -> ((s, dir) => {
+      val x = xCoo(s, dir)
+      val w = x.filter(col("i") < dim)
+        // W's row index is X's column index space already (0..63).
+        .select(col("i"), col("j"), col("v"))
+      val c = Gemm.multiplyBlocked(
+        Gemm.toBlocks(x, bs), Gemm.toBlocks(w, bs), bs)
+      Gemm.blocksToCoo(c, bs)
+        .join(broadcast(x.select(col("i")).distinct()), Seq("i"), "left_semi")
+        .select(col("i"), col("j"), round(col("v"), 6).as("v"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Exact mirror: each cell is the exact decimal sum of the
+    // correctly-rounded double products x[i]·x[j] over all rows —
+    // order-free, so plain SUM reproduces the engine bit-for-bit.
+    "q_gemm_gram" ->
+      s"""WITH pts AS (
+         | SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+         | FROM embeddings)
+         |SELECT CAST(di - 1 AS INT) AS i, CAST(dj - 1 AS INT) AS j,
+         | ROUND(CAST(SUM(CAST(x[di] * x[dj] AS DECIMAL(27,18))) AS DOUBLE),
+         |   6) AS val
+         |FROM pts, range(1, ${dim + 1}) r1(di), range(1, ${dim + 1}) r2(dj)
+         |GROUP BY di, dj""".stripMargin,
+
+    // Mirror of multiplyBlocked's op order: within an inner block the
+    // kernel folds the $bs products in ascending k with a 0.0 seed
+    // (list_reduce over the k-ordered term list); across inner blocks
+    // the partials combine with the exact decimal sum.
+    "q_gemm_multiply" ->
+      s"""WITH xe AS (
+         | SELECT vec_id AS i, CAST(dim - 1 AS BIGINT) AS j,
+         |  CAST(embedding[dim] AS DOUBLE) AS v
+         | FROM embeddings, range(1, ${dim + 1}) r(dim)),
+         |we AS (SELECT i, j, v FROM xe WHERE i < $dim),
+         |terms AS (
+         | SELECT a.i AS i, b.j AS j, a.j // $bs AS kb, a.j AS k,
+         |  a.v * b.v AS t
+         | FROM xe a JOIN we b ON a.j = b.i),
+         |partials AS (
+         | SELECT i, j, kb,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(t ORDER BY k)), (acc, e) -> acc + e) AS p
+         | FROM terms GROUP BY i, j, kb)
+         |SELECT i, j,
+         | ROUND(CAST(SUM(CAST(p AS DECIMAL(27,18))) AS DOUBLE), 6) AS v
+         |FROM partials GROUP BY i, j""".stripMargin
+  )
+}

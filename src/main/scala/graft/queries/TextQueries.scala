@@ -82,6 +82,30 @@ object TextQueries {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_cnt"))
     }),
 
+    // Within-document repetition signals (the Gopher/MassiveText
+    // repetition filters, token flavor): duplicate-token fraction is a
+    // pure scan-stage array expression; the top-bigram share explodes
+    // bigrams and aggregates (doc, bigram) — shuffle keyed by doc+gram,
+    // cost linear in corpus tokens, never quadratic in document length.
+    // Docs below 2 tokens have no bigram row (inner join semantics).
+    "q_repetition" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      val perDoc = toks.select(col("doc_id"),
+        Text.dupTokenFraction(col("ts")).as("dup_token_frac"))
+      val topBigram = toks
+        .select(col("doc_id"),
+          explode(Text.shinglesOfTokens(col("ts"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c")))
+          .as("top_bigram_frac"))
+      perDoc.join(topBigram, "doc_id")
+        .withColumn("keep",
+          (col("dup_token_frac") < 0.9 && col("top_bigram_frac") < 0.18)
+            .cast("int"))
+    }),
+
     // The composed training-data pipeline — the end-to-end shape the
     // individual operators exist for: language-ID gate (predicted ==
     // labeled), quality gate, exact near-dup removal (content-
@@ -173,6 +197,24 @@ object TextQueries {
       s"""SELECT md5(array_to_string($toks, ' ')) AS fp,
          | MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ts FROM documents),
+         |big AS (
+         | SELECT doc_id, bg, COUNT(*) AS c FROM (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg FROM (
+         |   SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tt) u) b
+         | GROUP BY doc_id, bg),
+         |tb AS (
+         | SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+         | FROM big GROUP BY doc_id)
+         |SELECT t.doc_id,
+         | 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+         |   AS dup_token_frac,
+         | tb.top_bigram_frac,
+         | CAST((1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) < 0.9
+         |   AND tb.top_bigram_frac < 0.18 AS INT) AS keep
+         |FROM tt t JOIN tb ON t.doc_id = tb.doc_id""".stripMargin,
 
     // Composed pipeline: lang-ID gate == q_lang_id's CASE, quality
     // gate == q_text_quality's formula, keepers == q_dedup_exact's

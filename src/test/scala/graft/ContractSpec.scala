@@ -15,7 +15,8 @@ class ContractSpec extends SparkSpec {
       graft.queries.TextQueries.queries, graft.queries.DedupQueries.queries,
       graft.queries.SimilarityQueries.queries, graft.queries.MLQueries.queries,
       graft.queries.StreamTextQueries.queries, graft.queries.SourceQueries.queries,
-      graft.queries.SampleQueries.queries, graft.queries.BasketQueries.queries)
+      graft.queries.SampleQueries.queries, graft.queries.BasketQueries.queries,
+      graft.queries.LinalgQueries.queries, graft.queries.SearchQueries.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
