@@ -42,12 +42,27 @@ import graft.functions.ExactSumFunctions
 object Gemm {
 
   /** COO (i, j, v) → dense `bs×bs` blocks (bi, bj, m). Absent cells are
-    * 0; duplicate (i, j) entries are a data error (map_from_entries
-    * throws under the default EXCEPTION dedup policy). Indices are
-    * 0-based. One shuffle, keyed by block coordinate. */
+    * 0; duplicate (i, j) entries are a data error (the scatter throws).
+    * Indices are 0-based. One shuffle, keyed by block coordinate. */
   def toBlocks(coo: DataFrame, bs: Int,
                i: String = "i", j: String = "j",
                v: String = "v"): DataFrame = {
+    // One-pass scatter of the collected (pos, val) entries into the
+    // dense block (duplicate (i,j) entries are a data error). A
+    // map_from_entries + per-cell element_at assembly is O(bs⁴) per
+    // block in interpreted lookups — measurably the dominant cost.
+    val scatter = udf((entries: Seq[org.apache.spark.sql.Row]) => {
+      val out = new Array[Double](bs * bs)
+      val seen = new Array[Boolean](bs * bs)
+      entries.foreach { r =>
+        val p = r.getInt(0)
+        if (seen(p)) throw new IllegalArgumentException(
+          s"duplicate COO entry at block position $p")
+        seen(p) = true
+        out(p) = r.getDouble(1)
+      }
+      out
+    })
     val pos = ((col(i) % bs) * bs + (col(j) % bs)).cast("int")
     coo
       .select(
@@ -55,11 +70,8 @@ object Gemm {
         (col(j).cast("long") / bs).cast("int").as("bj"),
         pos.as("pos"), col(v).cast("double").as("val"))
       .groupBy("bi", "bj")
-      .agg(map_from_entries(collect_list(struct(col("pos"), col("val"))))
-        .as("m0"))
-      .select(col("bi"), col("bj"),
-        transform(sequence(lit(0), lit(bs * bs - 1)),
-          p => coalesce(element_at(col("m0"), p), lit(0.0))).as("m"))
+      .agg(collect_list(struct(col("pos"), col("val"))).as("e"))
+      .select(col("bi"), col("bj"), scatter(col("e")).as("m"))
   }
 
   /** Blocks (bi, bj, m) → COO (i, j, v), all `bs²` cells per block
@@ -137,7 +149,14 @@ object Gemm {
     val blockRows = for { bi <- 0 until nb; bj <- 0 until nb }
       yield struct(lit(bi).as("bi"), lit(bj).as("bj"),
         outerBlock(col("x"), bi, bj).as("p"))
-    df.select(x.as("x"))
+    // Spread rows to all cores before the O(dim²)-per-row projection:
+    // a small single-split input would otherwise run the entire
+    // outer-product + partial-aggregate stage on one task (at 100 TB
+    // the scan has ample splits and this is a cheap row-level
+    // round-robin of the narrow feature column).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    src.select(x.as("x"))
       .select(explode(array(blockRows: _*)).as("b"))
       .select(col("b.bi").as("bi"), col("b.bj").as("bj"), col("b.p").as("p"))
       .groupBy("bi", "bj")
