@@ -140,15 +140,14 @@ object Gemm {
   def gram(df: DataFrame, features: String, dim: Int, bs: Int): DataFrame = {
     require(dim % bs == 0, s"bs=$bs must divide dim=$dim")
     val nb = dim / bs
-    val x = transform(col(features), e => e.cast("double"))
-    def outerBlock(xc: Column, bi: Int, bj: Int): Column = {
-      val si = slice(xc, bi * bs + 1, bs)
-      val sj = slice(xc, bj * bs + 1, bs)
-      flatten(transform(si, xi => transform(sj, xj => xi * xj)))
-    }
+    val x = col(features).cast("array<double>")
+    // native codegen'd per-block outer product (same IEEE multiplies
+    // as the slice+transform HOF form, minus its per-element
+    // interpreted lambda dispatch)
     val blockRows = for { bi <- 0 until nb; bj <- 0 until nb }
       yield struct(lit(bi).as("bi"), lit(bj).as("bj"),
-        outerBlock(col("x"), bi, bj).as("p"))
+        graft.functions.VectorFunctions.outerBlock(col("x"), bi, bj, bs)
+          .as("p"))
     // Spread rows to all cores before the O(dim²)-per-row projection:
     // a small single-split input would otherwise run the entire
     // outer-product + partial-aggregate stage on one task (at 100 TB

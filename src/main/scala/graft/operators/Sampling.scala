@@ -53,6 +53,24 @@ object Sampling {
     }
   }
 
+  /** Per-stratum deterministic sampling — the corpus-mixing primitive:
+    * each stratum (source, language, quality band …) keeps rows at its
+    * own `rates` numerator (1/65536 units); strata absent from `rates`
+    * keep at `defaultNum` (0 = drop). Still a pure per-row codegen'd
+    * predicate in the scan stage — the rate table is a literal
+    * when-chain, not a join — so mixing 100 TB costs one scan. */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       rates: Seq[(String, Int)],
+                       defaultNum: Int = 0): DataFrame = {
+    require(rates.forall(r => r._2 >= 0 && r._2 <= 65536),
+      "rate numerator out of range")
+    val pred = rates.foldRight(below(key, defaultNum)) {
+      case ((s, num), rest) =>
+        when(strata === lit(s), below(key, num)).otherwise(rest)
+    }
+    df.filter(pred)
+  }
+
   /** SQL fragment mirroring [[prefix]] for DuckDB oracles. */
   def prefixSql(keyExpr: String): String =
     s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"

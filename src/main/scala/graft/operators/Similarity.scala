@@ -200,6 +200,27 @@ object Similarity {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
+  /** Symmetric per-vector int8 quantization: `scale = max|v|/127`,
+    * `q_d = floor(v_d/scale + 0.5)` in [-127, 127]. At 100 TB this is
+    * the ANN memory lever — a 4× cut of the resident corpus (int8 vs
+    * float32) with the candidate list re-scored exact afterward; every
+    * op here is correctly-rounded IEEE (abs/max/div/floor — no libm),
+    * so the quantized corpus is bit-identical in any engine. Returns
+    * (id, scale, qvec). Zero vectors quantize to zeros with scale 0. */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val xd = transform(col(vec), v => v.cast("double"))
+    df.select(col(id), xd.as("__x"))
+      .select(col(id),
+        (array_max(transform(col("__x"), v => abs(v))) / lit(127.0))
+          .as("scale"), col("__x"))
+      .select(col(id), col("scale"),
+        when(col("scale") === 0,
+          transform(col("__x"), _ => lit(0)))
+          .otherwise(transform(col("__x"),
+            v => floor(v / col("scale") + lit(0.5)).cast("int")))
+          .as("qvec"))
+  }
+
   def cachedIvfIndex(corpus: => DataFrame, cacheKey: String,
                      id: String, vec: String, nCells: Int = 16): IvfIndex =
     indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",

@@ -26,6 +26,19 @@ object SampleQueries {
           Seq(("test", 6554), ("val", 13108))))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))),
+
+    // Corpus mixing: per-language sampling rates (down-weight the
+    // dominant language, keep the rest whole), then the per-language
+    // doc/char budget actually achieved. The mix predicate is a
+    // codegen'd when-chain in the scan stage — one pass over the
+    // corpus, no join, no shuffle beyond the final small aggregate.
+    "q_mix" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        rates = Seq("en" -> 16384, "de" -> 49152), defaultNum = 65536)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars")))
   )
 
@@ -42,6 +55,15 @@ object SampleQueries {
          |  ELSE 'train' END AS split,
          | CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(SUM(n_chars) AS BIGINT) AS chars
-         |FROM documents GROUP BY 1""".stripMargin
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_mix" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM documents
+         |WHERE CASE WHEN lang = 'en' THEN $pfx < '${"%04x".format(16384)}'
+         |  WHEN lang = 'de' THEN $pfx < '${"%04x".format(49152)}'
+         |  ELSE TRUE END
+         |GROUP BY lang""".stripMargin
   )
 }

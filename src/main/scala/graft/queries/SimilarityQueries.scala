@@ -39,7 +39,12 @@ object SimilarityQueries {
         "vec_id", "embedding", nCells = 16)
       Similarity.probeIvf(idx, e.filter(col("vec_id") < 16),
         "vec_id", "embedding", k = 10, nprobe = 4)
-    })
+    }),
+
+    // Symmetric int8 quantization of the corpus (the 4× ANN memory
+    // lever) — pure IEEE arithmetic, exact oracle.
+    "q_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding"))
   )
 
   private def cosSql(a: String, b: String): String = {
@@ -51,6 +56,21 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_quantize" ->
+      """WITH pts AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        | FROM embeddings),
+        |sc AS (
+        | SELECT vec_id, x,
+        |  list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+        | FROM pts)
+        |SELECT vec_id, scale,
+        | CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+        |  ELSE list_transform(x, v -> CAST(floor(v / scale + 0.5) AS INT))
+        |  END AS qvec
+        |FROM sc""".stripMargin,
+
     "q_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |  FROM embeddings WHERE vec_id < 16),

@@ -55,4 +55,23 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(base.subsetOf(wider))
   }
+
+  test("stratifiedSample keeps per-stratum rates; default drops") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val kept = Sampling.stratifiedSample(df, col("id"), col("s"),
+      rates = Seq("a" -> 65536, "b" -> 6554))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every 'a' row survives; 'b' rows are exactly its hashSample
+    assert(kept.count(_._2 == "a") == 500)
+    val bIds = kept.filter(_._2 == "b").map(_._1).toSet
+    val expectB = Sampling.hashSample(df.filter(col("s") === "b"),
+      col("id"), 6554).collect().map(_.getLong(0)).toSet
+    assert(bIds == expectB)
+    // unknown stratum with defaultNum=0 drops everything
+    val dropped = Sampling.stratifiedSample(df, col("id"), col("s"),
+      rates = Seq("a" -> 65536)).filter(col("s") === "b").count()
+    assert(dropped == 0)
+  }
 }

@@ -66,4 +66,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(reloaded == fresh)
   }
+
+  test("quantizeInt8 bounds values at ±127 and reconstructs within scale/2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector edge
+      (3L, Seq(-0.003f, 0.001f, 0.002f, -0.001f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getSeq[Int](2)))).toMap
+    val (s1, q1) = rows(1L)
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    assert(q1(1) == -127) // the max-|v| component hits the rail
+    // reconstruction error bounded by half a quantization step
+    Seq(0.5, -1.0, 0.25, 0.0).zip(q1).foreach { case (v, q) =>
+      assert(math.abs(v - q * s1) <= s1 / 2 + 1e-12) }
+    val (s2, q2) = rows(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0))
+    val (s3, q3) = rows(3L)
+    assert(q3.max == 127 || q3.min == -127) // scale anchored to max |v|
+    assert(s3 > 0)
+  }
 }
