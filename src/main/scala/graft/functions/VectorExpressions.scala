@@ -265,6 +265,79 @@ case class OuterBlock(child: Expression, bi: Int, bj: Int, bs: Int)
     copy(child = c)
 }
 
+/** Dense `bs×bs` block multiply `X·Y` of two row-major flattened
+  * array<double> blocks — the local BLAS-3 kernel of
+  * [[graft.operators.Gemm.multiplyBlocked]]. Loop order (r, k, c) with
+  * the zero-skip on x[r,k]; for finite inputs the result is identical
+  * to the unskipped fold in ascending k, which is what the DuckDB
+  * oracle mirrors. Codegen'd: no Seq boxing of the (at bs=128)
+  * 16k-element operand arrays that a Scala UDF would pay. */
+case class BlockMultiply(left: Expression, right: Expression, bs: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<double>, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_block_multiply"
+
+  override protected def nullSafeEval(xa: Any, ya: Any): Any = {
+    val x = xa.asInstanceOf[ArrayData]
+    val y = ya.asInstanceOf[ArrayData]
+    val out = new Array[Double](bs * bs)
+    var r = 0
+    while (r < bs) {
+      var k = 0
+      while (k < bs) {
+        val xv = x.getDouble(r * bs + k)
+        if (xv != 0.0) {
+          val rowOff = r * bs; val kOff = k * bs
+          var c = 0
+          while (c < bs) {
+            out(rowOff + c) += xv * y.getDouble(kOff + c)
+            c += 1
+          }
+        }
+        k += 1
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      s"""
+         |double[] $out = new double[${bs * bs}];
+         |for (int $r = 0; $r < $bs; $r++) {
+         |  for (int $k = 0; $k < $bs; $k++) {
+         |    double $xv = $x.getDouble($r * $bs + $k);
+         |    if ($xv != 0.0) {
+         |      for (int $c = 0; $c < $bs; $c++) {
+         |        $out[$r * $bs + $c] += $xv * $y.getDouble($k * $bs + $c);
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BlockMultiply = copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Column-API entry for [[CosineSimilarity]]; accepts array<float>
     * via an explicit (codegen'd, exact) cast. */
@@ -288,4 +361,10 @@ object VectorFunctions {
   def outerBlock(x: Column, bi: Int, bj: Int, bs: Int): Column =
     Bridge.column(OuterBlock(
       Bridge.expression(x.cast("array<double>")), bi, bj, bs))
+
+  /** Column-API entry for [[BlockMultiply]]. */
+  def blockMultiply(x: Column, y: Column, bs: Int): Column =
+    Bridge.column(BlockMultiply(
+      Bridge.expression(x.cast("array<double>")),
+      Bridge.expression(y.cast("array<double>")), bs))
 }

@@ -90,30 +90,10 @@ object Gemm {
     * combine is the exact-decimal vector sum, so C is bit-identical
     * under any partitioning of the inner dimension. */
   def multiplyBlocked(a: DataFrame, b: DataFrame, bs: Int): DataFrame = {
-    val kernel = udf((x: Seq[Double], y: Seq[Double]) => {
-      val out = new Array[Double](bs * bs)
-      var r = 0
-      while (r < bs) {
-        var k = 0
-        while (k < bs) {
-          val xv = x(r * bs + k)
-          if (xv != 0.0) {
-            val rowOff = r * bs; val kOff = k * bs
-            var c = 0
-            while (c < bs) {
-              out(rowOff + c) += xv * y(kOff + c)
-              c += 1
-            }
-          }
-          k += 1
-        }
-        r += 1
-      }
-      out
-    })
     a.as("a").join(b.as("b"), col("a.bj") === col("b.bi"))
       .select(col("a.bi").as("bi"), col("b.bj").as("bj"),
-        kernel(col("a.m"), col("b.m")).as("p"))
+        graft.functions.VectorFunctions
+          .blockMultiply(col("a.m"), col("b.m"), bs).as("p"))
       .groupBy("bi", "bj")
       .agg(ExactSumFunctions.exactVectorSum(col("p")).as("m"))
   }
