@@ -36,9 +36,14 @@ object LinalgQueries {
     // deltas accumulate to ~1e-15 at fixture scale — real, bounded,
     // and invisible at 6dp (same convention as every decimal-sum
     // oracle in MLQueries).
+    // `+ 0.0` canonicalizes the signed zero: a near-zero cell rounds
+    // to -0.0 under DuckDB's double ROUND but +0.0 under Spark's
+    // BigDecimal round (no signed zero there) — caught by the sf0.1
+    // audit on one cancellation cell.
     "q_gemm_gram" -> ((s, dir) =>
       Gemm.gram(Tables.load(s, dir, "embeddings"), "embedding", dim, bs)
-        .select(col("i"), col("j"), round(col("val"), 6).as("val"))),
+        .select(col("i"), col("j"),
+          (round(col("val"), 6) + lit(0.0)).as("val"))),
 
     // General 2-D blocked multiply: C = X·W where W is the 64×64
     // matrix of the first 64 embedding rows. X goes through
@@ -54,7 +59,7 @@ object LinalgQueries {
         Gemm.toBlocks(x, bs), Gemm.toBlocks(w, bs), bs)
       Gemm.blocksToCoo(c, bs)
         .join(broadcast(x.select(col("i")).distinct()), Seq("i"), "left_semi")
-        .select(col("i"), col("j"), round(col("v"), 6).as("v"))
+        .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v"))
     })
   )
 
@@ -69,7 +74,7 @@ object LinalgQueries {
          | FROM embeddings)
          |SELECT CAST(di - 1 AS INT) AS i, CAST(dj - 1 AS INT) AS j,
          | ROUND(CAST(SUM(CAST(x[di] * x[dj] AS DECIMAL(27,18))) AS DOUBLE),
-         |   6) AS val
+         |   6) + 0.0 AS val
          |FROM pts, range(1, ${dim + 1}) r1(di), range(1, ${dim + 1}) r2(dj)
          |GROUP BY di, dj""".stripMargin,
 
@@ -93,7 +98,7 @@ object LinalgQueries {
          |    list(t ORDER BY k)), (acc, e) -> acc + e) AS p
          | FROM terms GROUP BY i, j, kb)
          |SELECT i, j,
-         | ROUND(CAST(SUM(CAST(p AS DECIMAL(27,18))) AS DOUBLE), 6) AS v
+         | ROUND(CAST(SUM(CAST(p AS DECIMAL(27,18))) AS DOUBLE), 6) + 0.0 AS v
          |FROM partials GROUP BY i, j""".stripMargin
   )
 }

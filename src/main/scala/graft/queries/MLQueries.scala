@@ -168,6 +168,9 @@ object MLQueries {
          | SELECT list(wj ORDER BY dim) AS w FROM (
          |  SELECT g.dim AS dim, w.w[g.dim] - ($lr * g.g) / nn.nv AS wj
          |  FROM g$i g, w${i - 1} w, nn) t)""".stripMargin
+    // `+ 0.0` canonicalizes DuckDB ROUND's signed zero (Spark's
+    // BigDecimal round has none) — a weight rounding to -0.0 would
+    // hash-mismatch an identical result.
     s"""WITH pts AS (
        | SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
        |  CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
@@ -175,7 +178,7 @@ object MLQueries {
        |w0 AS (SELECT list_transform(range(1, ${dim + 1}),
        |  v -> CAST(0.0 AS DOUBLE)) AS w),
        |${(1 to iters).map(step).mkString(",\n")}
-       |SELECT CAST(dim - 1 AS INT) AS idx, ROUND(w[dim], 6) AS w
+       |SELECT CAST(dim - 1 AS INT) AS idx, ROUND(w[dim], 6) + 0.0 AS w
        |FROM w$iters, range(1, ${dim + 1}) r(dim)""".stripMargin
   }
 
@@ -197,9 +200,9 @@ object MLQueries {
         |  CAST(SUM(CAST(x[dim] * x[dim] AS DECIMAL(27,18))) AS DOUBLE) AS ss
         | FROM pts, range(1, 65) r(dim) GROUP BY y, dim)
         |SELECT y, CAST(dim - 1 AS INT) AS dim,
-        | ROUND(n / t, 6) AS prior,
-        | ROUND(s / n, 6) AS mean,
-        | ROUND(ss / n - (s / n) * (s / n), 6) AS variance
+        | ROUND(n / t, 6) + 0.0 AS prior,
+        | ROUND(s / n, 6) + 0.0 AS mean,
+        | ROUND(ss / n - (s / n) * (s / n), 6) + 0.0 AS variance
         |FROM st, tot""".stripMargin,
     "q_ml_logreg" -> logregOracle(iters = 5, dim = 64, lr = 0.5),
 
