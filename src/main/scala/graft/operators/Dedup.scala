@@ -393,4 +393,24 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
   }
+
+  /** Eval-set decontamination: per corpus document, the number of its
+    * distinct word k-shingles that also appear in `benchmark` (any
+    * overlap = flag for exclusion before training). The benchmark's
+    * shingle set is exploded, deduplicated, and BROADCAST — eval
+    * suites are a vanishing fraction of a 100 TB corpus — so the
+    * corpus side is one scan + a broadcast hash probe per shingle, no
+    * corpus shuffle beyond the per-doc count; no pairwise anything.
+    * Docs with zero overlap are absent (inner-join semantics). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, id: String,
+                    text: String, k: Int = 5): DataFrame = {
+    def sh(df: DataFrame) = df
+      .select(col(id), Text.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(array_distinct(
+        Text.shinglesOfTokens(col("__toks"), k))).as("t"))
+    val bench = broadcast(sh(benchmark).select(col("t")).distinct())
+    sh(corpus).join(bench, "t")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -58,7 +58,15 @@ object DedupQueries {
     // Embedding-cosine near-dup, blocked on the label column.
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", threshold = 0.35))
+        "vec_id", "embedding", "label", threshold = 0.35)),
+
+    // Eval-set decontamination: docs 0-4 stand in for a benchmark;
+    // every other doc reports its count of shared 4-shingles.
+    "q_decontam" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.decontaminate(d.filter(col("doc_id") >= 5),
+        d.filter(col("doc_id") < 5), "doc_id", "text", k = 4)
+    })
   )
 
   private val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
@@ -108,6 +116,22 @@ object DedupQueries {
          | ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM embeddings a JOIN embeddings b
          | ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+
+    // 4-shingles: range is end-exclusive → i = 1..len-3, the same
+    // len-3 = n-k+1 shingles as Spark's sequence(0, size-4).
+    "q_decontam" ->
+      s"""WITH sh AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len($toks) - 2),
+         |   i -> array_to_string(list_slice($toks, i, i + 3), ' '))) AS s
+         | FROM documents),
+         |bench AS (
+         | SELECT DISTINCT unnest(s) AS t FROM sh WHERE doc_id < 5),
+         |corp AS (
+         | SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id >= 5)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM corp WHERE t IN (SELECT t FROM bench)
+         |GROUP BY doc_id""".stripMargin
   )
 }

@@ -111,4 +111,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("decontaminate counts distinct shared shingles against the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains "the quick brown" and "quick brown fox" (k=3)
+      (1L, "see the quick brown fox run"),
+      // repeats a benchmark shingle twice — still counts once
+      (2L, "the lazy dog and the lazy dog again"),
+      (3L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) == 2L) // "the quick brown", "quick brown fox"
+    assert(hits(2L) == 1L) // "the lazy dog", deduped within doc
+    assert(!hits.contains(3L)) // zero overlap → absent
+  }
 }
