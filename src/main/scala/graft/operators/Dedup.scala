@@ -394,6 +394,39 @@ object Dedup {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
   }
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * the MINIMUM reachable id as its cluster label (so the label is
+    * also the canonical keeper — the end of the dedup story:
+    * pairs → clusters → one survivor per cluster). Min-label
+    * propagation: each round joins current labels to the (undirected)
+    * edge list and takes the per-node min; converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (dups of a
+    * common source), so 2-4 rounds in practice. Per round: one join +
+    * one aggregate shuffle, plus an O(1) changed-count to the driver
+    * (the allreduce-loop shape the iterative ML kernels use). Fully
+    * deterministic — min is order-free. */
+  def nearDupClusters(nodes: DataFrame, pairs: DataFrame,
+                      id: String = "id"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(MEMORY_AND_DISK)
+    var labels = nodes.select(col(id).as("u"), col(id).as("lbl"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(edges, "u").select(col("v").as("u"), col("lbl"))
+      val next = labels.union(prop).groupBy("u").agg(min("lbl").as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+    }
+    edges.unpersist(false)
+    labels.select(col("u").as(id), col("lbl").as("cluster"))
+  }
+
   /** Eval-set decontamination: per corpus document, the number of its
     * distinct word k-shingles that also appear in `benchmark` (any
     * overlap = flag for exclusion before training). The benchmark's

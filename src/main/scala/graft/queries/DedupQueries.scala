@@ -60,6 +60,17 @@ object DedupQueries {
       Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.35)),
 
+    // Near-dup clusters: exact J≥0.8 pairs (the q_dedup_ngram
+    // operator) → connected components; cluster label = min doc_id =
+    // the canonical keeper.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.nearDupClusters(d.select(col("doc_id")),
+        Dedup.ngramJaccardDedup(d, "doc_id", "text", k = 3,
+          threshold = 0.8).select(col("id_a"), col("id_b")),
+        "doc_id")
+    }),
+
     // Eval-set decontamination: docs 0-4 stand in for a benchmark;
     // every other doc reports its count of shared 4-shingles.
     "q_decontam" -> ((s, dir) => {
@@ -117,6 +128,25 @@ object DedupQueries {
          |FROM embeddings a JOIN embeddings b
          | ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+
+    // Recursive transitive closure over the same brute-force J≥0.8
+    // pair set; MIN(reachable id) = the propagation fixpoint.
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE sh AS (
+         | SELECT doc_id, $shingleSet AS s FROM documents),
+         |prs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM sh a, sh b
+         | WHERE a.doc_id < b.doc_id AND $jac >= 0.8),
+         |edges AS (
+         | SELECT id_a AS u, id_b AS v FROM prs
+         | UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(u, lbl) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u)
+         |SELECT u AS doc_id, MIN(lbl) AS cluster
+         |FROM reach GROUP BY u""".stripMargin,
 
     // 4-shingles: range is end-exclusive → i = 1..len-3, the same
     // len-3 = n-k+1 shingles as Spark's sequence(0, size-4).

@@ -129,4 +129,15 @@ class DedupSpec extends SparkSpec {
     assert(hits(2L) == 1L) // "the lazy dog", deduped within doc
     assert(!hits.contains(3L)) // zero overlap → absent
   }
+
+  test("nearDupClusters labels components with their min id") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    // chain 1-2-3 (transitive through 2), pair 4-5, isolated 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
 }
