@@ -221,6 +221,34 @@ object Similarity {
           .as("qvec"))
   }
 
+  /** Approximate top-k over the int8-QUANTIZED corpus: rank candidates
+    * by the integer dot product of quantized vectors (broadcast
+    * quantized query set, same shuffle shape as [[bruteForceTopK]]).
+    * All scoring is exact integer arithmetic — bounded by
+    * 127·127·dim ≪ 2³¹ — so ranking is fully deterministic and
+    * SQL-oracle-able with no float discipline at all. This is the scan
+    * half of quantized ANN (4× less corpus resident than float32);
+    * production re-scores the k survivors with exact float cosine
+    * ([[bruteForceTopK]] on the candidate set). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    id: String, vec: String, k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val qc = quantizeInt8(corpus, id, vec)
+      .select(col(id).as("neighbor_id"), col("qvec").as("cv"))
+      .repartition(par)
+    val qq = broadcast(quantizeInt8(queries, id, vec)
+      .select(col(id).as("query_id"), col("qvec").as("qv")))
+    val scored = qc.join(qq, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
+  }
+
   def cachedIvfIndex(corpus: => DataFrame, cacheKey: String,
                      id: String, vec: String, nCells: Int = 16): IvfIndex =
     indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",

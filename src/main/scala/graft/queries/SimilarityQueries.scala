@@ -44,7 +44,15 @@ object SimilarityQueries {
     // Symmetric int8 quantization of the corpus (the 4× ANN memory
     // lever) — pure IEEE arithmetic, exact oracle.
     "q_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding"))
+      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")),
+
+    // Top-10 by quantized integer dot product — all-integer scoring,
+    // so the oracle compare needs no float discipline at all.
+    "q_ann_quant" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 10)
+    })
   )
 
   private def cosSql(a: String, b: String): String = {
@@ -70,6 +78,33 @@ object SimilarityQueries {
         |  ELSE list_transform(x, v -> CAST(floor(v / scale + 0.5) AS INT))
         |  END AS qvec
         |FROM sc""".stripMargin,
+
+    "q_ann_quant" ->
+      """WITH pts AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        | FROM embeddings),
+        |sc AS (
+        | SELECT vec_id, x,
+        |  list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+        | FROM pts),
+        |qv AS (
+        | SELECT vec_id,
+        |  CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+        |   ELSE list_transform(x, v -> CAST(floor(v / scale + 0.5) AS INT))
+        |   END AS q
+        | FROM sc),
+        |pairs AS (
+        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(list_reduce(list_transform(list_zip(a.q, b.q),
+        |    p -> p[1] * p[2]), (x, y) -> x + y) AS BIGINT) AS dot
+        | FROM qv a JOIN qv b
+        |  ON a.vec_id < 16 AND b.vec_id <> a.vec_id)
+        |SELECT query_id, neighbor_id, rank, dot FROM (
+        | SELECT query_id, neighbor_id, dot,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |   ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+        | FROM pairs) t WHERE rank <= 10""".stripMargin,
 
     "q_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -89,4 +89,21 @@ class SimilaritySpec extends SparkSpec {
     assert(q3.max == 127 || q3.min == -127) // scale anchored to max |v|
     assert(s3 > 0)
   }
+
+  test("quantizedTopK ranks the planted near-identical vector first") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val vNear = v.clone(); vNear(0) = v(0) + 0.001f
+    val vFar = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((0L, v.toSeq), (1L, vNear.toSeq), (2L, vFar.toSeq),
+      (3L, v.map(x => x * 0.5f).toSeq)).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedTopK(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3).collect()
+    assert(top.map(_.getInt(2)).toSeq == Seq(1, 2, 3)) // dense ranks
+    assert(top(0).getLong(1) == 1L) // the near-identical vector wins
+    // id 3 = 0.5·v quantizes to the IDENTICAL int vector (symmetric
+    // quantization is scale-invariant) → same dot, id tie-break
+    assert(top(1).getLong(1) == 3L && top(1).getLong(3) == top(0).getLong(3))
+    assert(top(2).getLong(1) == 2L && top(2).getLong(3) < 0) // anti-correlated
+  }
 }
