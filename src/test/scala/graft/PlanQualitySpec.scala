@@ -81,6 +81,15 @@ class PlanQualitySpec extends SparkSpec {
     } finally q.unpersist()
   }
 
+  test("decontamination probes a broadcast benchmark, never shuffles the corpus join") {
+    val plan = RelationalQueriesAccess.q("q_decontam").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle into the benchmark join:\n$plan")
+  }
+
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
