@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{BasketQueries, DedupQueries, LinalgQueries,
-  MLQueries, RelationalQueries, SampleQueries, SearchQueries,
-  SeriesQueries, SimilarityQueries, SourceQueries, StreamTextQueries,
-  TextQueries}
+import graft.queries.{BasketQueries, CorpusQueries, DedupQueries,
+  LayoutQueries, LinalgQueries, MLQueries, RelationalQueries,
+  SampleQueries, SearchQueries, SeriesQueries, SimilarityQueries,
+  SketchQueries, SourceQueries, StreamTextQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -25,7 +25,9 @@ object SparkEntry {
       SimilarityQueries.queries ++ MLQueries.queries ++
       StreamTextQueries.queries ++ SourceQueries.queries ++
       SampleQueries.queries ++ BasketQueries.queries ++
-      LinalgQueries.queries ++ SearchQueries.queries
+      LinalgQueries.queries ++ SearchQueries.queries ++
+      CorpusQueries.queries ++ SketchQueries.queries ++
+      LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +37,7 @@ object SparkEntry {
       SimilarityQueries.oracles ++ MLQueries.oracles ++
       StreamTextQueries.oracles ++ SourceQueries.oracles ++
       SampleQueries.oracles ++ BasketQueries.oracles ++
-      LinalgQueries.oracles ++ SearchQueries.oracles
+      LinalgQueries.oracles ++ SearchQueries.oracles ++
+      CorpusQueries.oracles ++ SketchQueries.oracles ++
+      LayoutQueries.oracles
 }

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Chunking, Snapshot}
+
+/** Corpus-preparation queries: context-window chunking, sequence
+  * packing, and CDC compaction/diff over the append-only event log.
+  * Each has a DuckDB oracle (integer/passthrough outputs — trivially
+  * exact).
+  */
+object CorpusQueries {
+
+  private val CHUNK = 64
+  private val STRIDE = 48
+  private val CTX = 512
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sliding token windows per document — scan-stage explode only.
+    "q_chunk" -> ((s, dir) =>
+      Chunking.chunkByTokens(
+        Tables.load(s, dir, "documents"), "doc_id", "text", CHUNK, STRIDE)),
+
+    // Concatenate-and-chop packing at a fixed context length —
+    // distributed prefix sum + per-row bin arithmetic.
+    "q_pack" -> ((s, dir) =>
+      Chunking.packAssignments(
+        Tables.load(s, dir, "documents"), "doc_id", "text", CTX)),
+
+    // Latest-record-per-key compaction of the event log (merge-on-read
+    // upsert view): one partial-aggregable max_by, no window sort.
+    "q_merge_latest" -> ((s, dir) =>
+      Snapshot.latestByKey(
+        Tables.load(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"),
+        Seq("event_id", "event_type", "value"))
+        .withColumnRenamed("key", "user_id")),
+
+    // Delta between the compacted states at two snapshot cuts.
+    // events.ts is epoch-nanos long (see Tables.load); the cuts are
+    // 2024-01-16 / 2024-01-31 midnight UTC as nanos.
+    "q_snapshot_diff" -> ((s, dir) =>
+      Snapshot.snapshotDiff(
+        Tables.load(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(1705363200000000000L), lit(1706659200000000000L))
+        .withColumnRenamed("key", "user_id"))
+  )
+
+  private val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  val oracles: Map[String, String] = Map(
+
+    "q_chunk" ->
+      s"""WITH tt AS (
+         | SELECT doc_id, $toks AS ts FROM documents
+         | WHERE len($toks) > 0),
+         |st AS (
+         | SELECT doc_id, ts, unnest(range(0, len(ts), $STRIDE)) AS tok_start
+         | FROM tt)
+         |SELECT doc_id,
+         | CAST(tok_start // $STRIDE AS INT) AS chunk_idx,
+         | CAST(tok_start AS INT) AS tok_start,
+         | CAST(len(list_slice(ts, tok_start + 1, tok_start + $CHUNK)) AS INT)
+         |   AS n_tokens,
+         | array_to_string(list_slice(ts, tok_start + 1, tok_start + $CHUNK), ' ')
+         |   AS chunk_text
+         |FROM st""".stripMargin,
+
+    "q_pack" ->
+      s"""WITH c AS (
+         | SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+         | FROM documents WHERE len($toks) > 0),
+         |sc AS (
+         | SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tok_end
+         | FROM c)
+         |SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+         | (tok_end - n_tokens) // $CTX AS bin_first,
+         | (tok_end - 1) // $CTX AS bin_last,
+         | (tok_end - 1) // $CTX - (tok_end - n_tokens) // $CTX + 1 AS n_bins
+         |FROM sc""".stripMargin,
+
+    "q_merge_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH snap_old AS (
+        | SELECT user_id, value AS old_value FROM (
+        |  SELECT user_id, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |                      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE epoch_ns(ts) < 1705363200000000000) WHERE rn = 1),
+        |snap_new AS (
+        | SELECT user_id, value AS new_value FROM (
+        |  SELECT user_id, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |                      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE epoch_ns(ts) < 1706659200000000000) WHERE rn = 1)
+        |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+        | CASE WHEN o.user_id IS NULL THEN 'added'
+        |      WHEN n.user_id IS NULL THEN 'removed'
+        |      WHEN o.old_value = n.new_value THEN 'unchanged'
+        |      ELSE 'changed' END AS status,
+        | o.old_value, n.new_value
+        |FROM snap_old o FULL OUTER JOIN snap_new n ON o.user_id = n.user_id
+        |WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+        |           AND o.old_value = n.new_value)""".stripMargin
+  )
+}
