@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSignature,
-  SimHashChunks, SquaredDistance}
+  SimHashChunks, SquaredDistance, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CompressionRatio].getName,
         "graft_deflate_ratio"),
       (children: Seq[Expression]) => CompressionRatio(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (children: Seq[Expression]) =>
+        ZOrderKey(children.head, children(1))))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
   }

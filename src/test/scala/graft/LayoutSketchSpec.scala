@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderKey
+import graft.operators.{Layout, Sketch}
+
+/** Z-order key + layout clustering and the engine-portable HLL:
+  * bit-level goldens, locality/accuracy laws, and plan shape.
+  */
+class LayoutSketchSpec extends SparkSpec {
+
+  test("ZOrderKey golden bit interleave") {
+    // x=0b101 → z bits {0,4} = 17; y=0b011 → z bits {1,3} = 10;
+    // z = 17 | 10 = 27
+    assert(ZOrderKey.spread(5L) == 17L) // 0b10001
+    assert((ZOrderKey.spread(5L) | (ZOrderKey.spread(3L) << 1)) == 27L)
+    import spark.implicits._
+    val out = Seq((5L, 3L), (0L, 0L), (1L, 0L), (0L, 1L))
+      .toDF("x", "y")
+      .select(ZOrderKey.zorder(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(27L, 0L, 1L, 2L))
+  }
+
+  test("ZOrderKey matches its DuckDB-mirror arithmetic in Spark SQL") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i * 7919L % 4096L, i * 104729L % 4096L))
+      .toDF("x", "y")
+    df.createOrReplaceTempView("zin")
+    val mirror = ZOrderKey.zorderSql("x", "y")
+      .replace(">>", ">>>") // Spark's logical right shift; same on ≥0
+    val rows = spark.sql(
+      s"SELECT graft_zorder(x, y) AS a, CAST($mirror AS BIGINT) AS b FROM zin")
+      .collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("ZOrderKey rejects negative and over-width dimensions") {
+    import spark.implicits._
+    val bad = Seq((-1L, 3L)).toDF("x", "y")
+      .select(ZOrderKey.zorder(col("x"), col("y")))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("zorderLayout clusters both dimensions tighter than a 1-D sort") {
+    import spark.implicits._
+    // 64x64 grid, one row per cell, 16 files
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y").repartition(8)
+    def meanYRange(df: org.apache.spark.sql.DataFrame): Double = {
+      val stats = Layout.fileStats(df, col("x"), col("y"))
+        .select(avg(col("y_max") - col("y_min"))).collect()
+      stats(0).getDouble(0)
+    }
+    val zed = Layout.zorderLayout(grid, col("x"), col("y"), 16)
+    val xSorted = grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x"))
+    // x-sorted files span the full y domain; z-ordered files don't
+    assert(meanYRange(xSorted) > 55.0)
+    assert(meanYRange(zed) < 40.0,
+      s"z-order should bound y ranges, got ${meanYRange(zed)}")
+  }
+
+  test("HLL sketch estimate is within 20% at 10k distinct keys") {
+    import spark.implicits._
+    val df = (1L to 10000L).toDF("k").withColumn("g", lit("all"))
+    val est = Sketch.approxCountDistinct(df, col("k"), "n", Seq(col("g")))
+      .collect()(0).getAs[Double]("n")
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.20, s"estimate $est")
+  }
+
+  test("HLL sketch is exactly duplication- and partition-invariant") {
+    import spark.implicits._
+    val a = (1L to 3000L).toDF("k").withColumn("g", lit("all"))
+    val dup = a.union(a).union(a).repartition(13)
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      Sketch.approxCountDistinct(df, col("k"), "n", Seq(col("g")))
+        .collect()(0).getAs[Double]("n")
+    assert(est(a) == est(dup))
+  }
+
+  test("HLL aggregate shuffles registers, not keys (partial aggregate)") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("k").withColumn("g", lit("all"))
+    val plan = Sketch.approxCountDistinct(df, col("k"), "n", Seq(col("g")))
+      .queryExecution.executedPlan.toString
+    // both aggregate levels are hash aggregates with partial modes
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Window"))
+  }
+}
