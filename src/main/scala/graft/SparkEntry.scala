@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.{BasketQueries, CorpusQueries, DedupQueries,
-  LayoutQueries, LinalgQueries, MLQueries, RelationalQueries,
-  SampleQueries, SearchQueries, SeriesQueries, SimilarityQueries,
-  SketchQueries, SourceQueries, StreamTextQueries, TextQueries}
+  GraphQueries, LayoutQueries, LinalgQueries, MLQueries,
+  RelationalQueries, SampleQueries, SearchQueries, SeriesQueries,
+  SimilarityQueries, SketchQueries, SourceQueries, StreamTextQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -27,7 +28,7 @@ object SparkEntry {
       SampleQueries.queries ++ BasketQueries.queries ++
       LinalgQueries.queries ++ SearchQueries.queries ++
       CorpusQueries.queries ++ SketchQueries.queries ++
-      LayoutQueries.queries
+      LayoutQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,5 @@ object SparkEntry {
       SampleQueries.oracles ++ BasketQueries.oracles ++
       LinalgQueries.oracles ++ SearchQueries.oracles ++
       CorpusQueries.oracles ++ SketchQueries.oracles ++
-      LayoutQueries.oracles
+      LayoutQueries.oracles ++ GraphQueries.oracles
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative link analysis over an edge table — PageRank as pure
+  * DataFrame joins/aggregates. Beyond-reference surface: link-based
+  * quality ranking of a web-crawl corpus (rank mass ≈ how reachable a
+  * page is) is a standard training-data quality signal next to the
+  * text-level filters.
+  *
+  * Scale shape: per iteration, ONE shuffle join of edges with the
+  * current rank vector on src (edges are pre-partitioned on src once
+  * and the partitioning is reused every iteration) and one aggregate
+  * shuffle keyed dst. State per iteration is the O(|nodes|) rank
+  * vector, persisted to truncate lineage — never the edge set.
+  *
+  * Determinism (for the cross-engine differential): each contribution
+  * rank/deg is one IEEE division, and the per-node reduce sums those
+  * contributions as DECIMAL(27,18) — order-free — before one cast
+  * back to double. Every iteration is therefore bit-reproducible in
+  * any engine with the same literals (the [[pageRankSql]] mirror
+  * interpolates the exact damping doubles).
+  */
+object Graph {
+
+  /** `iters` PageRank iterations over `edges` (columns `src`, `dst`).
+    * Nodes = src ∪ dst; rank_0 = 1; rank' = (1−d) + d·Σ_in rank/deg.
+    * Dangling nodes contribute nothing (pass symmetric edges for
+    * undirected semantics, which has none). Returns (node, rank) with
+    * rank rounded to 6 dp — the same deterministic-cut convention as
+    * BM25's score. */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.withColumn("rank", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg")).cast("decimal(27,18)").as("c"))
+      val sums = contribs.groupBy("node")
+        .agg(sum(col("c")).cast("double").as("in_rank"))
+      val next = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(false)
+      ranks = next
+    }
+    val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    e.unpersist(false)
+    out
+  }
+
+  /** DuckDB mirror: `edgesSql` must yield (src, dst); generates one
+    * CTE per iteration with the same literals and the same
+    * DECIMAL(27,18) contribution sum. */
+  def pageRankSql(edgesSql: String, iters: Int,
+                  damping: Double = 0.85): String = {
+    val base = 1.0 - damping
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         | SELECT n.node,
+         |  CAST($base AS DOUBLE) + CAST($damping AS DOUBLE) *
+         |    COALESCE(s.in_rank, CAST(0.0 AS DOUBLE)) AS rank
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node,
+         |   CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(27,18))) AS DOUBLE)
+         |     AS in_rank
+         |  FROM edges e
+         |  JOIN deg d ON e.src = d.src
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY 1) s ON n.node = s.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM edges
+       |   UNION ALL SELECT dst FROM edges)),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$iterCtes
+       |SELECT node, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+}
