@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Multimodal
-import graft.streaming.{Sessionize, StreamDedup, WindowAgg}
+import graft.streaming.{Sessionize, StreamDedup, StreamSketch, WindowAgg}
 
 /** Sessionization (oracle-matched gaps-and-islands) and multimodal
   * plumbing queries (rows-only: the stub decoder is not
@@ -40,6 +40,14 @@ object StreamTextQueries {
       StreamDedup.firstSeen(Tables.load(s, dir, "events"),
         col("user_id"), tsUs).toDF()),
 
+    // Streaming HLL (mapGroupsWithState, 64 bytes of state per group)
+    // run in batch mode: its register derivation and estimate
+    // arithmetic mirror operators.Sketch bit-for-bit, so the SAME
+    // DuckDB estimate SQL oracles the stateful code path.
+    "q_hll_stream" -> ((s, dir) =>
+      StreamSketch.approxDistinct(Tables.load(s, dir, "events"),
+        col("event_type"), col("user_id"), groupOut = "event_type")),
+
     // Multimodal: wrap documents as media, resize, extract features
     // (stub decode, real batching/pruning plumbing).
     "q_mm_features" -> ((s, dir) => {
@@ -64,6 +72,9 @@ object StreamTextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll_stream" -> graft.operators.Sketch.estimateSql(
+      "events", "user_id", "event_type", "n_approx"),
+
     "q_first_seen" ->
       """SELECT user_id AS k, MIN(epoch_ns(ts) // 1000) AS first_ts
         |FROM events GROUP BY user_id""".stripMargin,

@@ -16,7 +16,9 @@ class ContractSpec extends SparkSpec {
       graft.queries.SimilarityQueries.queries, graft.queries.MLQueries.queries,
       graft.queries.StreamTextQueries.queries, graft.queries.SourceQueries.queries,
       graft.queries.SampleQueries.queries, graft.queries.BasketQueries.queries,
-      graft.queries.LinalgQueries.queries, graft.queries.SearchQueries.queries)
+      graft.queries.LinalgQueries.queries, graft.queries.SearchQueries.queries,
+      graft.queries.CorpusQueries.queries, graft.queries.SketchQueries.queries,
+      graft.queries.LayoutQueries.queries, graft.queries.GraphQueries.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

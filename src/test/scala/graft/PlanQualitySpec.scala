@@ -90,6 +90,13 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus must not shuffle into the benchmark join:\n$plan")
   }
 
+  test("chunking runs in the scan stage with no shuffle at all") {
+    val plan = RelationalQueriesAccess.q("q_chunk").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must be a narrow scan-stage transform:\n$plan")
+  }
+
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -213,4 +213,42 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming HLL converges to the batch sketch estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamSketch
+    import graft.operators.Sketch
+    val keys = (1L to 2000L).map(i => ("g1", (i % 700).toString)) ++
+      (1L to 500L).map(i => ("g2", (i % 120).toString))
+    val input = MemoryStream[(String, String)]
+    val est = StreamSketch.approxDistinctStream(input.toDS())
+    val q = est.writeStream.format("memory")
+      .queryName("hll").outputMode("update").start()
+    try {
+      val (first, second) = keys.splitAt(900)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      // final estimate per group == batch estimate on all keys (the
+      // estimate is monotone in the registers, so max == last emitted)
+      val streamed = spark.table("hll")
+        .groupBy("g").agg(max("n_approx").as("n"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batchDf = keys.toDF("g", "k")
+      val viaState = StreamSketch.approxDistinct(
+        batchDf, col("g"), col("k"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val viaSql = Sketch.approxCountDistinct(
+        batchDf, col("k"), "n", Seq(col("g")))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("n")).toMap
+      assert(streamed == viaState)
+      assert(viaState == viaSql,
+        s"stateful JVM estimate must mirror the SQL sketch: $viaState vs $viaSql")
+      // and the estimate is in range of the true distinct counts
+      assert(math.abs(viaState("g1") - 700.0) / 700.0 < 0.25)
+      assert(math.abs(viaState("g2") - 120.0) / 120.0 < 0.25)
+    } finally q.stop()
+  }
 }
