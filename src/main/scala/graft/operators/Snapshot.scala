@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture shapes over an append-only event log: latest-
@@ -66,5 +67,25 @@ object Snapshot {
           .otherwise(lit("changed")))
       .filter(col("status") =!= "unchanged")
       .drop("__in_old", "__in_new")
+  }
+
+  /** Slowly-changing-dimension (type 2) history: one row per log
+    * record with its validity interval — `valid_from` = its version,
+    * `valid_to` = the next version of the same key (the `noCurrent`
+    * sentinel, −1 by default, for the current record; a NULL here
+    * would flip the column to float64 in arrow/pandas readers and
+    * lose epoch-nano precision). The window is keyed per `key` —
+    * partition-parallel; no global sort anywhere. */
+  def scd2History(log: DataFrame, key: Column, version: Column,
+                  tiebreak: Column, value: Column,
+                  noCurrent: Long = -1L): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("valid_from"), col("__tb"))
+    log.select(key.as("key"), version.as("valid_from"),
+      tiebreak.as("__tb"), value.as("value"))
+      .withColumn("__next", lead(col("valid_from"), 1).over(w))
+      .withColumn("valid_to", coalesce(col("__next"), lit(noCurrent)))
+      .withColumn("is_current", col("__next").isNull.cast("int"))
+      .drop("__tb", "__next")
   }
 }

@@ -39,6 +39,16 @@ object CorpusQueries {
         Seq("event_id", "event_type", "value"))
         .withColumnRenamed("key", "user_id")),
 
+    // SCD2 history: validity interval per log record (-1 = current).
+    // Versions in epoch-micros (ts DIV 1000): DuckDB truncates the
+    // ns-precision parquet timestamps to µs, so µs is the shared
+    // precision (same convention as the streaming queries).
+    "q_scd2" -> ((s, dir) =>
+      Snapshot.scd2History(
+        Tables.load(s, dir, "events"),
+        col("user_id"), expr("ts DIV 1000"), col("event_id"), col("value"))
+        .withColumnRenamed("key", "user_id")),
+
     // Delta between the compacted states at two snapshot cuts.
     // events.ts is epoch-nanos long (see Tables.load); the cuts are
     // 2024-01-16 / 2024-01-31 midnight UTC as nanos.
@@ -90,6 +100,14 @@ object CorpusQueries {
         |  row_number() OVER (PARTITION BY user_id
         |                     ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, epoch_ns(ts) // 1000 AS valid_from, value,
+        | COALESCE(lead(epoch_ns(ts) // 1000) OVER w, -1) AS valid_to,
+        | CAST(lead(epoch_ns(ts)) OVER w IS NULL AS INT) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_ns(ts), event_id)""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH snap_old AS (

@@ -102,6 +102,23 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Window"), "compaction must not use a window sort")
   }
 
+  test("scd2History assigns contiguous validity intervals per key") {
+    val rows = Snapshot.scd2History(log, col("user_id"), col("ts"),
+      col("event_id"), col("value"))
+      .orderBy("key", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getInt(4)))
+    assert(rows.toSeq == Seq(
+      (10L, 100L, 1.0, 200L, 0),
+      (10L, 200L, 2.0, 200L, 0),  // same-version records chain by tiebreak
+      (10L, 200L, 3.0, -1L, 1),
+      (20L, 100L, 4.0, -1L, 1),
+      (30L, 50L, 5.0, -1L, 1)))
+    // exactly one current row per key
+    assert(rows.filter(_._5 == 1).map(_._1).toSeq.sorted == Seq(10L, 20L, 30L))
+  }
+
   test("snapshotDiff classifies added/changed and drops unchanged") {
     // cut 150: state {10->a(v100), 20->d, 30->e}; cut 300: {10->c, 20->d, 30->e}
     val out = Snapshot.snapshotDiff(log, col("user_id"), col("ts"),
