@@ -239,6 +239,33 @@ object RelationalQueries {
       val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Pivot (crosstab): status columns per priority, exact-decimal
+    // sums. An explicit value list keeps the plan a single pass (no
+    // distinct-values pre-query) — the shape to use at scale.
+    "q_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .na.fill(0.0, Seq("F", "O", "P"))
+        .withColumnRenamed("F", "f_sum")
+        .withColumnRenamed("O", "o_sum")
+        .withColumnRenamed("P", "p_sum")),
+
+    // General window-analytics surface: dense_rank + lag in one pass,
+    // per-customer windows (partition-parallel; never a global sort).
+    "q_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wr = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          dense_rank().over(wr).as("price_rank"),
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0))
+            .as("prev_price"))
     })
   )
 
@@ -408,6 +435,27 @@ object RelationalQueries {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+        |   AS f_sum,
+        | COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+        |   AS o_sum,
+        | COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+        |   AS p_sum
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | DENSE_RANK() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        | COALESCE(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey), -1.0) AS prev_price
+        |FROM orders""".stripMargin
   )
 }

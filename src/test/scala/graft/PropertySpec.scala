@@ -246,4 +246,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("zorder interleave is a bijection (deinterleave recovers both dims)") {
+    def deinterleave(z: Long): (Long, Long) = {
+      def compact(v: Long): Long = {
+        var x = v & 0x5555555555555555L
+        x = (x | (x >> 1)) & 0x3333333333333333L
+        x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+        x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+        x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+        x = (x | (x >> 16)) & 0x00000000ffffffffL
+        x
+      }
+      (compact(z), compact(z >> 1))
+    }
+    forAll2(Gen.choose(0L, (1L << 31) - 1), Gen.choose(0L, (1L << 31) - 1),
+      n = 50) { (x, y) =>
+      val z = graft.functions.ZOrderKey.spread(x) |
+        (graft.functions.ZOrderKey.spread(y) << 1)
+      assert(deinterleave(z) == ((x, y)))
+    }
+  }
+
+  test("chunking with stride == size concatenates back to the tokens") {
+    import spark.implicits._
+    val textGen = Gen.listOfN(30,
+      Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" "))
+    forAll2(textGen, Gen.choose(1, 12)) { (text, size) =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val rebuilt = graft.operators.Chunking
+        .chunkByTokens(df, "doc_id", "text", size, size)
+        .orderBy("chunk_idx")
+        .collect().map(_.getString(4)).mkString(" ")
+      assert(rebuilt == text.toLowerCase.trim)
+    }
+  }
+
+  test("packing conserves tokens and bins are contiguous for any ctx") {
+    import spark.implicits._
+    forAll2(Gen.listOfN(25, Gen.choose(1, 40)), Gen.choose(4, 64)) {
+      (lens, ctx) =>
+        val docs = lens.zipWithIndex.map { case (n, i) =>
+          (i.toLong, Seq.fill(n)("w").mkString(" "))
+        }.toDF("doc_id", "text")
+        val rows = graft.operators.Chunking
+          .packAssignments(docs, "doc_id", "text", ctx)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        // spans tile [0, total): each doc starts where the previous ended
+        assert(rows.head._2 == 0L)
+        rows.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 == b._2)
+          case _           =>
+        }
+        assert(rows.last._3 == lens.map(_.toLong).sum)
+    }
+  }
 }
