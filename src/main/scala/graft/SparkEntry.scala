@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{BasketQueries, CorpusQueries, DedupQueries,
   GraphQueries, LayoutQueries, LinalgQueries, MLQueries,
-  RelationalQueries, SampleQueries, SearchQueries, SeriesQueries,
-  SimilarityQueries, SketchQueries, SourceQueries, StreamTextQueries,
-  TextQueries}
+  ProfileQueries, RelationalQueries, SampleQueries, SearchQueries,
+  SeriesQueries, SimilarityQueries, SketchQueries, SourceQueries,
+  StreamTextQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -28,7 +28,8 @@ object SparkEntry {
       SampleQueries.queries ++ BasketQueries.queries ++
       LinalgQueries.queries ++ SearchQueries.queries ++
       CorpusQueries.queries ++ SketchQueries.queries ++
-      LayoutQueries.queries ++ GraphQueries.queries
+      LayoutQueries.queries ++ GraphQueries.queries ++
+      ProfileQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       SampleQueries.oracles ++ BasketQueries.oracles ++
       LinalgQueries.oracles ++ SearchQueries.oracles ++
       CorpusQueries.oracles ++ SketchQueries.oracles ++
-      LayoutQueries.oracles ++ GraphQueries.oracles
+      LayoutQueries.oracles ++ GraphQueries.oracles ++
+      ProfileQueries.oracles
 }

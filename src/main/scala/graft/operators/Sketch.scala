@@ -54,7 +54,10 @@ object Sketch {
     * (plus the bucket-level plumbing this estimate derives from). */
   def approxCountDistinct(df: DataFrame, key: Column, out: String,
                           groupCols: Seq[Column]): DataFrame = {
-    val regs = df
+    // A null key would register a null bucket: COUNT(*) would see it
+    // but the null term would vanish from SUM, corrupting the
+    // empty-bucket correction — drop nulls (COUNT DISTINCT semantics).
+    val regs = df.filter(key.isNotNull)
       .groupBy(groupCols :+ bucket(key): _*)
       .agg(max(rho(key)).as("m"))
     val scaledTerm = pow(lit(2.0), lit(64) - col("m")).cast(DecimalType(38, 0))
@@ -65,10 +68,19 @@ object Sketch {
       .withColumn("__s",
         col("__present") +
           (lit(Buckets) - col("__nb")) * lit(Scale).cast(DecimalType(38, 0)))
+      .withColumn("__raw",
+        (lit(Alpha) * lit(Buckets.toDouble) * lit(Buckets.toDouble)) *
+          lit(Scale).cast("double") / col("__s").cast("double"))
+      .withColumn("__v", (lit(Buckets) - col("__nb")).cast("double"))
+      // Flajolet small-range correction: below 2.5m with empty
+      // registers, linear counting m·ln(m/V) replaces the raw
+      // harmonic estimate (which is badly biased high there).
       .withColumn(out,
-        round((lit(Alpha) * lit(Buckets.toDouble) * lit(Buckets.toDouble)) *
-          lit(Scale).cast("double") / col("__s").cast("double"), 3))
-      .drop("__present", "__nb", "__s")
+        round(when(col("__raw") <= lit(2.5 * Buckets) && col("__v") > 0.0,
+          lit(Buckets.toDouble) *
+            log(lit(Buckets.toDouble) / col("__v")))
+          .otherwise(col("__raw")), 3))
+      .drop("__present", "__nb", "__s", "__raw", "__v")
   }
 
   /** DuckDB mirror of [[bucket]]: first two hex digits mod 64. */
@@ -96,15 +108,22 @@ object Sketch {
     s"""WITH regs AS (
        | SELECT $groupExpr, ${bucketSql(keyExpr)} AS bucket,
        |  MAX(${rhoSql(keyExpr)}) AS m
-       | FROM $table GROUP BY 1, 2),
+       | FROM $table WHERE $keyExpr IS NOT NULL GROUP BY 1, 2),
        |sums AS (
        | SELECT $groupExpr,
        |  SUM(CAST(POWER(2, 64 - m) AS DECIMAL(38,0)))
-       |    + ($Buckets - COUNT(*)) * CAST('$Scale' AS DECIMAL(38,0)) AS s
-       | FROM regs GROUP BY 1)
+       |    + ($Buckets - COUNT(*)) * CAST('$Scale' AS DECIMAL(38,0)) AS s,
+       |  CAST($Buckets - COUNT(*) AS DOUBLE) AS v
+       | FROM regs GROUP BY 1),
+       |est AS (
+       | SELECT $groupExpr,
+       |  CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE)
+       |   * CAST('$Scale' AS DECIMAL(38,0))::DOUBLE / CAST(s AS DOUBLE)
+       |   AS raw, v
+       | FROM sums)
        |SELECT $groupExpr,
-       | ROUND(CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE)
-       |   * CAST('$Scale' AS DECIMAL(38,0))::DOUBLE / CAST(s AS DOUBLE), 3)
-       |   AS $out
-       |FROM sums""".stripMargin
+       | ROUND(CASE WHEN raw <= CAST(${2.5 * Buckets} AS DOUBLE) AND v > 0
+       |   THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / v)
+       |   ELSE raw END, 3) AS $out
+       |FROM est""".stripMargin
 }

@@ -62,7 +62,11 @@ object StreamSketch {
       java.math.BigInteger.ONE.shiftLeft(64)).doubleValue
     val sD = new java.math.BigDecimal(s).doubleValue
     val raw = 0.709 * 64.0 * 64.0 * scaleD / sD
-    new java.math.BigDecimal(raw)
+    val v = regs.count(_ == 0).toDouble
+    // same small-range correction as the batch/SQL forms
+    val est =
+      if (raw <= 2.5 * 64 && v > 0) 64.0 * math.log(64.0 / v) else raw
+    new java.math.BigDecimal(est)
       .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue
   }
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profile, Sketch}
+
+/** Table profiling and histograms: golden stats, single-aggregate-scan
+  * plan shape, ndv consistency with the standalone sketch, histogram
+  * clamping. */
+class ProfileSpec extends SparkSpec {
+
+  private def t = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("x"), 10L),
+      (2L, None, 20L),
+      (3L, Some("y"), 10L),
+      (4L, Some("x"), 30L)
+    ).toDF("id", "tag", "v")
+  }
+
+  test("tableProfile golden: counts, nulls, min/max, ndv") {
+    val rows = Profile.tableProfile(t, Seq("id", "tag", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+          r.getAs[Double]("ndv_approx"))).toMap
+    assert(rows("id")._1 == 4 && rows("id")._2 == 0)
+    assert(rows("id")._3 == "1" && rows("id")._4 == "4")
+    assert(rows("tag") == ((3L, 1L, "x", "y", rows("tag")._5)))
+    assert(rows("v")._3 == "10" && rows("v")._4 == "30")
+    // small-cardinality ndv estimates land near truth (HLL, m=64)
+    assert(math.abs(rows("id")._5 - 4.0) < 2.0)
+    assert(math.abs(rows("tag")._5 - 2.0) < 1.5)
+    assert(math.abs(rows("v")._5 - 3.0) < 1.5)
+  }
+
+  test("tableProfile ndv equals the standalone sketch per column") {
+    val prof = Profile.tableProfile(t, Seq("v"))
+      .collect()(0).getAs[Double]("ndv_approx")
+    val solo = Sketch.approxCountDistinct(
+      t.filter(col("v").isNotNull), col("v"), "n", Seq.empty)
+      .collect()(0).getAs[Double]("n")
+    assert(prof == solo)
+  }
+
+  test("stats scan is one aggregate over the table (no per-column jobs)") {
+    val plan = Profile.tableProfile(t, Seq("id", "tag", "v"))
+      .queryExecution.optimizedPlan.toString
+    // the stats side contributes exactly one scan-aggregate; the ndv
+    // side one more — never one aggregate per profiled column
+    val aggs = "(?m)^\\s*[+:]?-?\\s*Aggregate".r
+      .findAllIn(plan).size
+    assert(aggs <= 4, s"too many aggregates ($aggs):\n$plan")
+  }
+
+  test("histogram clamps out-of-range values to edge bins") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0)
+      .toDF("x")
+    val got = Profile.histogram(df, col("x"), 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got(0L) == ((0.0, 3L)))  // -5 (clamped), 0.0, 9.9
+    assert(got(1L) == ((10.0, 1L))) // 10.0
+    assert(got(5L) == ((50.0, 1L))) // 55
+    assert(got(9L) == ((90.0, 3L))) // 99.9, 100 (right edge), 250 (clamp)
+    assert(got.values.map(_._2).sum == 8L)
+  }
+}
