@@ -36,10 +36,16 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    // out-degree is loop-invariant — join it into the edge set ONCE
+    // (same src partitioning, so this is a no-exchange merge), not
+    // once per iteration
+    val e = e0.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    e0.unpersist(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -50,7 +56,6 @@ object Graph {
     ranks.count()
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast("decimal(27,18)").as("c"))
