@@ -45,7 +45,7 @@ object Layout {
     * dimension: the fraction of files whose [min,max] on that
     * dimension contains an average point — a direct proxy for the
     * fraction of a 100 TB table a filtered scan must read. */
-  def pruneFraction(stats: DataFrame, dim: String, domainWidth: Long): Column =
+  def pruneFraction(dim: String, domainWidth: Long): Column =
     (sum(col(s"${dim}_max") - col(s"${dim}_min") + 1) /
       (count(lit(1)) * domainWidth)).as(s"${dim}_read_fraction")
 }

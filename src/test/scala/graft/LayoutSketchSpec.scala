@@ -61,6 +61,11 @@ class LayoutSketchSpec extends SparkSpec {
     assert(meanYRange(xSorted) > 55.0)
     assert(meanYRange(zed) < 40.0,
       s"z-order should bound y ranges, got ${meanYRange(zed)}")
+    // a y-point lookup reads a strictly smaller fraction of files
+    def yFrac(df: org.apache.spark.sql.DataFrame): Double =
+      Layout.fileStats(df, col("x"), col("y"))
+        .agg(Layout.pruneFraction("y", 64)).collect()(0).getDouble(0)
+    assert(yFrac(zed) < yFrac(xSorted))
   }
 
   test("HLL sketch estimate is within 20% at 10k distinct keys") {
