@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Text
+
+/** Byte-pair-encoding vocabulary learning over a corpus — the step
+  * that turns a cleaned corpus into a tokenizer. Beyond-reference
+  * surface (the reference has no string processing).
+  *
+  * Scale shape — the standard trick that makes corpus-scale BPE
+  * tractable: ONE pass aggregates the corpus to its word vocabulary
+  * with counts (vocab ≪ corpus; Zipf makes this thousands of rows per
+  * language, not billions), and every merge iteration then works on
+  * the weighted vocab only — cost O(|vocab| · word-length) per step,
+  * INDEPENDENT of corpus size. Per iteration: one aggregate shuffle
+  * of (pair, weight) rows and a single-row driver argmax (the merge
+  * decision is inherently sequential — each step conditions on the
+  * last; HPAT's iterative kernels make the same per-step driver
+  * round-trip for convergence scalars).
+  *
+  * The in-word merge is a greedy left-to-right fold (`aggregate` HOF):
+  * non-overlapping occurrences merge in one pass, matching standard
+  * BPE ("aaa" + (a,a) → ["aa","a"]). Ties on pair frequency break
+  * lexicographically, so learning is fully deterministic.
+  */
+object Bpe {
+
+  /** Greedy non-overlapping merge of adjacent (a, b) into a+b. */
+  private[graft] def mergePair(sym: Column, a: String,
+                               b: String): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+        element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `k` merges from the corpus' text column. Returns the merge
+    * table (step, left, right, weight) — the tokenizer's merge list
+    * in learned order. */
+  def learnMerges(docs: DataFrame, text: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    // one corpus pass: word vocabulary with counts, words as char syms
+    var vocab = docs
+      .select(explode(Text.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("sym"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val top = vocab
+        .select(col("n"),
+          explode(Text.shinglesOfTokens(col("sym"), 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("w"))
+        .orderBy(col("w").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        val weight = top(0).getLong(1)
+        merges += ((step, a, b, weight))
+        val next = vocab
+          .select(mergePair(col("sym"), a, b).as("sym"), col("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist(false)
+        vocab = next
+      }
+    }
+    vocab.unpersist(false)
+    val out = merges.result()
+    spark.createDataFrame(out).toDF("step", "left", "right", "weight")
+  }
+}

@@ -106,6 +106,35 @@ object TextQueries {
             .cast("int"))
     }),
 
+    // BPE vocabulary learning: 8 merges over the corpus. Inherently
+    // iterative (each merge conditions on the previous), so no single
+    // SQL oracle exists → rows-only + BpeSpec goldens; the vocab-
+    // grouped shape makes each iteration corpus-size-independent.
+    "q_bpe_learn" -> ((s, dir) =>
+      graft.operators.Bpe.learnMerges(
+        Tables.load(s, dir, "documents"), "text", k = 8)),
+
+    // Trigram language-model counts: c3 per trigram, conditional
+    // probability against the summed continuations of its 2-token
+    // context (Σ_w3 c3 — all integers until one exact double
+    // division). Shuffle keyed by n-gram strings; top-100 is a
+    // deterministic (count, ctx, w3) cut via TakeOrderedAndProject.
+    "q_ngram_lm" -> ((s, dir) => {
+      val tri = Tables.load(s, dir, "documents")
+        .select(Text.tokens(col("text")).as("ts"))
+        .select(explode(Text.shinglesOfTokens(col("ts"), 3)).as("tri"))
+        .select(
+          regexp_replace(col("tri"), " [^ ]+$", "").as("ctx"),
+          regexp_extract(col("tri"), "[^ ]+$", 0).as("w3"))
+        .groupBy("ctx", "w3").agg(count(lit(1)).as("c3"))
+      val ctxTotals = tri.groupBy("ctx").agg(sum("c3").as("c_ctx"))
+      tri.join(ctxTotals, "ctx")
+        .select(col("ctx"), col("w3"), col("c3"),
+          (col("c3").cast("double") / col("c_ctx")).as("p"))
+        .orderBy(col("c3").desc, col("ctx").asc, col("w3").asc)
+        .limit(100)
+    }),
+
     // The composed training-data pipeline — the end-to-end shape the
     // individual operators exist for: language-ID gate (predicted ==
     // labeled), quality gate, exact near-dup removal (content-
@@ -215,6 +244,25 @@ object TextQueries {
          | CAST((1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) < 0.9
          |   AND tb.top_bigram_frac < 0.18 AS INT) AS keep
          |FROM tt t JOIN tb ON t.doc_id = tb.doc_id""".stripMargin,
+
+    "q_ngram_lm" ->
+      s"""WITH tt AS (SELECT $toks AS ts FROM documents),
+         |grams AS (
+         | SELECT unnest(list_transform(range(1, len(ts) - 1),
+         |   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+         | FROM tt WHERE len(ts) >= 3),
+         |tri AS (
+         | SELECT regexp_replace(g, ' [^ ]+$$', '') AS ctx,
+         |  regexp_extract(g, '[^ ]+$$') AS w3
+         | FROM grams),
+         |c3t AS (SELECT ctx, w3, CAST(COUNT(*) AS BIGINT) AS c3
+         |        FROM tri GROUP BY 1, 2),
+         |ct AS (SELECT ctx, CAST(SUM(c3) AS BIGINT) AS c_ctx
+         |       FROM c3t GROUP BY 1)
+         |SELECT c3t.ctx, c3t.w3, c3t.c3,
+         | CAST(c3t.c3 AS DOUBLE) / ct.c_ctx AS p
+         |FROM c3t JOIN ct USING (ctx)
+         |ORDER BY c3 DESC, ctx ASC, w3 ASC LIMIT 100""".stripMargin,
 
     // Composed pipeline: lang-ID gate == q_lang_id's CASE, quality
     // gate == q_text_quality's formula, keepers == q_dedup_exact's
