@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Chunking, Snapshot}
+import graft.operators.{Chunking, Incremental, Snapshot}
 
 /** Corpus-preparation queries: context-window chunking, sequence
   * packing, and CDC compaction/diff over the append-only event log.
@@ -38,6 +38,30 @@ object CorpusQueries {
         col("user_id"), col("ts"), col("event_id"),
         Seq("event_id", "event_type", "value"))
         .withColumnRenamed("key", "user_id")),
+
+    // Incremental aggregate maintenance: combine the pre-cut rollup
+    // state with the post-cut delta's aggregate — the result must
+    // equal (and the oracle IS) the full recompute over all events.
+    "q_incr_agg" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          expr("ts DIV 1000").as("ts_us"))
+      def aggState(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("value_sum"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"))
+      val cut = 1705363200000000L // 2024-01-16 in epoch-micros
+      val state = aggState(events.filter(col("ts_us") < cut))
+      val delta = aggState(events.filter(col("ts_us") >= cut))
+      Incremental.mergeAggStates(state, delta,
+        keys = Seq("user_id"), sumCols = Seq("n_events", "value_sum"),
+        minCols = Seq("first_us"), maxCols = Seq("last_us"))
+        .select(col("user_id"), col("n_events"),
+          col("value_sum").cast("double").as("value_sum"),
+          col("first_us"), col("last_us"))
+    }),
 
     // SCD2 history: validity interval per log record (-1 = current).
     // Versions in epoch-micros (ts DIV 1000): DuckDB truncates the
@@ -100,6 +124,15 @@ object CorpusQueries {
         |  row_number() OVER (PARTITION BY user_id
         |                     ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1""".stripMargin,
+
+    // The incremental merge must equal the full recompute — so the
+    // full recompute IS the oracle.
+    "q_incr_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        | MIN(epoch_ns(ts) // 1000) AS first_us,
+        | MAX(epoch_ns(ts) // 1000) AS last_us
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_scd2" ->
       """SELECT user_id, epoch_ns(ts) // 1000 AS valid_from, value,

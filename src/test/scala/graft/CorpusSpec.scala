@@ -119,6 +119,24 @@ class CorpusSpec extends SparkSpec {
     assert(rows.filter(_._5 == 1).map(_._1).toSeq.sorted == Seq(10L, 20L, 30L))
   }
 
+  test("mergeAggStates is split-point invariant (any delta cut, same state)") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val rows = (1L to 300L).map(i => (i % 7, i.toDouble, i))
+      .toDF("k", "v", "t")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("s"),
+        min("t").as("lo"), max("t").as("hi"))
+    def merged(cut: Long) = Incremental.mergeAggStates(
+      st(rows.filter(col("t") < cut)), st(rows.filter(col("t") >= cut)),
+      Seq("k"), Seq("n", "s"), Seq("lo"), Seq("hi"))
+      .collect().map(_.toSeq).toSet
+    val full = st(rows).collect().map(_.toSeq).toSet
+    assert(merged(150) == full)
+    assert(merged(17) == full)
+  }
+
   test("snapshotDiff classifies added/changed and drops unchanged") {
     // cut 150: state {10->a(v100), 20->d, 30->e}; cut 300: {10->c, 20->d, 30->e}
     val out = Snapshot.snapshotDiff(log, col("user_id"), col("ts"),
