@@ -39,6 +39,29 @@ object CorpusQueries {
         Seq("event_id", "event_type", "value"))
         .withColumnRenamed("key", "user_id")),
 
+    // Statistical outlier gate (3-sigma per event type): moments from
+    // EXACT decimal sums (value is 2-dp so v and v² are exact in
+    // DECIMAL), variance/sigma as one fixed IEEE op sequence on those
+    // exact components — the gate compare is then bit-deterministic in
+    // any engine. Stats broadcast back; the gate rides the scan.
+    "q_outliers" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = events.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(22,4)")).as("ss"))
+        .select(col("event_type"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          sqrt((col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            col("n")).as("sigma"))
+      events.join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sigma"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("mean"), col("sigma"))
+    }),
+
     // Incremental aggregate maintenance: combine the pre-cut rollup
     // state with the post-cut delta's aggregate — the result must
     // equal (and the oracle IS) the full recompute over all events.
@@ -124,6 +147,23 @@ object CorpusQueries {
         |  row_number() OVER (PARTITION BY user_id
         |                     ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_outliers" ->
+      """WITH st AS (
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS s,
+        |  SUM(CAST(value * value AS DECIMAL(22,4))) AS ss
+        | FROM events GROUP BY 1),
+        |m AS (
+        | SELECT event_type,
+        |  CAST(s AS DOUBLE) / n AS mean,
+        |  sqrt((CAST(ss AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS sigma
+        | FROM st)
+        |SELECT e.event_id, e.event_type, e.value, m.mean, m.sigma
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs(e.value - m.mean) > CAST(3.0 AS DOUBLE) * m.sigma"""
+        .stripMargin,
 
     // The incremental merge must equal the full recompute — so the
     // full recompute IS the oracle.
