@@ -28,9 +28,18 @@ import graft.functions.Text
   */
 object Bpe {
 
-  /** Greedy non-overlapping merge of adjacent (a, b) into a+b. */
-  private[graft] def mergePair(sym: Column, a: String,
-                               b: String): Column =
+  /** Greedy non-overlapping merge of adjacent (a, b) into a+b — the
+    * native codegen'd kernel ([[graft.functions.MergeAdjacentPair]]):
+    * one linear pass per word instead of the HOF fold's O(len²)
+    * accumulator copies. */
+  private[graft] def mergePair(sym: Column, a: String, b: String): Column =
+    graft.functions.MergeAdjacentPair.merge(sym, a, b)
+
+  /** The `aggregate`-HOF formulation of the same merge — kept as the
+    * independent differential reference for the native kernel
+    * (BpeSpec proves them identical on random data). */
+  private[graft] def mergePairHof(sym: Column, a: String,
+                                  b: String): Column =
     aggregate(sym, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 &&
         element_at(acc, -1) === lit(a) && x === lit(b),

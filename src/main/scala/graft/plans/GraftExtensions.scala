@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CompressionRatio, CosineSimilarity, MinHashSignature,
-  SimHashChunks, SquaredDistance, ZOrderKey}
+import graft.functions.{CompressionRatio, CosineSimilarity,
+  MergeAdjacentPair, MinHashSignature, SimHashChunks, SquaredDistance,
+  ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -20,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case _ => throw new IllegalArgumentException(
       s"$fn expects a literal int argument")
+  }
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -48,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CompressionRatio].getName,
         "graft_deflate_ratio"),
       (children: Seq[Expression]) => CompressionRatio(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_merge_pair"),
+      new ExpressionInfo(classOf[MergeAdjacentPair].getName,
+        "graft_merge_pair"),
+      (children: Seq[Expression]) =>
+        MergeAdjacentPair(children.head,
+          strArg(children(1), "graft_merge_pair"),
+          strArg(children(2), "graft_merge_pair"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),

@@ -19,6 +19,35 @@ class BpeSpec extends SparkSpec {
       List("aa", "a"), List("aa", "aa"), List("b", "aa")))
   }
 
+  test("native merge kernel equals the HOF fold on random symbol runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      Tuple1((1 to rnd.nextInt(12)).map(_ =>
+        Seq("a", "b", "ab", "c")(rnd.nextInt(4))))
+    }
+    val df = rows.toDF("sym")
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"), ("ab", "c"), ("a", "ab"))) {
+      val both = df.select(
+        Bpe.mergePair(col("sym"), a, b).as("native"),
+        Bpe.mergePairHof(col("sym"), a, b).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"pair ($a,$b)")
+      }
+    }
+  }
+
+  test("graft_merge_pair is callable from SQL") {
+    import spark.implicits._
+    Seq(Tuple1(Seq("l", "o", "w"))).toDF("sym")
+      .createOrReplaceTempView("bpe_in")
+    val out = spark.sql("SELECT graft_merge_pair(sym, 'l', 'o') FROM bpe_in")
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("lo", "w"))
+  }
+
   test("learnMerges golden on a tiny weighted corpus") {
     import spark.implicits._
     // corpus: "low low low lower newest newest"
