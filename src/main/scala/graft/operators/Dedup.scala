@@ -156,6 +156,45 @@ object Dedup {
     materializeAndRelease(pairs, prepped)
   }
 
+  /** Cross-corpus MinHash+LSH near-dup join — dedup a NEW corpus (B,
+    * e.g. today's crawl) against an EXISTING one (A) without the
+    * self-join: band signatures on both sides, bucket-join A×B on
+    * (band, bucket hash), then exact-Jaccard verification. Each
+    * side's hot buckets are capped independently (same skew rationale
+    * as [[lshCandidates]]); at 100 TB the A-side banding projection is
+    * computed once and persisted/written, so an incremental crawl
+    * pays only B's scan plus the bucket join. Returns
+    * (id_a, id_b, jaccard) with ids drawn from A and B respectively.
+    */
+  def crossNearDup(dfA: DataFrame, dfB: DataFrame, id: String,
+                   text: String, k: Int = 3, threshold: Double = 0.8,
+                   numHashes: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 64): DataFrame = {
+    val pa = shingleBands(dfA, id, text, k, numHashes, bands)
+    val pb = shingleBands(dfB, id, text, k, numHashes, bands)
+    def capped(p: DataFrame): DataFrame = p
+      .select(col(id), posexplode(col("bands")).as(Seq("band", "bhash")))
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bhash"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    val cands = capped(pa).as("a")
+      .join(capped(pb).as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    val pairs = cands
+      .join(pa.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(pb.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val out = materializeAndRelease(pairs, pa)
+    pb.unpersist(false)
+    out
+  }
+
   /** Exact n-gram Jaccard dedup WITHOUT sketching, by PREFIX FILTERING
     * (the AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.):
     * under any global total order on shingles, two sets with

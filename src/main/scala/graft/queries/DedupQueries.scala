@@ -30,6 +30,19 @@ object DedupQueries {
       Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8)),
 
+    // Cross-corpus near-dup join: the incremental-crawl shape — A =
+    // sources src0-9 (the existing corpus), B = src10-19 (the new
+    // crawl); banded bucket join A×B + exact-Jaccard verify, no
+    // self-join anywhere. Brute-force cross oracle.
+    "q_dedup_cross" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val aSrc = (0 to 9).map(i => s"src$i")
+      Dedup.crossNearDup(
+        d.filter(col("source").isin(aSrc.map(x => x: Any): _*)),
+        d.filter(!col("source").isin(aSrc.map(x => x: Any): _*)),
+        "doc_id", "text", k = 3, threshold = 0.8)
+    }),
+
     // Exact n-gram Jaccard near-dup (no sketching): size-blocked
     // all-pairs with provably complete blocking — same brute-force
     // oracle as minhash, but here the equality is unconditional (the
@@ -109,6 +122,16 @@ object DedupQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
          |FROM sh a, sh b
          |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
+
+    "q_dedup_cross" ->
+      s"""WITH sh AS (SELECT doc_id, source, $shingleSet AS s FROM documents),
+         |sa AS (SELECT doc_id, s FROM sh WHERE source IN
+         |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')),
+         |sb AS (SELECT doc_id, s FROM sh WHERE source NOT IN
+         |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9'))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
+         |FROM sa a, sb b
+         |WHERE $jac >= 0.8""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)

@@ -140,4 +140,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
+
+  test("crossNearDup finds planted cross-corpus dups, never within-side pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val a = Seq(
+      (1L, base),
+      (2L, "completely different text about distributed query engines here"),
+      (3L, base + " with a small tail change")).toDF("doc_id", "text")
+    val b = Seq(
+      (11L, base), // dup of A:1
+      (12L, "unrelated b-side document that matches nothing at all today"),
+      (13L, "completely different text about distributed query engines here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossNearDup(a, b, "doc_id", "text",
+      k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 11L)))
+    assert(pairs.contains((2L, 13L)))
+    // ids always drawn (A, B) — no within-side pair can appear
+    assert(pairs.forall { case (x, y) => x <= 3 && y >= 11 })
+  }
 }
