@@ -247,6 +247,22 @@ object Series {
         fields.map(f => col(s"__m.$f").as(s"$prefix$f")): _*)
   }
 
+  /** As-of join with a maximum lookback `tolerance` (pandas
+    * `merge_asof(tolerance=...)`): the latest right row at or before
+    * the left time counts only if it is within `tolerance` time
+    * units; staler matches drop the row (inner semantics). A
+    * filter-after-match is equivalent to filtering candidates in the
+    * join, because any older candidate is farther away still. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        time: String, payload: Seq[String],
+                        tolerance: Long,
+                        prefix: String = "asof_"): DataFrame = {
+    require(tolerance > 0, "tolerance must be positive")
+    asofJoin(left, right, key, time, payload, prefix)
+      .filter(col(s"$prefix$time").isNotNull &&
+        col(time) - col(s"$prefix$time") <= tolerance)
+  }
+
   /** Range (interval) join: all (left, right) pairs of the same `key`
     * with |left.time − right.time| ≤ `delta`. Spark has no native range
     * join; the naive formulation (equi-join on key + range filter)

@@ -55,6 +55,17 @@ object SeriesQueries {
         .filter(col("asof_us").isNotNull)
     }),
 
+    // As-of with a 1-hour lookback tolerance (merge_asof semantics):
+    // clicks older than an hour no longer explain a purchase.
+    "q_asof_tol" -> ((s, dir) => {
+      def side(t: String) = Tables.load(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+      Series.asofJoinTolerance(side("purchase"), side("click"),
+        key = "user_id", time = "us", payload = Seq("event_id"),
+        tolerance = 3600000000L)
+    }),
+
     // Same as-of semantics through the custom Catalyst path
     // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec physical merge):
     // one co-partitioned shuffle + sorted streaming merge per
@@ -118,6 +129,19 @@ object SeriesQueries {
         |FROM e l JOIN e r
         |  ON l.event_type = 'purchase' AND r.event_type = 'click'
         | AND l.user_id = r.user_id AND r.us <= l.us
+        |QUALIFY row_number() OVER (PARTITION BY l.event_id
+        |  ORDER BY r.us DESC, r.event_id DESC) = 1""".stripMargin,
+
+    "q_asof_tol" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT l.event_id, l.user_id, l.us,
+        |  r.us AS asof_us, r.event_id AS asof_event_id
+        |FROM e l JOIN e r
+        |  ON l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND l.user_id = r.user_id AND r.us <= l.us
+        | AND l.us - r.us <= 3600000000
         |QUALIFY row_number() OVER (PARTITION BY l.event_id
         |  ORDER BY r.us DESC, r.event_id DESC) = 1""".stripMargin,
 
