@@ -97,6 +97,15 @@ class PlanQualitySpec extends SparkSpec {
       s"chunking must be a narrow scan-stage transform:\n$plan")
   }
 
+  test("outlier gate broadcasts the per-type stats, never shuffles events into them") {
+    val plan = RelationalQueriesAccess.q("q_outliers").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"events must not shuffle into the stats join:\n$plan")
+  }
+
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
