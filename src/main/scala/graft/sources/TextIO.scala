@@ -54,4 +54,47 @@ object TextIO {
   def writePartitionedColumnar(df: DataFrame, path: String,
                                partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Idempotent backfill: overwrite ONLY the hive partitions present
+    * in `df`, leaving every other partition untouched (dynamic
+    * partition overwrite). This is how a 100 TB lake reprocesses one
+    * day — rewriting the affected partitions, not the table; re-runs
+    * converge to the same state. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a lake directory into one file
+    * per hive partition value (partitioned) or `numFiles` files
+    * (unpartitioned). Streaming ingest leaves file counts
+    * proportional to trigger count × partitions; metadata and
+    * open-file overhead then dominate 100 TB scans — compaction
+    * restores scan-sized files. The rewrite goes through a temp
+    * directory and a rename swap, so a crash leaves either the old
+    * or the new layout, never a mix. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              partitionCols: Seq[String], numFiles: Int = 1): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + ".__compact_tmp"
+    // hash-repartitioning on the partition columns lands each value in
+    // exactly one task → exactly one output file per partition value
+    (if (partitionCols.nonEmpty)
+       df.repartition(partitionCols.map(
+         org.apache.spark.sql.functions.col): _*)
+         .write.mode("overwrite").partitionBy(partitionCols: _*)
+     else df.coalesce(numFiles).write.mode("overwrite"))
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
+    fs.rename(dst, old)
+    fs.rename(src, dst)
+    fs.delete(old, true)
+  }
 }

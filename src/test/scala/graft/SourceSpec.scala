@@ -66,4 +66,41 @@ class SourceSpec extends SparkSpec {
     assert(back.agg(sum(col("a")), sum(col("b"))).head().toSeq ==
       Seq(500500L, 3503500L))
   }
+
+  test("overwritePartitions backfills one partition, leaves the rest intact") {
+    import spark.implicits._
+    val path = tmpDir("dyn")
+    val full = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "c", 4.0)).toDF("id", "day", "v")
+    TextIO.writePartitionedColumnar(full, path, Seq("day"))
+    // reprocess day 'a' only — corrected values, one row dropped
+    val fixedA = Seq((1L, "a", 10.0)).toDF("id", "day", "v")
+    TextIO.overwritePartitions(fixedA, path, Seq("day"))
+    val back = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(back == Map(1L -> 10.0, 3L -> 3.0, 4L -> 4.0))
+    // idempotent: running the same backfill again converges
+    TextIO.overwritePartitions(fixedA, path, Seq("day"))
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("compact merges small files per partition without changing data") {
+    import spark.implicits._
+    val path = tmpDir("cmp")
+    val df = (1L to 400L).map(i => (i, s"d${i % 3}", i * 1.5))
+      .toDF("id", "day", "v").repartition(8)
+    TextIO.writePartitionedColumnar(df, path, Seq("day"))
+    def filesPerPartition: Map[String, Int] =
+      new java.io.File(path).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.startsWith("part-"))).toMap
+    assert(filesPerPartition.values.exists(_ > 1), "fixture not fragmented")
+    val before = spark.read.parquet(path)
+      .collect().map(_.toSeq).toSet
+    TextIO.compact(spark, path, Seq("day"))
+    assert(filesPerPartition.values.forall(_ == 1),
+      s"expected 1 file per partition, got $filesPerPartition")
+    val after = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
 }
