@@ -47,4 +47,14 @@ object StreamJoin {
       .select(leftCols.map(col) ++
         payload.distinct.map(c => col(s"__p_$c").as(s"$prefix$c")): _*)
   }
+
+  /** Stream-static enrichment: join a stream against a (small) static
+    * dimension with an explicit broadcast — stateless per micro-batch
+    * (no watermark, no join state; the dimension is re-resolvable per
+    * batch, so a dim refresh is picked up on the next trigger). The
+    * 100 TB/s-stream shape: the dimension ships to executors once per
+    * batch, the stream never shuffles. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 }

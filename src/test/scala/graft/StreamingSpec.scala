@@ -214,6 +214,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamJoin
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val enriched = StreamJoin.enrichStatic(
+      input.toDF().toDF("user_id", "v"), dim, "user_id")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich").outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      input.addData((1L, 11.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toSet
+      // inner semantics: user 3 (no dim row) is absent
+      assert(got == Set((1L, 10.0, "gold"), (2L, 20.0, "silver"),
+        (1L, 11.0, "gold")))
+    } finally q.stop()
+  }
+
   test("streaming HLL converges to the batch sketch estimate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
