@@ -135,6 +135,46 @@ object RelationalQueries {
       cust.intersect(ordering).except(big).df
     }),
 
+    // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity
+    // preserved — the variant the distinct forms can't express.
+    "q_setops_all" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"))
+      val big = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      o.exceptAll(big)
+        .groupBy("custkey").agg(count(lit(1)).as("n_after_except"))
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): the two named
+    // groupings in one pass with grouping_id disambiguation.
+    "q_grouping_sets" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+
+    // Window frames: moving 4-row sum and average per customer in
+    // order-date order (exact-decimal sum inside the frame).
+    "q_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("moving_sum"),
+          count(lit(1)).over(w).as("frame_n"))
+    }),
+
     // Distinct (set-op surface beyond the reference, free in Spark).
     "q_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -436,6 +476,32 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q_setops_all" ->
+      """SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_after_except FROM (
+        | SELECT o_custkey AS custkey FROM orders
+        | EXCEPT ALL
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 2 END AS gid,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"""
+        .stripMargin,
+
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   AS moving_sum,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
