@@ -31,8 +31,14 @@ object Graph {
     * undirected semantics, which has none). Returns (node, rank) with
     * rank rounded to 6 dp — the same deterministic-cut convention as
     * BM25's score. */
+  /** `danglingFree = true` asserts every node has at least one
+    * in-edge (true for any symmetric/undirected edge set): the
+    * per-iteration left join against the node list — only needed to
+    * re-introduce nodes that received no mass — is then skipped,
+    * saving one join per iteration with identical results. */
   def pageRank(edges: DataFrame, iters: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               danglingFree: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -61,7 +67,10 @@ object Graph {
           (col("rank") / col("deg")).cast("decimal(27,18)").as("c"))
       val sums = contribs.groupBy("node")
         .agg(sum(col("c")).cast("double").as("in_rank"))
-      val next = nodes.join(sums, Seq("node"), "left")
+      val withAllNodes =
+        if (danglingFree) sums
+        else nodes.join(sums, Seq("node"), "left")
+      val next = withAllNodes
         .select(col("node"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))

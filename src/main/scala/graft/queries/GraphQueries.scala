@@ -26,7 +26,10 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> ((s, dir) => Graph.pageRank(edges(s, dir), Iters))
+    // symmetric edges ⇒ no dangling nodes ⇒ skip the per-iteration
+    // node-list left join
+    "q_pagerank" -> ((s, dir) =>
+      Graph.pageRank(edges(s, dir), Iters, danglingFree = true))
   )
 
   private val edgesSql =
