@@ -73,8 +73,11 @@ object TextIO {
     * proportional to trigger count × partitions; metadata and
     * open-file overhead then dominate 100 TB scans — compaction
     * restores scan-sized files. The rewrite goes through a temp
-    * directory and a rename swap, so a crash leaves either the old
-    * or the new layout, never a mix. */
+    * directory and a rename swap, so no reader ever sees a mix of old
+    * and new files; a crash between the two renames can leave the
+    * table path momentarily absent (recoverable from the `.old`
+    * directory) — raw filesystems cannot do better; table formats
+    * with a metadata pointer exist for exactly this reason. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               partitionCols: Seq[String], numFiles: Int = 1): Unit = {
     require(numFiles > 0, "numFiles must be positive")

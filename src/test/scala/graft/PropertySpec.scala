@@ -247,6 +247,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoinTolerance equals brute force latest-within-tolerance") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    val tol = 7L
+    forAll2(evGen, evGen) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = r.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "k", "t")
+      val got = Series.asofJoinTolerance(left, right, "k", "t",
+        Seq("rid"), tolerance = tol)
+        .select("lid", "asof_rid").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val want = l.zipWithIndex.flatMap { case ((lk, lt), li) =>
+        val cands = r.zipWithIndex.filter { case ((rk, rt), _) =>
+          rk == lk && rt <= lt && lt - rt <= tol }
+        if (cands.isEmpty) None
+        else Some(li.toLong ->
+          cands.maxBy { case ((_, rt), ri) => (rt, ri.toLong) }._2.toLong)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("zorder interleave is a bijection (deinterleave recovers both dims)") {
     def deinterleave(z: Long): (Long, Long) = {
       def compact(v: Long): Long = {
