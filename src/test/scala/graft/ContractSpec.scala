@@ -30,6 +30,24 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every registry query is run-to-run deterministic") {
+    // Two executions must agree as multisets — catches partition-order
+    // dependence, RNG leakage, and nondeterministic cuts anywhere in
+    // the registry (the property every oracle comparison relies on).
+    val sf = "/root/testdata/sf0.001"
+    val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        def fingerprint(): Map[String, Long] = {
+          spark.catalog.clearCache()
+          fn(spark, sf).collect()
+            .map(_.toString).groupBy(identity).map { case (k, v) =>
+              k -> v.length.toLong }
+        }
+        if (fingerprint() != fingerprint()) Some(name) else None
+    }
+    assert(flaky.isEmpty, s"nondeterministic queries: $flaky")
+  }
+
   test("oracle SQL never references Spark-only functions") {
     // guard against xxhash64/spark-isms leaking into DuckDB SQL
     val bad = SparkEntry.oracleSql.filter { case (_, sql) =>
