@@ -127,4 +127,28 @@ object Text {
     * calling [[shinglesOfTokens]] (see note there). */
   def shingles(text: Column, k: Int): Column =
     shinglesOfTokens(tokens(text), k)
+
+  /** PII patterns for corpus redaction, ordered most-specific first
+    * (emails contain dots; IPs must win over phone digit runs). Kept
+    * to constructs with identical semantics in Java regex and RE2 so
+    * the DuckDB oracle runs the same patterns (ASCII classes, `\b`,
+    * no lookaround). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"))
+
+  /** Redact PII spans with deterministic placeholders — the corpus
+    * scrubbing step. A pure chain of codegen'd `regexp_replace`s in
+    * the scan stage; application order is part of the contract
+    * (specific → general so a redacted email's domain can't re-match
+    * as a phone-ish digit run). */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Per-pattern PII hit count (before redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
 }

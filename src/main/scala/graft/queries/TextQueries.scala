@@ -106,6 +106,18 @@ object TextQueries {
             .cast("int"))
     }),
 
+    // PII redaction: scrub emails/IPs/phone runs with deterministic
+    // placeholders + per-pattern hit counts — a pure regexp_replace
+    // chain in the scan stage (RE2-compatible patterns so the oracle
+    // runs them verbatim).
+    "q_redact" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.redact(col("text")).as("clean_text"),
+          Text.piiCount(col("text"), Text.piiPatterns(0)._1)
+            .as("n_emails"),
+          Text.piiCount(col("text"), Text.piiPatterns(1)._1).as("n_ips"))),
+
     // BPE vocabulary learning: 8 merges over the corpus. Inherently
     // iterative (each merge conditions on the previous), so no single
     // SQL oracle exists → rows-only + BpeSpec goldens; the vocab-
@@ -244,6 +256,19 @@ object TextQueries {
          | CAST((1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) < 0.9
          |   AND tb.top_bigram_frac < 0.18 AS INT) AS keep
          |FROM tt t JOIN tb ON t.doc_id = tb.doc_id""".stripMargin,
+
+    "q_redact" -> {
+      val redacted = Text.piiPatterns.foldLeft("text") {
+        case (inner, (re, tag)) =>
+          s"regexp_replace($inner, '$re', '$tag', 'g')"
+      }
+      val email = Text.piiPatterns(0)._1
+      val ip = Text.piiPatterns(1)._1
+      s"""SELECT doc_id, $redacted AS clean_text,
+         | CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips
+         |FROM documents""".stripMargin
+    },
 
     "q_ngram_lm" ->
       s"""WITH tt AS (SELECT $toks AS ts FROM documents),

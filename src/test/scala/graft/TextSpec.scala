@@ -83,4 +83,24 @@ class TextSpec extends SparkSpec {
     // empty input is defined
     assert(one("").select(deflateRatio(col("text"))).head().getDouble(0) == 1.0)
   }
+
+  test("redact scrubs planted PII with deterministic placeholders") {
+    import spark.implicits._
+    val s = "mail bob.smith+x@corp.example.org or 10.0.42.7 " +
+      "or call +1 (415) 555-0100 now"
+    val out = Seq(Tuple1(s)).toDF("text")
+      .select(graft.functions.Text.redact(col("text")),
+        graft.functions.Text.piiCount(col("text"),
+          graft.functions.Text.piiPatterns(0)._1),
+        graft.functions.Text.piiCount(col("text"),
+          graft.functions.Text.piiPatterns(1)._1))
+      .head()
+    assert(out.getString(0) == "mail <EMAIL> or <IP> or call <PHONE> now")
+    assert(out.getInt(1) == 1 && out.getInt(2) == 1)
+    // clean text passes through untouched
+    val clean = "no personal information in this sentence at all"
+    assert(Seq(Tuple1(clean)).toDF("text")
+      .select(graft.functions.Text.redact(col("text")))
+      .head().getString(0) == clean)
+  }
 }
