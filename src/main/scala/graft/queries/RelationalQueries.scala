@@ -135,6 +135,30 @@ object RelationalQueries {
       cust.intersect(ordering).except(big).df
     }),
 
+    // Equi-depth (quartile) histogram per priority: cut points from
+    // the exact range-refinement quantile (never a per-group raw
+    // sort), broadcast back, bucket counts in one aggregate.
+    "q_equidepth" -> ((s, dir) => {
+      val df = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("p"), col("o_totalprice").as("v"))
+      val cut = Seq(250, 500, 750)
+        .map(pm => graft.operators.Stats
+          .quantileByGroup(df, "p", col("v"), pm)
+          .withColumnRenamed("quantile", s"q$pm"))
+        .reduce(_.join(_, "p"))
+      df.join(broadcast(cut), "p")
+        .groupBy(col("p").as("o_orderpriority"),
+          col("q250").as("q25"), col("q500").as("q50"),
+          col("q750").as("q75"))
+        .agg(
+          sum((col("v") <= col("q250")).cast("long")).as("n0"),
+          sum((col("v") > col("q250") && col("v") <= col("q500"))
+            .cast("long")).as("n1"),
+          sum((col("v") > col("q500") && col("v") <= col("q750"))
+            .cast("long")).as("n2"),
+          sum((col("v") > col("q750")).cast("long")).as("n3"))
+    }),
+
     // Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity
     // preserved — the variant the distinct forms can't express.
     "q_setops_all" -> ((s, dir) => {
@@ -476,6 +500,29 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q_equidepth" ->
+      """WITH ranked AS (
+        | SELECT o_orderpriority AS p, o_totalprice AS v,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM orders),
+        |cuts AS (
+        | SELECT p,
+        |  MAX(CASE WHEN rn = (250 * n + 999) // 1000 THEN v END) AS q25,
+        |  MAX(CASE WHEN rn = (500 * n + 999) // 1000 THEN v END) AS q50,
+        |  MAX(CASE WHEN rn = (750 * n + 999) // 1000 THEN v END) AS q75
+        | FROM ranked GROUP BY p)
+        |SELECT r.p AS o_orderpriority, c.q25, c.q50, c.q75,
+        | CAST(SUM(CASE WHEN r.v <= c.q25 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        | CAST(SUM(CASE WHEN r.v > c.q25 AND r.v <= c.q50 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n1,
+        | CAST(SUM(CASE WHEN r.v > c.q50 AND r.v <= c.q75 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n2,
+        | CAST(SUM(CASE WHEN r.v > c.q75 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |FROM ranked r JOIN cuts c ON r.p = c.p
+        |GROUP BY r.p, c.q25, c.q50, c.q75""".stripMargin,
 
     "q_setops_all" ->
       """SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_after_except FROM (
