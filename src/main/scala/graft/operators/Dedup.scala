@@ -485,4 +485,52 @@ object Dedup {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  // --------------------------------------------------- fuzzy (edit≤1) join
+
+  /** Edit-distance-≤1 fuzzy self-join for SHORT keys (entity names,
+    * titles, product codes — record linkage, not document near-dup) via
+    * deletion-neighborhood blocking (the FastSS / SymSpell family).
+    * Each key emits itself plus its |key| single-character deletions as
+    * blocking signatures; two keys within one edit (insert, delete or
+    * substitute) provably share a signature — deleting the edited
+    * position from both sides yields the same string — so an equi-join
+    * on the signature generates a COMPLETE candidate set, and an exact
+    * `levenshtein` check keeps only true pairs (signature collisions
+    * like "ab"/"ba" are rejected there).
+    *
+    * Scale: |key|+1 signatures per row, built in the scan stage; the
+    * candidate join shuffles (signature, id, key) triples — short keys
+    * only, never document bodies. A signature shared by more than
+    * `maxBucket` keys is dropped exactly like the LSH hot buckets: at
+    * 100 TB such a family is an exact-dup cluster, [[exactKeepers]]'
+    * job, not a pairwise one. Returns (id_a, id_b, key_a, key_b, dist)
+    * with id_a < id_b and dist ∈ {0, 1}.
+    */
+  def fuzzyPairsD1(df: DataFrame, id: String, key: String,
+                   maxBucket: Int = 1024): DataFrame = {
+    val k0 = col("__k")
+    val dels = transform(sequence(lit(0), length(k0) - 1),
+      i => concat(k0.substr(lit(1), i), k0.substr(i + lit(2), length(k0))))
+    val sigs = df
+      .select(col(id), col(key).as("__k"))
+      .select(col(id), k0,
+        explode(array_union(array(k0),
+          when(length(k0) > 0, dels)
+            .otherwise(array().cast("array<string>")))).as("__sig"))
+    val capped = sigs
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__sig"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    capped.as("a")
+      .join(capped.as("b"), col("a.__sig") === col("b.__sig"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.__k").as("key_a"), col("b.__k").as("key_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -71,6 +71,30 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Exactly-k-per-stratum deterministic sample — the quota-sampling
+    * complement to [[stratifiedSample]]'s rate sampling: each group
+    * keeps the k rows with the SMALLEST md5 priority of the key (a
+    * content-hash "reservoir": reproducible across runs, engines and
+    * partitionings, and a uniform draw to the extent md5 is uniform).
+    *
+    * Runs on the native bounded-heap top-k aggregate, not a window
+    * sort: map-side partial heaps bound state at k entries per group
+    * per task and the shuffle at partitions·k rows per group — a
+    * per-group window sort would instead sort the whole corpus at
+    * 100 TB. The priority is the first 12 hex chars of md5 (48 bits —
+    * exact in a double), negated because the heap keeps highest-score
+    * first; ties break toward the lower id in both engines.
+    * Returns (grp, pick). */
+  def reservoirPerGroup(df: DataFrame, group: Column, id: Column,
+                        k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pri = conv(substring(md5(id.cast("string")), 1, 12), 16, 10)
+      .cast("long").cast("double")
+    df.groupBy(group.as("grp"))
+      .agg(graft.functions.TopKFunctions.topK(id, -pri, k).as("__picks"))
+      .select(col("grp"), explode(col("__picks.id")).as("pick"))
+  }
+
   /** SQL fragment mirroring [[prefix]] for DuckDB oracles. */
   def prefixSql(keyExpr: String): String =
     s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"

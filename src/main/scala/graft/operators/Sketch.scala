@@ -101,6 +101,64 @@ object Sketch {
     s"(61 - length(ltrim(bin(CAST($poly AS BIGINT)), '0')))"
   }
 
+  // ------------------------------------------------------ count-min sketch
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) with the same
+    * engine-portability discipline as the HLL above: md5-derived
+    * buckets and pure integer counters, so the *approximate* estimates
+    * themselves hash-match a DuckDB mirror.
+    *
+    * Scale shape: the sketch is depth·width counter rows REGARDLESS of
+    * corpus size — built by one partial-aggregable groupBy (map-side
+    * combine collapses each task to ≤ depth·width cells before the
+    * shuffle). Point estimates broadcast the sketch; the probe side
+    * never shuffles. Estimates only ever overestimate (hash collisions
+    * add), with error ≤ e·N/width at probability 1 − e^−depth.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Row-r bucket: first 16 md5 bits of "r:key", mod width. */
+  def cmsBucket(key: Column, r: Int, width: Int = CmsWidth): Column =
+    conv(substring(md5(concat(lit(s"$r:"), key.cast("string"))), 1, 4), 16, 10)
+      .cast("int") % width
+
+  private def cmsAddressed(df: DataFrame, item: Column, depth: Int,
+                           width: Int): DataFrame =
+    df.filter(item.isNotNull)
+      .select(item.as("__item"))
+      .select(col("__item"), posexplode(array((0 until depth).map(r =>
+        cmsBucket(col("__item"), r, width)): _*)).as(Seq("r", "b")))
+
+  /** Build the (r, b, cnt) counter table from an item column. */
+  def cmsSketch(df: DataFrame, item: Column, depth: Int = CmsDepth,
+                width: Int = CmsWidth): DataFrame =
+    cmsAddressed(df, item, depth, width)
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Estimated count per distinct probe item: min over the depth rows
+    * of the addressed counters (0 if an addressed cell is empty). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+                  item: Column, depth: Int = CmsDepth,
+                  width: Int = CmsWidth): DataFrame =
+    cmsAddressed(probes, item, depth, width)
+      .join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(col("__item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** DuckDB mirror of [[cmsBucket]]; `rExpr` is an integer column. */
+  def cmsBucketSql(keyExpr: String, rExpr: String,
+                   width: Int = CmsWidth): String = {
+    val hx =
+      s"md5(CAST($rExpr AS VARCHAR) || ':' || CAST($keyExpr AS VARCHAR))"
+    val poly = (0 until 4).map { i =>
+      val w = math.pow(16, 3 - i).toLong
+      s"(strpos('$HexDigits', substring($hx, ${1 + i}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"(($poly) % $width)"
+  }
+
   /** DuckDB mirror of the full per-group estimate; `groupExpr` must be
     * a single column name. */
   def estimateSql(table: String, keyExpr: String, groupExpr: String,

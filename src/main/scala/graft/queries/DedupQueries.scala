@@ -90,6 +90,19 @@ object DedupQueries {
       val d = Tables.load(s, dir, "documents")
       Dedup.decontaminate(d.filter(col("doc_id") >= 5),
         d.filter(col("doc_id") < 5), "doc_id", "text", k = 4)
+    }),
+
+    // Fuzzy record linkage: distinct part names within one edit of each
+    // other (deletion-neighborhood blocking + exact levenshtein verify).
+    // The oracle is the brute-force length-unblocked pairwise join —
+    // tractable because the name relation is distinct-small, while the
+    // Spark side runs the linear-signature pipeline.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "part")
+        .select(col("p_name").as("name")).distinct()
+      Dedup.fuzzyPairsD1(names, "name", "name")
+        .select(col("key_a").as("name_a"), col("key_b").as("name_b"),
+          col("dist"))
     })
   )
 
@@ -185,6 +198,14 @@ object DedupQueries {
          | SELECT doc_id, unnest(s) AS t FROM sh WHERE doc_id >= 5)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
          |FROM corp WHERE t IN (SELECT t FROM bench)
-         |GROUP BY doc_id""".stripMargin
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        | ON a.p_name < b.p_name
+        | AND levenshtein(a.p_name, b.p_name) <= 1""".stripMargin
   )
 }

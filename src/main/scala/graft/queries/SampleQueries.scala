@@ -39,7 +39,14 @@ object SampleQueries {
         rates = Seq("en" -> 16384, "de" -> 49152), defaultNum = 65536)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("chars")))
+          sum(col("n_chars")).as("chars"))),
+
+    // Quota sampling: exactly 5 docs per language, drawn by content-hash
+    // priority on the native bounded-heap aggregate (no window sort).
+    "q_reservoir" -> ((s, dir) =>
+      Sampling.reservoirPerGroup(Tables.load(s, dir, "documents"),
+        col("lang"), col("doc_id"), k = 5)
+        .select(col("grp").as("lang"), col("pick").as("doc_id")))
   )
 
   private val pfx = Sampling.prefixSql("doc_id")
@@ -64,6 +71,17 @@ object SampleQueries {
          |WHERE CASE WHEN lang = 'en' THEN $pfx < '${"%04x".format(16384)}'
          |  WHEN lang = 'de' THEN $pfx < '${"%04x".format(49152)}'
          |  ELSE TRUE END
-         |GROUP BY lang""".stripMargin
+         |GROUP BY lang""".stripMargin,
+
+    // 12 hex chars compare lexicographically == numerically (fixed
+    // width), mirroring the Spark side's negated 48-bit priority.
+    "q_reservoir" ->
+      """SELECT lang, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+        |            doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 5""".stripMargin
   )
 }

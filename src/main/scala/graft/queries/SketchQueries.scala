@@ -24,6 +24,19 @@ object SketchQueries {
       val exact = events.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       exact.join(broadcast(approx), "event_type")
+    }),
+
+    // Count-min word frequencies next to the exact counts: the sketch
+    // side collapses to depth×width counters before the shuffle no
+    // matter the corpus size; estimates only ever overestimate.
+    "q_cms_counts" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      val sketch = Sketch.cmsSketch(toks, col("w"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      val est = Sketch.cmsEstimate(sketch, toks.distinct(), col("w"))
+        .withColumnRenamed("__item", "w")
+      exact.join(est, "w")
     })
   )
 
@@ -38,6 +51,28 @@ object SketchQueries {
          | FROM events GROUP BY 1)
          |SELECT e.event_type, e.n_exact, a.n_approx
          |FROM exact e JOIN approx a USING (event_type)""".stripMargin
+    },
+
+    "q_cms_counts" -> {
+      val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+      val cellB = Sketch.cmsBucketSql("w", "r")
+      val addrB = Sketch.cmsBucketSql("p.w", "d.r")
+      s"""WITH t AS (SELECT unnest($toks) AS w FROM documents),
+         |d AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         | SELECT r, $cellB AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM t CROSS JOIN d GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT w FROM t),
+         |addr AS (
+         | SELECT p.w, d.r, $addrB AS b FROM probes p CROSS JOIN d),
+         |est AS (
+         | SELECT a.w, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+         | FROM addr a LEFT JOIN cells c ON a.r = c.r AND a.b = c.b
+         | GROUP BY a.w),
+         |exact AS (
+         | SELECT w, CAST(COUNT(*) AS BIGINT) AS n_exact FROM t GROUP BY w)
+         |SELECT e.w, e.n_exact, s.est
+         |FROM exact e JOIN est s USING (w)""".stripMargin
     }
   )
 }

@@ -80,7 +80,21 @@ object SourceQueries {
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"),
           max(col("n_name")).as("max_name"))
-    })
+    }),
+
+    // Semi-structured column parsing: the events.props JSON payload
+    // parsed with a DECLARED schema (`from_json`, one parse per row in
+    // the scan stage — no inference pass, no UDF), then an integer
+    // aggregate per event type. At 100 TB schema inference would be a
+    // second full scan; declaring it keeps ingestion one-pass.
+    "q_json_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", from_json(col("props"), "k BIGINT",
+          Map.empty[String, String]).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+          sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,6 +121,18 @@ object SourceQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
         | MAX(n_name) AS max_name
-        |FROM nation GROUP BY 1""".stripMargin
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(k) AS BIGINT) AS n_parsed,
+        | CAST(SUM(k) AS BIGINT) AS k_sum,
+        | CAST(MIN(k) AS BIGINT) AS k_min,
+        | CAST(MAX(k) AS BIGINT) AS k_max
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events)
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -161,4 +161,51 @@ class DedupSpec extends SparkSpec {
     // ids always drawn (A, B) — no within-side pair can appear
     assert(pairs.forall { case (x, y) => x <= 3 && y >= 11 })
   }
+
+  test("fuzzyPairsD1 finds every edit-type at distance <= 1, rejects distance 2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cold bolt"),
+      (2L, "old bolt"),   // deletion of 'c' from 1
+      (3L, "gold bolt"),  // substitution vs 1, distance 2 from 2? (g->o... ) lev(old,gold)=1 insertion
+      (4L, "cold bolts"), // insertion vs 1
+      (5L, "ab"),
+      (6L, "ba"),         // transposition = distance 2, shares deletion sigs
+      (7L, "zzz unrelated")
+    ).toDF("id", "name")
+    val pairs = Dedup.fuzzyPairsD1(df, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // deletion
+    assert(pairs.contains((1L, 3L))) // substitution
+    assert(pairs.contains((1L, 4L))) // insertion
+    assert(pairs.contains((2L, 3L))) // insertion at front
+    assert(!pairs.contains((5L, 6L))) // "ab"/"ba" share sigs but lev=2
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => a == 7L || b == 7L })
+  }
+
+  test("fuzzyPairsD1 matches brute-force levenshtein on a random vocabulary") {
+    import spark.implicits._
+    // small alphabet + short strings => dense edit-distance-1 structure
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 120).map(i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(4))).map(_ =>
+        ('a' + rnd.nextInt(3)).toChar).mkString))
+    val df = words.toDF("id", "name")
+    val got = Dedup.fuzzyPairsD1(df, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- words; (ib, sb) <- words
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
 }

@@ -95,4 +95,44 @@ class LayoutSketchSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("Window"))
   }
+
+  test("CMS estimates only ever overestimate, exactly when collision-free") {
+    import spark.implicits._
+    // zipf-ish: item i appears 1000/i times
+    val items = (1 to 40).flatMap(i => Seq.fill(1000 / i)(s"item$i"))
+    val df = items.toDF("w")
+    val sketch = Sketch.cmsSketch(df, col("w"))
+    val got = Sketch.cmsEstimate(sketch, df.distinct(), col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (w, n) =>
+      assert(got(w) >= n, s"$w: est ${got(w)} under true $n")
+      // 40 items in 4x256 cells: each row collides with prob ~40/256;
+      // the min over 4 independent rows is almost surely exact
+      assert(got(w) <= n + items.size / 16L, s"$w: est ${got(w)} way over $n")
+    }
+    // sketch size is depth x width bounded regardless of input size
+    assert(sketch.count() <= Sketch.CmsDepth.toLong * Sketch.CmsWidth)
+  }
+
+  test("CMS is partition- and duplication-order invariant") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => s"w${i % 37}").toDF("w")
+    def est(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Sketch.cmsEstimate(Sketch.cmsSketch(d, col("w")), d.distinct(), col("w"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est(df) == est(df.repartition(11)))
+  }
+
+  test("CMS probe of an absent item estimates near zero") {
+    import spark.implicits._
+    val sketch = Sketch.cmsSketch((1 to 100).map(i => s"w$i").toDF("w"), col("w"))
+    val ghost = Seq("never-seen-item").toDF("w")
+    val est = Sketch.cmsEstimate(sketch, ghost, col("w"))
+      .collect()(0).getLong(1)
+    // 100 items spread over 256 buckets: a disjoint item's min cell is
+    // tiny (0 unless all 4 addressed cells collide)
+    assert(est <= 3, s"ghost estimate $est")
+  }
 }

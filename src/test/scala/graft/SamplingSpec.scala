@@ -74,4 +74,32 @@ class SamplingSpec extends SparkSpec {
       rates = Seq("a" -> 65536)).filter(col("s") === "b").count()
     assert(dropped == 0)
   }
+
+  test("reservoirPerGroup == window-sort reference, partition invariant, no Window in plan") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"g${i % 7}")).toDF("id", "g")
+    def picks(d: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      Sampling.reservoirPerGroup(d, col("g"), col("id"), k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = picks(df)
+    // reference: smallest (md5-prefix, id) per group via a window sort
+    val ref = df
+      .withColumn("h", substring(md5(col("id").cast("string")), 1, 12))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("h"), col("id"))))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == ref)
+    assert(got.size == 35) // exactly k per group
+    assert(picks(df.repartition(13)) == got)
+    // small groups yield the whole group, not k
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(picks(tiny) == Set(("x", 1L), ("x", 2L)))
+    // the scale contract: a bounded-heap aggregate, not a window sort
+    val plan = Sampling.reservoirPerGroup(df, col("g"), col("id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "reservoir must not window-sort groups")
+    assert(plan.contains("graft_topk"), "reservoir should use the native top-k aggregate")
+  }
 }
