@@ -85,4 +85,19 @@ object Bpe {
     val out = merges.result()
     spark.createDataFrame(out).toDF("step", "left", "right", "weight")
   }
+
+  /** Apply a FIXED merge list (the learned tokenizer artifact) to a
+    * symbol-array column, in learned order — the encode half of the
+    * tokenizer. Each merge is one native codegen'd
+    * [[graft.functions.MergeAdjacentPair]] pass, so a k-merge
+    * tokenizer is k chained linear kernels fused into the scan stage:
+    * encoding 100 TB is one pass, no shuffle, no state. */
+  def applyMerges(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (c, (a, b)) => mergePair(c, a, b) }
+
+  /** Doc-level encode: whitespace words → characters → merge chain,
+    * flattened back to one token array per document. */
+  def encodeColumn(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(Text.tokens(text),
+      w => applyMerges(split(w, ""), merges)))
 }

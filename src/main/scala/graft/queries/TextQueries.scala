@@ -126,6 +126,21 @@ object TextQueries {
       graft.operators.Bpe.learnMerges(
         Tables.load(s, dir, "documents"), "text", k = 8)),
 
+    // BPE ENCODE with a fixed learned tokenizer (the merge list is a
+    // static artifact, exactly how a production tokenizer ships):
+    // per-word char split → 8 chained native merge kernels, all in
+    // the scan stage — then post-encoding token frequencies. The
+    // oracle replays the identical greedy non-overlapping merges as a
+    // plain `replace` chain over a double-space symbol encoding.
+    "q_bpe_encode" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(explode(graft.operators.Bpe.applyMerges(
+          split(col("w"), ""), bpeMerges)).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))),
+
     // Trigram language-model counts: c3 per trigram, conditional
     // probability against the summed continuations of its 2-token
     // context (Σ_w3 c3 — all integers until one exact double
@@ -172,6 +187,36 @@ object TextQueries {
             .as("n_lang_agree"))
     })
   )
+
+  /** The fixed tokenizer artifact for q_bpe_encode: the first 8 merges
+    * learnMerges produces on the sf0.01 corpus (weight desc, pair asc
+    * tie-break). Includes a multi-char merge (m+er) so the chain's
+    * ordering is actually exercised. */
+  private[queries] val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** Greedy non-overlapping merges as a plain `replace` chain: symbols
+    * are joined and flanked by DOUBLE spaces, so ' a  b ' can only
+    * match whole symbols, consecutive occurrences keep a delimiter
+    * between matches, and left-to-right first-occurrence replace ==
+    * the kernel's greedy scan. */
+  private def bpeEncodeSql: String = {
+    val chain = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"s${i + 1} AS (SELECT replace(s, ' $a  $b ', ' $a$b ') AS s FROM s$i)"
+    }.mkString(",\n")
+    s"""WITH w AS (
+       | SELECT unnest($toks) AS w FROM documents),
+       |s0 AS (
+       | SELECT '  ' || array_to_string(regexp_split_to_array(w, ''), '  ')
+       |  || '  ' AS s
+       | FROM w WHERE len(w) > 0),
+       |$chain
+       |SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM (SELECT unnest(regexp_split_to_array(trim(s), '\\s+')) AS t
+       |      FROM s${bpeMerges.size})
+       |GROUP BY 1""".stripMargin
+  }
 
   // DuckDB mirrors. Token split = regexp_split_to_array on trimmed lower
   // text; every double is produced by the same op sequence as the Spark
@@ -321,6 +366,8 @@ object TextQueries {
          | CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
          |   AS n_lang_agree
          |FROM fl JOIN keep USING (doc_id) GROUP BY lang""".stripMargin
-    }
+    },
+
+    "q_bpe_encode" -> bpeEncodeSql
   )
 }

@@ -93,4 +93,27 @@ class BpeSpec extends SparkSpec {
     }
     assert(sym.mkString == "the")
   }
+
+  test("applyMerges walks a fixed merge chain in order (encode golden)") {
+    import spark.implicits._
+    val merges = Seq("e" -> "r", "m" -> "er")
+    // "merger": chars → (e,r) → [m,er,g,er] → (m,er) → [mer,g,er]
+    val got = Seq("merger").toDF("w")
+      .select(Bpe.applyMerges(split(col("w"), ""), merges).as("sym"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("mer", "g", "er"))
+    // order matters: reversing the chain never forms "mer"
+    val rev = Seq("merger").toDF("w")
+      .select(Bpe.applyMerges(split(col("w"), ""), merges.reverse).as("sym"))
+      .collect()(0).getSeq[String](0)
+    assert(rev == Seq("m", "er", "g", "er"))
+  }
+
+  test("encodeColumn flattens per-word encodings document-wise") {
+    import spark.implicits._
+    val got = Seq("er me mer").toDF("t")
+      .select(Bpe.encodeColumn(col("t"), Seq("e" -> "r", "m" -> "er")).as("e"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("er", "m", "e", "mer"))
+  }
 }
