@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Multimodal
-import graft.streaming.{Sessionize, StreamDedup, StreamSketch, WindowAgg}
+import graft.streaming.{Sessionize, StreamCms, StreamDedup, StreamSketch,
+  WindowAgg}
 
 /** Sessionization (oracle-matched gaps-and-islands) and multimodal
   * plumbing queries (rows-only: the stub decoder is not
@@ -48,6 +49,15 @@ object StreamTextQueries {
       StreamSketch.approxDistinct(Tables.load(s, dir, "events"),
         col("event_type"), col("user_id"), groupOut = "event_type")),
 
+    // Streaming count-min (flatMapGroupsWithState, 8 KiB of counters
+    // per group) run in batch mode: bucket derivation and min-estimate
+    // mirror operators.Sketch.cmsSketch bit-for-bit, so the DuckDB
+    // count-min mirror oracles the stateful code path.
+    "q_cms_stream" -> ((s, dir) =>
+      StreamCms.estimates(Tables.load(s, dir, "events"),
+        col("event_type"), col("user_id"),
+        groupOut = "event_type", itemOut = "user_id")),
+
     // Multimodal: wrap documents as media, resize, extract features
     // (stub decode, real batching/pruning plumbing).
     "q_mm_features" -> ((s, dir) => {
@@ -74,6 +84,27 @@ object StreamTextQueries {
   val oracles: Map[String, String] = Map(
     "q_hll_stream" -> graft.operators.Sketch.estimateSql(
       "events", "user_id", "event_type", "n_approx"),
+
+    "q_cms_stream" -> {
+      val cellB = graft.operators.Sketch.cmsBucketSql("item", "r")
+      val addrB = graft.operators.Sketch.cmsBucketSql("pr.item", "d.r")
+      s"""WITH d AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |p AS (
+         | SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+         |cells AS (
+         | SELECT event_type, r, $cellB AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM p CROSS JOIN d GROUP BY 1, 2, 3),
+         |probes AS (SELECT DISTINCT event_type, item FROM p),
+         |addr AS (
+         | SELECT pr.event_type, pr.item, d.r, $addrB AS b
+         | FROM probes pr CROSS JOIN d)
+         |SELECT a.event_type, a.item AS user_id,
+         | CAST(MIN(c.cnt) AS BIGINT) AS est
+         |FROM addr a JOIN cells c
+         | ON a.event_type = c.event_type AND a.r = c.r AND a.b = c.b
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "q_first_seen" ->
       """SELECT user_id AS k, MIN(epoch_ns(ts) // 1000) AS first_ts

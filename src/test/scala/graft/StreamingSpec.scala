@@ -275,4 +275,53 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(viaState("g2") - 120.0) / 120.0 < 0.25)
     } finally q.stop()
   }
+
+  test("streaming count-min converges to the batch sketch estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamCms
+    import graft.operators.Sketch
+    val rows = (1L to 1500L).map(i => ("g1", (i % 97).toString)) ++
+      (1L to 400L).map(i => ("g2", (i % 23).toString))
+    val input = MemoryStream[(String, String)]
+    val est = StreamCms.estimatesStream(input.toDS())
+    val q = est.writeStream.format("memory")
+      .queryName("cms").outputMode("update").start()
+    try {
+      val (first, second) = rows.splitAt(700)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      // counters are monotone, so max emitted == last emitted per item
+      val streamed = spark.table("cms").groupBy("g", "item")
+        .agg(max("est").as("est")).as[(String, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val batch = StreamCms.estimates(
+        rows.toDF("g", "k"), col("g"), col("k"))
+        .as[(String, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed.keySet == batch.keySet)
+      // an estimate emitted mid-stream never exceeds the full-stream one
+      streamed.foreach { case (k, v) => assert(v <= batch(k)) }
+      // items that arrived in the final batch see the full counters
+      second.foreach { case (g, item) =>
+        assert(streamed((g, item)) == batch((g, item)))
+      }
+      // the stateful JVM path mirrors the relational SQL sketch per group
+      for (g <- Seq("g1", "g2")) {
+        val sub = rows.filter(_._1 == g).toDF("g", "k")
+        val viaSql = Sketch.cmsEstimate(
+          Sketch.cmsSketch(sub, col("k")),
+          sub.select(col("k")).distinct(), col("k"))
+          .as[(String, Long)].collect().toMap
+        val viaState = batch.collect { case ((`g`, item), v) => item -> v }
+        assert(viaState == viaSql,
+          s"stateful estimate must mirror the SQL sketch for $g")
+      }
+      // count-min law: estimates dominate the true frequencies
+      val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      batch.foreach { case (k, v) => assert(v >= truth(k)) }
+    } finally q.stop()
+  }
 }
