@@ -294,4 +294,49 @@ object Series {
       .select(left.columns.map(col) ++
         payload.distinct.map(p => col(s"__p.$p").as(s"$prefix$p")): _*)
   }
+
+  /** Resample a keyed time series onto a fixed `step`-wide bucket grid
+    * with forward-fill (LOCF — last observation carried forward, the
+    * pandas `resample(...).last().ffill()` / time-series gap-fill
+    * shape). Per key, buckets run from the key's first to its last
+    * observation; a bucket's value is the latest observation inside it,
+    * and empty buckets inherit the previous bucket's value. The first
+    * bucket of every key contains an observation by construction, so
+    * the output has no nulls.
+    *
+    * Scale shape: everything is keyed — per-bucket "last" is a
+    * (key, bucket)-partitioned window, the grid is one groupBy(key)
+    * min/max then a `sequence` explode (grid size = key's time span /
+    * step, independent of observation count), and the fill is a single
+    * (key)-partitioned ordered window. No global sort, no driver
+    * round-trip; every stage shuffles on the key it aggregates, so the
+    * plan survives arbitrary key counts. Dense grids (tiny `step` over
+    * long spans) grow the OUTPUT, not the state: the fill window
+    * streams each key's grid in order with O(1) carried state.
+    *
+    * Within a bucket, ties on `time` break by descending `value` so the
+    * result is deterministic under shuffle-order changes. Times must be
+    * non-negative (`DIV` truncates toward zero).
+    */
+  def resampleLocf(df: DataFrame, key: String, time: String, value: String,
+                   step: Long, out: String = "bucket_start"): DataFrame = {
+    require(step > 0, "step must be positive")
+    val b = expr(s"`$time` DIV $step")
+    val obsW = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col(time).desc, col(value).desc)
+    val obs = df.select(col(key), col(time), col(value))
+      .withColumn("__b", b)
+      .withColumn("__rn", row_number().over(obsW))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__b"), col(value))
+    val grid = df.select(col(key), b.as("__b"))
+      .groupBy(col(key))
+      .agg(min("__b").as("__b0"), max("__b").as("__b1"))
+      .select(col(key), explode(sequence(col("__b0"), col("__b1"))).as("__b"))
+    val fillW = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(key, "__b"), "left")
+      .withColumn(value, last(col(value), ignoreNulls = true).over(fillW))
+      .select(col(key), (col("__b") * step).as(out), col(value))
+  }
 }

@@ -88,7 +88,17 @@ object SeriesQueries {
       Series.rangeJoin(side("purchase"), side("click"),
         key = "user_id", time = "us", delta = 3600L * 1000000L,
         payload = Seq("event_id", "us"))
-    })
+    }),
+
+    // Resample per-user event values onto an hourly grid with
+    // forward-fill (LOCF): the fill only copies existing doubles (no
+    // arithmetic), so the values compare bit-exact cross-engine.
+    "q_resample" -> ((s, dir) =>
+      Series.resampleLocf(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("us"), col("value")),
+        key = "user_id", time = "us", value = "value",
+        step = 3600000000L, out = "bucket_us"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +176,26 @@ object SeriesQueries {
         |FROM e l JOIN e r
         |  ON l.event_type = 'purchase' AND r.event_type = 'click'
         | AND l.user_id = r.user_id
-        | AND abs(l.us - r.us) <= 3600000000""".stripMargin
+        | AND abs(l.us - r.us) <= 3600000000""".stripMargin,
+
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |o AS (SELECT user_id, us // 3600000000 AS b, us, value FROM e),
+        |r AS (
+        |  SELECT user_id, b, value, row_number() OVER (
+        |    PARTITION BY user_id, b ORDER BY us DESC, value DESC) AS rn
+        |  FROM o),
+        |obs AS (SELECT user_id, b, value FROM r WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM o GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.b, o.value
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b)
+        |SELECT user_id, b * 3600000000 AS bucket_us,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS value
+        |FROM j""".stripMargin
   )
 }

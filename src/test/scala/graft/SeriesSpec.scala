@@ -110,4 +110,32 @@ class SeriesSpec extends SparkSpec {
     // lid=1 t=100 matches rids at 110 (edge, ≤) and 91; 111 is out
     assert(got == Seq((1L, 10L), (1L, 11L), (2L, 13L)))
   }
+
+  test("resampleLocf fills gaps forward, keeps latest-in-bucket") {
+    import spark.implicits._
+    // step=10: user 1 observes in buckets 0 (two obs — bucket value is
+    // the later, t=7), 1, and 4; buckets 2–3 are gaps that must carry
+    // bucket 1's value. user 2 has a single bucket (grid of one).
+    val df = Seq(
+      (1L, 3L, 1.0), (1L, 7L, 2.0),     // bucket 0 → 2.0 (t=7 wins)
+      (1L, 12L, 5.0),                    // bucket 1 → 5.0
+      (1L, 45L, 9.0),                    // bucket 4 → 9.0
+      (2L, 21L, 4.0)                     // bucket 2 only
+    ).toDF("user_id", "t", "v")
+    val got = Series.resampleLocf(df, "user_id", "t", "v", step = 10L,
+        out = "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == Seq(
+      (1L, 0L, 2.0), (1L, 10L, 5.0), (1L, 20L, 5.0), (1L, 30L, 5.0),
+      (1L, 40L, 9.0), (2L, 20L, 4.0)))
+  }
+
+  test("resampleLocf ties on time break by value, deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, 3.0), (1L, 5L, 8.0)).toDF("user_id", "t", "v")
+    val got = Series.resampleLocf(df, "user_id", "t", "v", step = 10L)
+      .collect().map(r => r.getDouble(2)).toSeq
+    assert(got == Seq(8.0))
+  }
 }
