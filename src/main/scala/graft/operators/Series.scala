@@ -339,4 +339,28 @@ object Series {
       .withColumn(value, last(col(value), ignoreNulls = true).over(fillW))
       .select(col(key), (col("__b") * step).as(out), col(value))
   }
+
+  /** Per-key rolling aggregate over a trailing time range: for every
+    * observation, the count and exact sum of values with time in
+    * [t − lookback, t] for the same key (a time-based moving window —
+    * RANGE frame, so it widens and narrows with event density rather
+    * than a fixed row count, and ties on `time` are frame peers).
+    *
+    * Scale shape: one keyed window — shuffle on `key`, then a single
+    * per-key ordered scan with the frame maintained incrementally;
+    * no self-join, no candidate pairs, partition buffers spill to disk.
+    * The sum runs in DECIMAL(18,2) and is cast back to double, so it is
+    * order-independent and cross-engine exact.
+    */
+  def rollingRange(df: DataFrame, key: String, time: String, value: String,
+                   lookback: Long, nOut: String = "n_window",
+                   sumOut: String = "sum_window"): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    val w = Window.partitionBy(col(key)).orderBy(col(time))
+      .rangeBetween(-lookback, 0)
+    df.select(col(key), col(time),
+      count(lit(1)).over(w).as(nOut),
+      sum(col(value).cast("decimal(18,2)")).over(w)
+        .cast("double").as(sumOut))
+  }
 }

@@ -90,6 +90,15 @@ object SeriesQueries {
         payload = Seq("event_id", "us"))
     }),
 
+    // Trailing 1-hour rolling count + exact sum per user at every
+    // event: one keyed RANGE window, no self-join.
+    "q_rolling" -> ((s, dir) =>
+      Series.rollingRange(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("us"), col("value")),
+        key = "user_id", time = "us", value = "value",
+        lookback = 3600000000L)),
+
     // Resample per-user event values onto an hourly grid with
     // forward-fill (LOCF): the fill only copies existing doubles (no
     // arithmetic), so the values compare bit-exact cross-engine.
@@ -177,6 +186,16 @@ object SeriesQueries {
         |  ON l.event_type = 'purchase' AND r.event_type = 'click'
         | AND l.user_id = r.user_id
         | AND abs(l.us - r.us) <= 3600000000""".stripMargin,
+
+    "q_rolling" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events)
+        |SELECT user_id, us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_window
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (

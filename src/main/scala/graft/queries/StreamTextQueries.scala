@@ -34,6 +34,13 @@ object StreamTextQueries {
       WindowAgg.tumbling(Tables.load(s, dir, "events"),
         tsUs, "1 hour", "event_type", col("value"))),
 
+    // Sliding (hopping) 1-hour windows advancing every 15 minutes —
+    // each event lands in 4 overlapping windows; same
+    // partial/final hash aggregate, fixed 4× grouping expansion.
+    "q_window_sliding" -> ((s, dir) =>
+      WindowAgg.sliding(Tables.load(s, dir, "events"),
+        tsUs, "1 hour", "15 minutes", "event_type", col("value"))),
+
     // Stateful first-seen dedup (flatMapGroupsWithState) run in batch
     // mode: first event per user — reduces to groupBy.min, which is
     // the oracle.
@@ -155,6 +162,23 @@ object StreamTextQueries {
         |    i -> length(substr(text, CAST(i*fl + 1 AS INT), CAST(fl AS INT)))))
         |    AS BIGINT) AS bytes_sampled
         |FROM m""".stripMargin,
+
+    // Sliding windows align to the epoch in multiples of the slide;
+    // an event at `us` is covered by the 4 starts from its aligned
+    // slide going back width − slide.
+    "q_window_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
+        |x AS (
+        |  SELECT us, event_type, value,
+        |    unnest(range(us - us % 900000000 - 2700000000,
+        |                 us - us % 900000000 + 1, 900000000)) AS ws
+        |  FROM e)
+        |SELECT ws AS window_start_us, ws + 3600000000 AS window_end_us,
+        |  event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     // Spark's window() aligns tumbling windows to the epoch, so the
     // window start is plain integer arithmetic on epoch-micros.

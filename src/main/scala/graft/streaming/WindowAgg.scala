@@ -36,12 +36,34 @@ object WindowAgg {
     core(events.withColumn("__ts", timestamp_micros(tsMicros))
       .withWatermark("__ts", watermark), width, key, value)
 
+  /** Batch sliding (hopping) windows: width `width`, advancing every
+    * `slide` — each event contributes to width/slide overlapping
+    * windows. `window()` with a slide is still just a derived grouping
+    * column (one row per covering window before the partial aggregate),
+    * so the shuffle carries one reduced row per (window × key) and the
+    * expansion factor is the fixed width/slide ratio, not data-derived. */
+  def sliding(events: DataFrame, tsMicros: Column, width: String,
+              slide: String, key: String, value: Column): DataFrame =
+    core(events.withColumn("__ts", timestamp_micros(tsMicros)), width,
+      key, value, slide = Some(slide))
+
+  /** Streaming sliding windows with watermark-bounded state. */
+  def slidingStreaming(events: DataFrame, tsMicros: Column, width: String,
+                       slide: String, key: String, value: Column,
+                       watermark: String): DataFrame =
+    core(events.withColumn("__ts", timestamp_micros(tsMicros))
+      .withWatermark("__ts", watermark), width, key, value,
+      slide = Some(slide))
+
   private def core(df: DataFrame, width: String, key: String,
-                   value: Column): DataFrame =
-    df.groupBy(window(col("__ts"), width).as("w"), col(key))
+                   value: Column, slide: Option[String] = None): DataFrame = {
+    val w = slide.fold(window(col("__ts"), width))(s =>
+      window(col("__ts"), width, s))
+    df.groupBy(w.as("w"), col(key))
       .agg(count(lit(1)).as("n_events"),
         sum(value.cast("decimal(18,2)")).cast("double").as("value_sum"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
         unix_micros(col("w.end")).as("window_end_us"),
         col(key), col("n_events"), col("value_sum"))
+  }
 }

@@ -131,6 +131,22 @@ class SeriesSpec extends SparkSpec {
       (1L, 40L, 9.0), (2L, 20L, 4.0)))
   }
 
+  test("rollingRange trails by time, ties are frame peers") {
+    import spark.implicits._
+    // lookback=10: at t=15 the frame is [5,15]; the two t=20 rows are
+    // RANGE peers — each sees both (frame [10,20])
+    val df = Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (1L, 20L, 4.0),
+      (1L, 20L, 8.0), (1L, 40L, 16.0), (2L, 15L, 32.0))
+      .toDF("k", "t", "v")
+    val got = Series.rollingRange(df, "k", "t", "v", lookback = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 1.0), (1L, 15L, 2L, 3.0),
+      (1L, 20L, 3L, 14.0), (1L, 20L, 3L, 14.0),
+      (1L, 40L, 1L, 16.0), (2L, 15L, 1L, 32.0)))
+  }
+
   test("resampleLocf ties on time break by value, deterministically") {
     import spark.implicits._
     val df = Seq((1L, 5L, 3.0), (1L, 5L, 8.0)).toDF("user_id", "t", "v")

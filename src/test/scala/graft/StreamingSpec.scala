@@ -169,6 +169,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch and streaming sliding-window aggregation agree") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mins = 60L * 1000000L
+    val rows = Seq(
+      ("click", 5 * mins, 1.0), ("click", 50 * mins, 2.0),
+      ("view", 10 * mins, 4.0), ("click", 70 * mins, 8.0))
+    val batch = WindowAgg.sliding(
+      rows.toDF("event_type", "ts_us", "value"),
+      col("ts_us"), "1 hour", "15 minutes", "event_type", col("value"))
+      .collect().map(_.toSeq).toSet
+    // each event covered by exactly 4 windows; 5' and 50' clicks share
+    // only the epoch-aligned [0, 60') window
+    assert(batch.exists(r => r(0) == 0L && r(1) == 60 * mins &&
+      r(2) == "click" && r(3) == 2L && r(4) == 3.0))
+    // clicks at 50' and 70' share [15,75) and [30,90) and [45,105)
+    assert(batch.exists(r => r(0) == 15 * mins && r(2) == "click" &&
+      r(3) == 2L && r(4) == 10.0))
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = WindowAgg.slidingStreaming(
+      input.toDF().toDF("event_type", "ts_us", "value"),
+      col("ts_us"), "1 hour", "15 minutes", "event_type", col("value"),
+      watermark = "10 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("slidewin").outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("slidewin").collect().map(_.toSeq).toSet == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join agrees with batch rangeJoin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
