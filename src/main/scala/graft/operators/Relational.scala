@@ -67,6 +67,38 @@ final case class Table(df: DataFrame) {
       if (lk == ok) d0 else d0.withColumnRenamed(lk, ok) }
   }
 
+  /** Left/right/full outer equi-join with each key pair coalesced into
+    * one output column (ANSI `USING` semantics: the key survives from
+    * whichever side matched). The reference's join is inner-only
+    * (capture-api.jl:286-378); outer variants are free in Spark — same
+    * shuffled hash/merge join, null-extended rows — and unavoidable in
+    * real schemas. Output schema: coalesced keys first, then left
+    * payload, then right payload (null-extended where unmatched). */
+  def joinOuter(other: Table, leftKeys: Seq[String], rightKeys: Seq[String],
+                outKeys: Seq[String], how: String = "left"): Table = {
+    require(Set("left", "right", "full")(how),
+      s"joinOuter supports left/right/full, got $how")
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size &&
+      leftKeys.size == outKeys.size,
+      "join needs equally many left, right and output key names")
+    val l = df.alias("l")
+    val r = other.df.alias("r")
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (lk, rk) => col(s"l.$lk") === col(s"r.$rk") }
+      .reduce(_ && _)
+    val keyCols = leftKeys.zip(rightKeys).zip(outKeys).map {
+      case ((lk, rk), ok) => coalesce(col(s"l.$lk"), col(s"r.$rk")).as(ok)
+    }
+    val lRest = df.columns.filterNot(leftKeys.contains)
+      .map(c => col(s"l.$c"))
+    val rRest = other.df.columns.filterNot(rightKeys.contains)
+      .map(c => col(s"r.$c"))
+    Table(l.join(r, cond, how).select(keyCols ++ lRest ++ rRest: _*))
+  }
+
+  def joinOuter(other: Table, key: String, how: String): Table =
+    joinOuter(other, Seq(key), Seq(key), Seq(key), how)
+
   /** Broadcast variant for small dimension tables: same semantics as
     * `join`, but hints Catalyst to replicate `other` to every executor —
     * the shuffle-free plan HPAT cannot express (its benchmark scripts

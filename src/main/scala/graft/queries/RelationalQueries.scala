@@ -50,6 +50,33 @@ object RelationalQueries {
           col("l_extendedprice"))
         .df),
 
+    // Left outer join: every customer, null-extended (sentinel-coalesced
+    // for the cross-engine compare) where no order matched.
+    "q_left_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .joinOuter(t(s, dir, "orders"), Seq("c_custkey"), Seq("o_custkey"),
+          Seq("custkey"), how = "left")
+        .select(col("custkey"), col("c_name"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+          coalesce(col("o_totalprice"), lit(-1.0)).as("o_totalprice"))
+        .df),
+
+    // Full outer join: per-user purchase counts ⟗ click counts — rows
+    // survive from either side, key coalesced ANSI USING-style.
+    "q_full_join" -> ((s, dir) => {
+      def side(tpe: String, out: String) =
+        Table(Tables.load(s, dir, "events")
+          .filter(col("event_type") === tpe)
+          .groupBy(col("user_id")).agg(count(lit(1)).as(out)))
+      side("purchase", "n_purchase")
+        .joinOuter(side("click", "n_click"), Seq("user_id"), Seq("user_id"),
+          Seq("user_id"), how = "full")
+        .select(col("user_id"),
+          coalesce(col("n_purchase"), lit(-1L)).as("n_purchase"),
+          coalesce(col("n_click"), lit(-1L)).as("n_click"))
+        .df
+    }),
+
     // Join: key-coalesced inner equi-join — capture-api.jl:286-378.
     // customer is small → broadcast (no shuffle of orders).
     "q_join" -> ((s, dir) =>
@@ -352,6 +379,24 @@ object RelationalQueries {
     "q_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_left_join" ->
+      """SELECT c.c_custkey AS custkey, c.c_name,
+        | COALESCE(o.o_orderkey, -1) AS o_orderkey,
+        | COALESCE(o.o_totalprice, CAST(-1.0 AS DOUBLE)) AS o_totalprice
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q_full_join" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+        |  COALESCE(p.n_purchase, -1) AS n_purchase,
+        |  COALESCE(c.n_click, -1) AS n_click
+        |FROM p FULL JOIN c ON p.user_id = c.user_id""".stripMargin,
 
     "q26_shape" ->
       """SELECT l_orderkey AS orderkey,

@@ -170,4 +170,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows(l.joinSalted(r, "k1", "k2", "k", factor = 4)) ==
       rows(l.join(r, "k1", "k2", "k")))
   }
+
+  test("joinOuter: key coalesced USING-style, schema [keys; left; right]") {
+    import spark.implicits._
+    val l = Table(Seq((1L, 10.0), (2L, 20.0)).toDF("lk", "lv"))
+    val r = Table(Seq((2L, "b"), (3L, "c")).toDF("rk", "rv"))
+    def rows(how: String) = {
+      val t = l.joinOuter(r, Seq("lk"), Seq("rk"), Seq("k"), how)
+      assert(t.df.columns.toSeq == Seq("k", "lv", "rv"))
+      t.df.collect()
+        .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    }
+    // left: unmatched left rows null-extend the right payload
+    assert(rows("left") ==
+      Set((1L, Some(10.0), None), (2L, Some(20.0), Some("b"))))
+    // right: unmatched right rows keep the key via coalesce
+    assert(rows("right") ==
+      Set((2L, Some(20.0), Some("b")), (3L, None, Some("c"))))
+    // full: both sides survive
+    assert(rows("full") == Set((1L, Some(10.0), None),
+      (2L, Some(20.0), Some("b")), (3L, None, Some("c"))))
+  }
 }
