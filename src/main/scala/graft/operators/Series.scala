@@ -340,6 +340,68 @@ object Series {
       .select(col(key), (col("__b") * step).as(out), col(value))
   }
 
+  /** Resample a keyed time series onto exact grid instants (multiples
+    * of `step`) by LINEAR INTERPOLATION between the surrounding
+    * observations — the continuous-signal complement of
+    * [[resampleLocf]]'s step-function fill. Grid points are limited to
+    * each key's observed span (no extrapolation), so every output value
+    * is defined: a grid instant that coincides with an observation
+    * copies it exactly; one strictly between observations evaluates
+    * `v0 + (v1 − v0) · (g − t0)/(t1 − t0)` — a fixed IEEE op sequence
+    * on exactly-representable integer time deltas, so results are
+    * bit-reproducible cross-engine. Duplicate observations at the same
+    * (key, time) collapse to their max value first (deterministic under
+    * shuffle order).
+    *
+    * Scale shape: one (key,time) hash aggregate, one groupBy(key)
+    * span + `sequence` explode for the grid, then interpolation as TWO
+    * passes of the same keyed ordered window (forward carrying the
+    * previous observation, backward carrying the next) over the
+    * obs+grid union — no self-join, no candidate pairs, state O(1) per
+    * key position. Times must be non-negative.
+    */
+  def resampleInterp(df: DataFrame, key: String, time: String, value: String,
+                     step: Long, out: String = "grid_ts"): DataFrame = {
+    require(step > 0, "step must be positive")
+    val obs = df.groupBy(col(key), col(time))
+      .agg(max(col(value)).as("__v"))
+      .select(col(key), col(time).as("__t"), col("__v"),
+        lit(0).as("__side"))
+    val grid = df.select(col(key), col(time))
+      .groupBy(col(key))
+      .agg(min(col(time)).as("__tmin"), max(col(time)).as("__tmax"))
+      .select(col(key),
+        expr(s"(__tmin + ${step - 1}) DIV $step").as("__b0"),
+        expr(s"__tmax DIV $step").as("__b1"))
+      .filter(col("__b0") <= col("__b1"))
+      .select(col(key), explode(sequence(col("__b0"), col("__b1"))).as("__b"))
+      .select(col(key), (col("__b") * step).as("__t"),
+        lit(null).cast("double").as("__v"), lit(1).as("__side"))
+    // Obs sort before grid at equal time in the forward pass (so an
+    // exact-match grid point sees t0 == g), after it in the backward
+    // pass (t1 > g strictly; irrelevant because the t0 == g branch
+    // wins there).
+    val fw = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bw = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obsStruct = when(col("__side") === 0,
+      struct(col("__t"), col("__v")))
+    obs.unionByName(grid)
+      .withColumn("__p", last(obsStruct, ignoreNulls = true).over(fw))
+      .withColumn("__n", last(obsStruct, ignoreNulls = true).over(bw))
+      .filter(col("__side") === 1)
+      .select(col(key), col("__t").as(out),
+        when(col("__p.__t") === col("__t"), col("__p.__v"))
+          .otherwise(col("__p.__v") +
+            (col("__n.__v") - col("__p.__v")) *
+            ((col("__t") - col("__p.__t")).cast("double") /
+             (col("__n.__t") - col("__p.__t")).cast("double")))
+          .as(value))
+  }
+
   /** Per-key rolling aggregate over a trailing time range: for every
     * observation, the count and exact sum of values with time in
     * [t − lookback, t] for the same key (a time-based moving window —

@@ -99,6 +99,16 @@ object SeriesQueries {
         key = "user_id", time = "us", value = "value",
         lookback = 3600000000L)),
 
+    // Linear interpolation onto exact hourly grid instants within each
+    // user's observed span: fixed IEEE op sequence on integer time
+    // deltas, so the interpolated doubles compare bit-exact.
+    "q_interp" -> ((s, dir) =>
+      Series.resampleInterp(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("us"), col("value")),
+        key = "user_id", time = "us", value = "value",
+        step = 3600000000L, out = "grid_us")),
+
     // Resample per-user event values onto an hourly grid with
     // forward-fill (LOCF): the fill only copies existing doubles (no
     // arithmetic), so the values compare bit-exact cross-engine.
@@ -186,6 +196,43 @@ object SeriesQueries {
         |  ON l.event_type = 'purchase' AND r.event_type = 'click'
         | AND l.user_id = r.user_id
         | AND abs(l.us - r.us) <= 3600000000""".stripMargin,
+
+    "q_interp" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |o AS (
+        |  SELECT user_id, us AS t, MAX(value) AS v, 0 AS side
+        |  FROM e GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, MIN(us) AS tmin, MAX(us) AS tmax FROM e GROUP BY 1),
+        |bs AS (
+        |  SELECT user_id, (tmin + 3599999999) // 3600000000 AS b0,
+        |    tmax // 3600000000 AS b1 FROM span),
+        |grid AS (
+        |  SELECT user_id, unnest(range(b0, b1 + 1)) * 3600000000 AS t,
+        |    CAST(NULL AS DOUBLE) AS v, 1 AS side FROM bs WHERE b0 <= b1),
+        |u AS (SELECT * FROM o UNION ALL SELECT * FROM grid),
+        |f AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER fw AS pt,
+        |    last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+        |      OVER fw AS pv,
+        |    last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+        |      OVER bw AS nv,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER bw AS nt
+        |  FROM u WINDOW
+        |    fw AS (PARTITION BY user_id ORDER BY t ASC, side ASC
+        |           ROWS UNBOUNDED PRECEDING),
+        |    bw AS (PARTITION BY user_id ORDER BY t DESC, side DESC
+        |           ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, t AS grid_us,
+        |  CASE WHEN pt = t THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS value
+        |FROM f WHERE side = 1""".stripMargin,
 
     "q_rolling" ->
       """WITH e AS (

@@ -131,6 +131,29 @@ class SeriesSpec extends SparkSpec {
       (1L, 40L, 9.0), (2L, 20L, 4.0)))
   }
 
+  test("resampleInterp: exact at observations, linear between, no extrapolation") {
+    import spark.implicits._
+    // step=10, key 1 observes (5, 10.0), (25, 50.0), (30, 20.0):
+    // grid 10 → 10 + 40*(5/20) = 20; grid 20 → 10 + 40*(15/20) = 40;
+    // grid 30 coincides with the obs → 20 exactly. No grid < 5 or > 30.
+    // key 2's span [12, 18] contains no grid multiple → no rows.
+    val df = Seq((1L, 5L, 10.0), (1L, 25L, 50.0), (1L, 30L, 20.0),
+      (2L, 12L, 7.0), (2L, 18L, 9.0)).toDF("k", "t", "v")
+    val got = Series.resampleInterp(df, "k", "t", "v", step = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 10L, 20.0), (1L, 20L, 40.0), (1L, 30L, 20.0)))
+  }
+
+  test("resampleInterp collapses same-time duplicates to max") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 3.0), (1L, 10L, 9.0), (1L, 30L, 9.0))
+      .toDF("k", "t", "v")
+    val got = Series.resampleInterp(df, "k", "t", "v", step = 10L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == Seq((10L, 9.0), (20L, 9.0), (30L, 9.0)))
+  }
+
   test("rollingRange trails by time, ties are frame peers") {
     import spark.implicits._
     // lookback=10: at t=15 the frame is [5,15]; the two t=20 rows are
