@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over event streams: ordered funnels and
+  * cohort retention — the clickstream shapes every analytics engine is
+  * asked for, expressed as declarative keyed aggregates/joins so
+  * Catalyst supplies partial aggregation and join selection.
+  *
+  * Scale notes: both operators reduce to per-user state of a few
+  * timestamps. The funnel is a chain of keyed equi-joins between
+  * per-user ONE-ROW aggregates (never raw event × event); retention is
+  * one distinct + one keyed join + one hash aggregate. Nothing is
+  * quadratic in events, and no per-user array ever materializes.
+  */
+object Behavior {
+
+  /** Ordered funnel: how many users reach each step, where step i+1
+    * counts only events STRICTLY after the user's earliest completion
+    * of step i (the classic conversion-funnel semantics; same-timestamp
+    * events do not satisfy "after").
+    *
+    * Output: (step_idx 1-based, step, n_users) — one row per step,
+    * monotone non-increasing counts.
+    */
+  def funnelSteps(events: DataFrame, user: Column, ts: Column, step: Column,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(user.as("__u"), ts.as("__ts"), step.as("__s"))
+    val reached = steps.tail.scanLeft(
+      base.filter(col("__s") === steps.head)
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))) {
+      (prev, s) =>
+        base.filter(col("__s") === s)
+          .join(prev.select(col("__u"), col("__t").as("__pt")), Seq("__u"))
+          .filter(col("__ts") > col("__pt"))
+          .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((df, s), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(s).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cohort retention: users grouped by their first-active time bucket
+    * (`ts DIV bucket` — e.g. epoch-day for daily cohorts), counted in
+    * every later bucket they return in. Output: (cohort, offset,
+    * n_users) where offset 0 is the cohort's own bucket, so
+    * n_users(cohort, 0) is the cohort size and retention(k) =
+    * n_users(cohort, k) / n_users(cohort, 0). */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column,
+                      bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val e = events.select(user.as("__u"), ts.as("__ts"))
+      .withColumn("__d", expr(s"__ts DIV $bucket"))
+    val first = e.groupBy(col("__u")).agg(min(col("__d")).as("__d0"))
+    e.select(col("__u"), col("__d")).distinct()
+      .join(first, Seq("__u"))
+      .groupBy(col("__d0").as("cohort"), (col("__d") - col("__d0")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

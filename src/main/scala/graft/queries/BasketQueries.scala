@@ -109,7 +109,26 @@ object BasketQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("item").asc)
         .limit(100)
-    })
+    }),
+
+    // Ordered conversion funnel view → click → purchase: each step
+    // counts users whose earliest qualifying event is strictly after
+    // their previous step's completion. Chain of keyed one-row-per-user
+    // aggregates — nothing event×event.
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Behavior.funnelSteps(
+        Tables.load(s, dir, "events"),
+        col("user_id"), tsUs, col("event_type"),
+        Seq("view", "click", "purchase"))),
+
+    // Daily cohort retention: users bucketed by first-active epoch-day,
+    // counted in every day-offset they return.
+    "q_cohort" -> ((s, dir) =>
+      graft.operators.Behavior.cohortRetention(
+        Tables.load(s, dir, "events"),
+        col("user_id"), tsUs, bucket = 86400000000L)
+        .withColumnRenamed("cohort", "cohort_day")
+        .withColumnRenamed("offset", "day_offset"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +188,38 @@ object BasketQueries {
         |FROM j WHERE rk <= 5 AND item % 5 <= 2
         |GROUP BY item
         |ORDER BY cnt DESC, item ASC
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+        |s0 AS (
+        |  SELECT user_id, MIN(us) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, MIN(us) AS t FROM e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE event_type = 'click' AND e.us > s0.t GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(us) AS t FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'purchase' AND e.us > s1.t GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+        |UNION ALL SELECT CAST(2 AS INT), 'click',
+        |  CAST(COUNT(*) AS BIGINT) FROM s1
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase',
+        |  CAST(COUNT(*) AS BIGINT) FROM s2""".stripMargin,
+
+    "q_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT f.d0 AS cohort_day, a.d - f.d0 AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }

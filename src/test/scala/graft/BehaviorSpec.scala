@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnelSteps: strictly-after ordering, non-increasing counts") {
+    // u1 completes the full funnel; u2 clicks BEFORE viewing (click
+    // doesn't count) and again at the same instant as the view (still
+    // doesn't: strictly after); u3 views only.
+    val df = Seq(
+      ("u1", 10L, "view"), ("u1", 20L, "click"), ("u1", 30L, "purchase"),
+      ("u2", 5L, "click"), ("u2", 10L, "view"), ("u2", 10L, "click"),
+      ("u3", 1L, "view"),
+      ("u4", 9L, "purchase") // never views: counts nowhere
+    ).toDF("u", "ts", "s")
+    val got = Behavior.funnelSteps(df, col("u"), col("ts"), col("s"),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+  }
+
+  test("cohortRetention: offset 0 is cohort size, returns counted once") {
+    // bucket=10: u1 first in bucket 0, active again in buckets 1 and 3
+    // (twice in 3 — counted once); u2 first in bucket 1.
+    val df = Seq(("u1", 2L), ("u1", 15L), ("u1", 31L), ("u1", 35L),
+      ("u2", 12L)).toDF("u", "ts")
+    val got = Behavior.cohortRetention(df, col("u"), col("ts"), bucket = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L)))
+  }
+}
