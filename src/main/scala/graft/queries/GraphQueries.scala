@@ -25,11 +25,29 @@ object GraphQueries {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** Co-purchase projection: parts sharing an order. The per-order
+    * self-join is bounded by order size (TPC-H ≤ 7 lines), so the
+    * projection never squares a large group. */
+  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.alias("l").join(li.alias("r"),
+        col("l.o") === col("r.o") && col("l.p") < col("r.p"))
+      .select(col("l.p").as("src"), col("r.p").as("dst"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // symmetric edges ⇒ no dangling nodes ⇒ skip the per-iteration
     // node-list left join
     "q_pagerank" -> ((s, dir) =>
-      Graph.pageRank(edges(s, dir), Iters, danglingFree = true))
+      Graph.pageRank(edges(s, dir), Iters, danglingFree = true)),
+
+    // Exact triangle count of the part co-purchase graph —
+    // degree-ordered orientation bounds the wedge join at O(m^1.5)
+    // regardless of hub skew.
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangleCount(coPurchase(s, dir)))
   )
 
   private val edgesSql =
@@ -42,6 +60,35 @@ object GraphQueries {
       |  FROM lineitem)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_pagerank" -> Graph.pageRankSql(edgesSql, Iters)
+    "q_pagerank" -> Graph.pageRankSql(edgesSql, Iters),
+
+    // Mirror of Graph.triangleCount on the co-purchase projection:
+    // same (degree, id) orientation, wedge join, closure semi-join.
+    "q_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT l.l_partkey AS u, r.l_partkey AS v
+        |  FROM lineitem l JOIN lineitem r
+        |    ON l.l_orderkey = r.l_orderkey AND l.l_partkey < r.l_partkey),
+        |deg AS (
+        |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |keyed AS (
+        |  SELECT und.u, und.v, du.d AS du, dv.d AS dv
+        |  FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
+        |orient AS (
+        |  SELECT
+        |   CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+        |   CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+        |   CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+        |  FROM keyed),
+        |wedges AS (
+        |  SELECT e1.b AS x, e2.b AS y
+        |  FROM orient e1 JOIN orient e2 ON e1.a = e2.a
+        |  WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM wedges w
+        |WHERE EXISTS (SELECT 1 FROM orient e
+        |              WHERE e.a = w.x AND e.b = w.y)""".stripMargin
   )
 }

@@ -43,4 +43,35 @@ class GraphSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(run(2) == run(11))
   }
+
+  test("triangleCount: K4 + pendant + dup/reversed/self edges → 4") {
+    import spark.implicits._
+    // K4 on 1..4 has C(4,3) = 4 triangles; node 5 is pendant (none);
+    // duplicates, reversed copies and a self-loop must not change it.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (2L, 1L), (3L, 3L), (1L, 2L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("triangleCount matches brute force on a hashed random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph on 30 nodes
+    val edges = (1L to 200L).map { i =>
+      ((i * 37) % 30, (i * i * 13 + i) % 30)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val und = edges.collect()
+      .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)))
+      .toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      if und((nodes(i), nodes(j))) && und((nodes(j), nodes(k))) &&
+        und((nodes(i), nodes(k)))
+    } yield 1).size.toLong
+    val got = Graph.triangleCount(edges).collect().head.getLong(0)
+    assert(got == brute, s"engine $got vs brute $brute")
+  }
 }
