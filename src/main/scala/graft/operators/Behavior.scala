@@ -44,6 +44,29 @@ object Behavior {
     }.reduce(_.unionByName(_))
   }
 
+  /** Event-transition (first-order Markov) counts: per user, order the
+    * stream by (ts, step — the step tiebreak makes same-instant events
+    * deterministic), take consecutive pairs, and count each
+    * (prev, next) transition with its row probability
+    * `n / Σ_next n` (one exact integer division per cell).
+    *
+    * One keyed window (lag, O(1) state) + one hash aggregate + one
+    * tiny window over the transition matrix itself (|steps|² rows).
+    * Output: (prev_step, next_step, n, p). */
+  def transitions(events: DataFrame, user: Column, ts: Column,
+                  step: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__ts"), col("__s"))
+    val rowW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_step"))
+    events.select(user.as("__u"), ts.as("__ts"), step.as("__s"))
+      .withColumn("__p", lag(col("__s"), 1).over(w))
+      .filter(col("__p").isNotNull)
+      .groupBy(col("__p").as("prev_step"), col("__s").as("next_step"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(rowW))
+  }
+
   /** Cohort retention: users grouped by their first-active time bucket
     * (`ts DIV bucket` — e.g. epoch-day for daily cohorts), counted in
     * every later bucket they return in. Output: (cohort, offset,

@@ -121,6 +121,13 @@ object BasketQueries {
         col("user_id"), tsUs, col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // First-order Markov transition matrix of event types per user
+    // stream: keyed lag window + hash aggregate, row-normalized.
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.Behavior.transitions(
+        Tables.load(s, dir, "events"),
+        col("user_id"), tsUs, col("event_type"))),
+
     // Daily cohort retention: users bucketed by first-active epoch-day,
     // counted in every day-offset they return.
     "q_cohort" -> ((s, dir) =>
@@ -210,6 +217,21 @@ object BasketQueries {
         |  CAST(COUNT(*) AS BIGINT) FROM s1
         |UNION ALL SELECT CAST(3 AS INT), 'purchase',
         |  CAST(COUNT(*) AS BIGINT) FROM s2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+        |l AS (
+        |  SELECT user_id, event_type AS nxt,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_type) AS prv
+        |  FROM e),
+        |c AS (
+        |  SELECT prv, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM l WHERE prv IS NOT NULL GROUP BY 1, 2)
+        |SELECT prv AS prev_step, nxt AS next_step, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prv) AS p
+        |FROM c""".stripMargin,
 
     "q_cohort" ->
       """WITH e AS (

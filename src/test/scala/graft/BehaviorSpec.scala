@@ -25,6 +25,26 @@ class BehaviorSpec extends SparkSpec {
       (3, "purchase", 1L)))
   }
 
+  test("transitions: per-user consecutive pairs, row-normalized") {
+    // u1: a→b→a; u2: a→b. Transitions: a→b ×2, b→a ×1.
+    // Row a: p(b|a)=1.0; row b: p(a|b)=1.0.
+    val df = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
+      ("u2", 5L, "a"), ("u2", 6L, "b")).toDF("u", "ts", "s")
+    val got = Behavior.transitions(df, col("u"), col("ts"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    assert(got == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitions: same-instant events order by step name") {
+    // ts tie at 5: (b, c) ordered b then c → a→b, b→c
+    val df = Seq(("u", 1L, "a"), ("u", 5L, "c"), ("u", 5L, "b"))
+      .toDF("u", "ts", "s")
+    val got = Behavior.transitions(df, col("u"), col("ts"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq(("a", "b"), ("b", "c")))
+  }
+
   test("cohortRetention: offset 0 is cohort size, returns counted once") {
     // bucket=10: u1 first in bucket 0, active again in buckets 1 and 3
     // (twice in 3 — counted once); u2 first in bucket 1.
