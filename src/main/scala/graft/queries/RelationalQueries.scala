@@ -50,6 +50,45 @@ object RelationalQueries {
           col("l_extendedprice"))
         .df),
 
+    // TPC-H Q6 shape (forecast-revenue change): tight scan-stage filter
+    // (pushed to parquet) + single exact-decimal product-sum — the
+    // canonical "filter selectivity decides everything" query.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .df
+        .agg(sum(d(col("l_extendedprice")) * d(col("l_discount")))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q3 shape (shipping priority): filtered dims, broadcast the
+    // small customer side, SMJ lineitem⋈orders, exact-decimal revenue,
+    // deterministic top-10 (revenue desc, orderkey tiebreak).
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1997-03-15").cast("timestamp")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(d(col("l_extendedprice")) *
+            (d(lit(1)) - d(col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey").as("orderkey"), col("revenue"),
+          // parquet reads NTZ; session TZ is UTC so this cast is the
+          // identity wall-clock → epoch mapping DuckDB's epoch_us uses
+          unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+          col("o_orderpriority"))
+    }),
+
     // Left outer join: every customer, null-extended (sentinel-coalesced
     // for the cross-engine compare) where no order matched.
     "q_left_join" -> ((s, dir) =>
@@ -379,6 +418,31 @@ object RelationalQueries {
     "q_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l.l_orderkey AS orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue,
+        |  epoch_us(o.o_orderdate) AS orderdate_us, o.o_orderpriority
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, orderkey ASC
+        |LIMIT 10""".stripMargin,
 
     "q_left_join" ->
       """SELECT c.c_custkey AS custkey, c.c_name,
