@@ -25,4 +25,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Register every fixture table as a temp view so `spark.sql` is a
+    * full front door (combined with [[graft.plans.GraftExtensions]]
+    * registering the native expressions as SQL functions, the whole
+    * engine is reachable from SQL text). Idempotent. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

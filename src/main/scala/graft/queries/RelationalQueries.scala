@@ -50,6 +50,19 @@ object RelationalQueries {
           col("l_extendedprice"))
         .df),
 
+    // SQL front door: the same engine through `spark.sql` text over
+    // registered fixture views — Catalyst plans it identically to the
+    // DataFrame form (one broadcast join + partial/final hash agg).
+    "q_sql" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT c_nationkey AS nation,
+              |  COUNT(*) AS n_orders,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_nationkey""".stripMargin)
+    }),
+
     // TPC-H Q6 shape (forecast-revenue change): tight scan-stage filter
     // (pushed to parquet) + single exact-decimal product-sum — the
     // canonical "filter selectivity decides everything" query.
@@ -418,6 +431,13 @@ object RelationalQueries {
     "q_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_sql" ->
+      """SELECT c_nationkey AS nation,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q_tpch_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
