@@ -533,4 +533,46 @@ object Dedup {
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  // --------------------------------------------- duplicated-span fraction
+
+  /** Per-document duplicated-span statistics — the distributed
+    * approximation of exact-substring corpus dedup (the suffix-array
+    * method of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): a token k-gram OCCURRENCE is
+    * duplicated iff that k-gram occurs ≥ 2 times anywhere in the corpus
+    * (another document, or again in the same one — exactly the spans a
+    * suffix-array dedup would cut). Returns per document
+    * `(id, n_grams, dup_grams, dup_frac)`; documents shorter than `k`
+    * tokens have no grams and are absent.
+    *
+    * Scale: the corpus text never shuffles — grams are hashed to 64-bit
+    * fingerprints in the scan stage, within-doc occurrence counts are
+    * partially aggregated on (id, hash) BEFORE the global gram-count
+    * shuffle, and the count join + per-doc rollup carry (long, long,
+    * long) triples only. Hot grams (boilerplate) compact to one row per
+    * doc on the map side, so the fingerprint join skew is bounded by
+    * doc count, not occurrence count. Collision risk of the 64-bit
+    * fingerprint is ~n²/2⁶⁵ — negligible against the signal's own
+    * k-gram approximation error. */
+  def dupSpanStats(df: DataFrame, id: String, text: String,
+                   k: Int = 8): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val perDoc = df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), Text.tokens(col(text)).as("__toks"))
+      .select(col(id),
+        explode(Text.shinglesOfTokens(col("__toks"), k)).as("g"))
+      .select(col(id), xxhash64(col("g")).as("h"))
+      .groupBy(col(id), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val global = perDoc.groupBy(col("h")).agg(sum(col("n")).as("tot"))
+    perDoc.join(global, "h")
+      .groupBy(col(id))
+      .agg(sum(col("n")).as("n_grams"),
+        sum(when(col("tot") > 1, col("n")).otherwise(lit(0L)))
+          .as("dup_grams"))
+      .withColumn("dup_frac",
+        col("dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
 }

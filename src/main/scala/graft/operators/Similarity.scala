@@ -176,6 +176,47 @@ object Similarity {
     topKByGroup(scored, k)
   }
 
+  /** KNN join against a built [[IvfIndex]] for a LARGE query table —
+    * the kNN-graph-construction shape (queries ≈ corpus), where
+    * [[probeIvf]]'s broadcast probe set would not fit. Queries are
+    * never broadcast and never pass through a window shuffle: the
+    * nprobe cell pick is a NARROW codegen'd pass per query row
+    * (transform over the broadcast centroid matrix literal +
+    * `array_sort` with an explicit (cos desc, cell asc) comparator +
+    * slice — no partitionBy(query) exchange), probes then shuffle by
+    * CELL to meet the cell-partitioned index side, and the per-query
+    * top-k is the bounded-heap partial aggregate, so the only shuffles
+    * are (queries × nprobe) probe rows by cell and O(q·k·partitions)
+    * heap entries. At scale, size `nCells` ≈ √corpus so per-cell
+    * candidate lists — and the cell join's key cardinality — grow as
+    * √corpus rather than linearly. Same output shape and tie-breaks as
+    * [[probeIvf]] (identical results for identical parameters). */
+  def knnJoinIvf(index: IvfIndex, queries: DataFrame,
+                 id: String, vec: String, k: Int,
+                 nprobe: Int = 4): DataFrame = {
+    val nCells = index.matrix.length
+    val matLit = typedlit(index.matrix.map(_.toSeq).toSeq)
+    val cellScores = transform(
+      sequence(lit(0), lit(nCells - 1)),
+      c => struct(
+        Dedup.cosine(col("qv"), element_at(matLit, c + 1)).as("ccos"),
+        c.as("cell")))
+    val ordered = array_sort(cellScores,
+      (l, r) => when(l("ccos") > r("ccos"), lit(-1))
+        .when(r("ccos") > l("ccos"), lit(1))
+        .otherwise(l("cell") - r("cell")))
+    val probes = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("pc", explode(slice(ordered, 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
+    val scored = index.assigned
+      .join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    topKByGroup(scored, k)
+  }
+
   /** One-shot convenience: build + probe + release. Prefer
     * [[buildIvfIndex]]/[[probeIvf]] whenever more than one probe batch
     * hits the same corpus — rebuilding the index per query inverts

@@ -92,6 +92,15 @@ object DedupQueries {
         d.filter(col("doc_id") < 5), "doc_id", "text", k = 4)
     }),
 
+    // Duplicated-span fraction (the exact-substring-dedup signal):
+    // per-doc fraction of token 8-gram occurrences that occur ≥ 2
+    // times anywhere in the corpus. Spark groups 64-bit gram
+    // fingerprints; the oracle groups the raw gram strings — counts
+    // agree unless xxhash64 collides (~n²/2⁶⁵).
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 8)),
+
     // Fuzzy record linkage: distinct part names within one edit of each
     // other (deletion-neighborhood blocking + exact levenshtein verify).
     // The oracle is the brute-force length-unblocked pairwise join —
@@ -183,6 +192,26 @@ object DedupQueries {
          | SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u)
          |SELECT u AS doc_id, MIN(lbl) AS cluster
          |FROM reach GROUP BY u""".stripMargin,
+
+    // 8-gram occurrences (NOT distinct — within-doc repeats count);
+    // range is end-exclusive → i = 1..len-7, the same len-7 = n-k+1
+    // grams as Spark's sequence(0, size-8). Grouping key is the raw
+    // gram string where Spark uses its xxhash64 fingerprint.
+    "q_dedup_spans" ->
+      s"""WITH g AS (
+         | SELECT doc_id,
+         |  unnest(list_transform(range(1, len($toks) - 6),
+         |   i -> array_to_string(list_slice($toks, i, i + 7), ' '))) AS g
+         | FROM documents),
+         |pg AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2),
+         |gt AS (SELECT g, SUM(n) AS tot FROM pg GROUP BY 1)
+         |SELECT pg.doc_id,
+         | CAST(SUM(pg.n) AS BIGINT) AS n_grams,
+         | CAST(SUM(CASE WHEN gt.tot > 1 THEN pg.n ELSE 0 END) AS BIGINT)
+         |  AS dup_grams,
+         | CAST(SUM(CASE WHEN gt.tot > 1 THEN pg.n ELSE 0 END) AS DOUBLE)
+         |  / CAST(SUM(pg.n) AS DOUBLE) AS dup_frac
+         |FROM pg JOIN gt USING (g) GROUP BY 1""".stripMargin,
 
     // 4-shingles: range is end-exclusive → i = 1..len-3, the same
     // len-3 = n-k+1 shingles as Spark's sequence(0, size-4).

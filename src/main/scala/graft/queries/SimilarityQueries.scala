@@ -41,6 +41,20 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10, nprobe = 4)
     }),
 
+    // kNN-graph construction: EVERY corpus vector is a query (top-10
+    // neighbors each) through the shuffle-join KNN path — queries are
+    // never broadcast (narrow nprobe cell pick, probes shuffled by
+    // cell against the cell-partitioned index). Same index instance as
+    // q_ann_ivf; identical probe/tie-break semantics, so the oracle is
+    // the q_ann_ivf replay with the query filter removed.
+    "q_ann_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.cachedIvfIndex(e, cacheKey = dir,
+        "vec_id", "embedding", nCells = 16)
+      Similarity.knnJoinIvf(idx, e, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+    }),
+
     // Symmetric int8 quantization of the corpus (the 4× ANN memory
     // lever) — pure IEEE arithmetic, exact oracle.
     "q_quantize" -> ((s, dir) =>
@@ -112,6 +126,32 @@ object SimilarityQueries {
          |s AS (SELECT query_id, e.vec_id AS neighbor_id,
          |  ${cosSql("qv", "e.embedding")} AS cos
          | FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         | SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         | FROM s) WHERE rank <= 10""".stripMargin,
+
+    // q_ann_ivf's replay with every vector as a query (knnJoinIvf and
+    // probeIvf share probe pick, scoring, and tie-break semantics).
+    "q_ann_knn" ->
+      s"""WITH ${MLQueries.kmeansCtePrefix(k = 16, iters = 5, dim = 64)},
+         |cells AS (SELECT cell, c FROM c5),
+         |q AS (SELECT vec_id AS query_id,
+         |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+         |  FROM embeddings),
+         |probes AS (
+         | SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, cells.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cells.c")} DESC, cells.cell ASC)
+         |    AS prank
+         |  FROM q, cells) t WHERE prank <= 4),
+         |s AS (
+         | SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  ${cosSql("p.qv", "a.x")} AS cos
+         | FROM a6 a JOIN probes p
+         |  ON a.cell = p.cell AND a.vec_id <> p.query_id)
          |SELECT query_id, neighbor_id, rank, cos FROM (
          | SELECT query_id, neighbor_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id

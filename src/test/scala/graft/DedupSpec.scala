@@ -162,6 +162,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (x, y) => x <= 3 && y >= 11 })
   }
 
+  test("dupSpanStats: planted shared and repeated spans, unique doc at zero") {
+    import spark.implicits._
+    // 10-token docs, k=4 → 7 grams each. Docs 1 and 2 share their
+    // first 5 tokens → grams at offsets 0,1 (2 occurrences each in
+    // both docs' counts). Doc 3 repeats a 4-gram within itself. Doc 4
+    // is entirely unique.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "p q r s p q r s t u"),
+      (4L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // Every doc has 10-4+1 = 7 gram occurrences.
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_._1 == 7L))
+    // Docs 1,2: "a b c d" and "b c d e" are shared → 2 dup occurrences.
+    assert(got(1L)._2 == 2L && got(2L)._2 == 2L)
+    assert(math.abs(got(1L)._3 - 2.0 / 7.0) < 1e-15)
+    // Doc 3: "p q r s" occurs twice WITHIN the doc → both occurrences
+    // are duplicated spans (plus no cross-doc grams).
+    assert(got(3L)._2 == 2L)
+    // Doc 4: fully unique.
+    assert(got(4L)._2 == 0L && got(4L)._3 == 0.0)
+  }
+
   test("fuzzyPairsD1 finds every edit-type at distance <= 1, rejects distance 2") {
     import spark.implicits._
     val df = Seq(

@@ -67,6 +67,23 @@ class SimilaritySpec extends SparkSpec {
     assert(reloaded == fresh)
   }
 
+  test("knnJoinIvf equals probeIvf for identical parameters") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nCells = 8)
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSet
+      val viaBroadcast = canon(
+        Similarity.probeIvf(idx, e, "vec_id", "embedding", k = 5, nprobe = 3))
+      val viaShuffle = canon(
+        Similarity.knnJoinIvf(idx, e, "vec_id", "embedding", k = 5, nprobe = 3))
+      assert(viaShuffle == viaBroadcast)
+      assert(viaShuffle.nonEmpty)
+    } finally idx.release()
+  }
+
   test("quantizeInt8 bounds values at ±127 and reconstructs within scale/2") {
     import spark.implicits._
     val df = Seq(
