@@ -178,6 +178,17 @@ final case class Table(df: DataFrame) {
     Table(df.unionByName(other.df))
   }
 
+  /** Melt (ANSI UNPIVOT): wide measure columns to (variable, value)
+    * rows — the inverse of pivot, and the shape feature pipelines want
+    * before a per-metric aggregate. Narrow (row-local explode in the
+    * scan stage, no shuffle); values are cast to the common unpivot
+    * type by Spark's own least-common-type rule. */
+  def melt(ids: Seq[String], values: Seq[String],
+           variableName: String = "variable",
+           valueName: String = "value"): Table =
+    Table(df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      variableName, valueName))
+
   /** Set intersection (distinct semantics, SQL INTERSECT) — absent in
     * the reference (SURVEY §2.6), free in Spark. Schemas must match
     * like [[vcat]]. */

@@ -397,6 +397,20 @@ object RelationalQueries {
         .withColumnRenamed("O", "o_sum")
         .withColumnRenamed("P", "p_sum")),
 
+    // Unpivot (melt) — the inverse of q_pivot: lineitem's four measure
+    // columns to (variable, value) rows in the scan stage (narrow, no
+    // shuffle), then a per-metric exact-decimal aggregate.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .melt(Seq("l_orderkey"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          "metric", "value")
+        .df
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,6)")).cast("double")
+            .as("value_sum"))),
+
     // General window-analytics surface: dense_rank + lag in one pass,
     // per-customer windows (partition-parallel; never a global sort).
     "q_window_analytics" -> ((s, dir) => {
@@ -691,6 +705,20 @@ object RelationalQueries {
         |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
         |   AS p_sum
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH m AS (
+        | SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value_sum
+        |FROM m GROUP BY metric""".stripMargin,
 
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -64,6 +64,23 @@ object SourceQueries {
             .as("price_sum"))
     }),
 
+    // ORC sink/source round-trip — the second columnar lake format;
+    // lineitem (the widest fixture) through ORC and back, with a
+    // post-read filter so the ORC predicate-pushdown path executes.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "orc")
+      TextIO.writeOrc(Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"),
+        path)
+      TextIO.readOrc(s, path)
+        .filter(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty_sum"),
+          max(col("l_orderkey")).as("max_key"))
+    }),
+
     // HDF5 container round-trip (DataSource/DataSink HDF5, reference
     // cgen-hpat-pattern-match.jl:849-1048/1201-1269): nation through
     // the DataSourceV2 sink (one 1-D dataset per column) and back,
@@ -115,6 +132,14 @@ object SourceQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+        | CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_hdf5_roundtrip" ->
       """SELECT n_regionkey,

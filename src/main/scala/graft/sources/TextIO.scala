@@ -36,6 +36,16 @@ object TextIO {
   def readColumnar(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC columnar sink/source — the second columnar interchange format
+    * (Hive/Trino lakes). Same pushdown/pruning contract as parquet:
+    * predicate pushdown via ORC SearchArguments, column pruning via the
+    * read schema, one stripe-aligned split per task. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines sink (one object per line, one part per partition) —
     * the interchange format training-data pipelines live on. */
   def writeJsonLines(df: DataFrame, path: String): Unit =

@@ -126,6 +126,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("melt is pivot's inverse: wide measures to (variable, value) rows") {
+    val wide = Seq((1L, 10.0, 0.5), (2L, 20.0, 0.25))
+      .toDF("id", "qty", "disc")
+    val long = Table(wide).melt(Seq("id"), Seq("qty", "disc")).df
+    assert(long.columns.toSeq == Seq("id", "variable", "value"))
+    val got = long.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "qty", 10.0), (1L, "disc", 0.5),
+      (2L, "qty", 20.0), (2L, "disc", 0.25)))
+  }
+
   test("checkpoint truncates lineage; Young's interval gates it (checkpoint.jl:179)") {
     spark.sparkContext.setCheckpointDir("/tmp/graft_ckpt")
     // interval = sqrt(2 · cost · mttf)

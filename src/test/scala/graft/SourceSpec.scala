@@ -36,6 +36,19 @@ class SourceSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("ORC round-trip is lossless; scan filter reaches the ORC reader") {
+    import spark.implicits._
+    val df = Seq((1L, math.Pi, "a"), (2L, 1.0 / 3.0, "b"), (3L, -0.0, "c"))
+      .toDF("id", "x", "s")
+    val path = tmpDir("orc")
+    TextIO.writeOrc(df, path)
+    val back = TextIO.readOrc(spark, path)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    val plan = back.filter($"id" > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"expected ORC pushdown in plan:\n$plan")
+  }
+
   test("partitioned columnar write prunes partitions at the scan") {
     import spark.implicits._
     val df = Seq((1L, "F", 1.0), (2L, "O", 2.0), (3L, "F", 3.0), (4L, "P", 4.0))
