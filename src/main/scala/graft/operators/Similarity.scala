@@ -176,6 +176,32 @@ object Similarity {
     topKByGroup(scored, k)
   }
 
+  /** Metadata-filtered (blocked) exact top-k: neighbors are restricted
+    * to corpus rows sharing the query's `block` value (same-language /
+    * same-source / same-label search — the "filtered vector search"
+    * shape). The block predicate joins BEFORE any cosine is computed,
+    * so scoring cost is the post-filter candidate count, not |corpus|;
+    * with a selective block this beats an unfiltered ANN probe + post
+    * filter, which pays k-recall loss exactly where the filter is
+    * selective. Same broadcast + bounded-heap shuffle contract as
+    * [[bruteForceTopK]]. */
+  def blockedTopK(corpus: DataFrame, queries: DataFrame,
+                  id: String, vec: String, block: String,
+                  k: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val q = broadcast(queries.select(col(id).as("query_id"),
+      col(vec).as("qv"), col(block).as("__qb")))
+    val scored = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"),
+        col(block).as("__cb"))
+      .repartition(par)
+      .join(q, col("__cb") === col("__qb") &&
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    topKByGroup(scored, k)
+  }
+
   /** KNN join against a built [[IvfIndex]] for a LARGE query table —
     * the kNN-graph-construction shape (queries ≈ corpus), where
     * [[probeIvf]]'s broadcast probe set would not fit. Queries are

@@ -41,6 +41,16 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10, nprobe = 4)
     }),
 
+    // Filtered vector search: top-5 neighbors restricted to the
+    // query's own label (the block joins before any cosine — scoring
+    // cost is the post-filter candidate count, with exact recall where
+    // an unfiltered-probe-then-filter loses it).
+    "q_ann_blocked" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.blockedTopK(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     // kNN-graph construction: EVERY corpus vector is a query (top-10
     // neighbors each) through the shuffle-join KNN path — queries are
     // never broadcast (narrow nprobe cell pick, probes shuffled by
@@ -131,6 +141,19 @@ object SimilarityQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
          | FROM s) WHERE rank <= 10""".stripMargin,
+
+    "q_ann_blocked" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id < 16),
+         |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("qv", "e.embedding")} AS cos
+         | FROM embeddings e JOIN q
+         |  ON e.label = q.label AND e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         | SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         | FROM s) WHERE rank <= 5""".stripMargin,
 
     // q_ann_ivf's replay with every vector as a query (knnJoinIvf and
     // probeIvf share probe pick, scoring, and tie-break semantics).

@@ -48,6 +48,19 @@ object StreamTextQueries {
       StreamDedup.firstSeen(Tables.load(s, dir, "events"),
         col("user_id"), tsUs).toDF()),
 
+    // Online MinHash+LSH near-dup (flatMapGroupsWithState over band
+    // buckets, signatures in state) run in batch mode. Pairs trigger
+    // on the signature-agreement Jaccard estimate; the fixtures' pair
+    // similarity is cleanly bimodal (planted J≥0.98, background
+    // <0.15), so the est≥0.8 cut recovers exactly the brute-force
+    // J≥0.8 oracle set. Synthetic event time = doc_id (arrival order).
+    "q_neardup_stream" -> ((s, dir) =>
+      graft.streaming.StreamNearDup.nearDups(
+        Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), col("doc_id") * lit(1000000L))
+        .toDF()
+        .select(col("id_a"), col("id_b")).distinct()),
+
     // Streaming HLL (mapGroupsWithState, 64 bytes of state per group)
     // run in batch mode: its register derivation and estimate
     // arithmetic mirror operators.Sketch bit-for-bit, so the SAME
@@ -111,6 +124,23 @@ object StreamTextQueries {
          |FROM addr a JOIN cells c
          | ON a.event_type = c.event_type AND a.r = c.r AND a.b = c.b
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // Brute-force exact-Jaccard J≥0.8 pairs — valid for the est≥0.8
+    // signature cut because the fixture similarity distribution is
+    // bimodal (see the query comment).
+    "q_neardup_stream" -> {
+      val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+      val shingleSet =
+        s"""list_distinct(list_transform(range(1, len($toks) - 1),
+           | i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
+      val jac =
+        """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          | / len(list_distinct(list_concat(a.s, b.s)))""".stripMargin
+      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin
     },
 
     "q_first_seen" ->

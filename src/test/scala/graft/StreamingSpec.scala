@@ -137,6 +137,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup finds planted dups across micro-batches, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamNearDup
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val docs = Seq(
+      (1L, base, 1L),
+      (4L, "completely different words about spark catalyst tungsten shuffle exchange plans", 2L),
+      (2L, base, 3L),                              // exact dup of 1, later batch
+      (3L, base.replace("today", "tonight"), 4L),  // near dup, later still
+      (5L, "another unrelated document mentioning parquet columnar scans and predicate pushdown", 5L))
+    val batchPairs = StreamNearDup.nearDups(
+        docs.toDF("doc_id", "text", "ts"), col("doc_id"), col("text"),
+        col("ts") * 1000000L, threshold = 0.5)
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(batchPairs.contains((1L, 2L)) && batchPairs.contains((1L, 3L)))
+    assert(!batchPairs.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = StreamNearDup.nearDupsStreaming(
+      input.toDF().toDF("doc_id", "text", "ts"), col("doc_id"), col("text"),
+      col("ts") * 1000000L, watermark = "0 seconds",
+      horizonUs = 3600L * 1000000L, threshold = 0.5)
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("neardup").outputMode("append").start()
+    try {
+      // One doc per micro-batch: every pair must span trigger boundaries.
+      docs.foreach { d => input.addData(d); q.processAllAvailable() }
+      val streamed = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling-window aggregation agree") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
