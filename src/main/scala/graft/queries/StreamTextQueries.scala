@@ -78,6 +78,15 @@ object StreamTextQueries {
         col("event_type"), col("user_id"),
         groupOut = "event_type", itemOut = "user_id")),
 
+    // Streaming binned-quantile sketch (mapGroupsWithState, one count
+    // per occupied bin) run in batch mode: rank-selected p50/p90 bin
+    // edges per order priority, $1000 bins.
+    "q_quantile_stream" -> ((s, dir) =>
+      graft.streaming.StreamQuantile.quantiles(
+        Tables.load(s, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"), binWidth = 1000.0,
+        groupOut = "o_orderpriority")),
+
     // Multimodal: wrap documents as media, resize, extract features
     // (stub decode, real batching/pruning plumbing).
     "q_mm_features" -> ((s, dir) => {
@@ -142,6 +151,25 @@ object StreamTextQueries {
          |FROM sh a, sh b
          |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin
     },
+
+    // Mirror of the binned rank selection: smallest bin whose
+    // cumulative count reaches ceil(q·n), lower edge out.
+    "q_quantile_stream" ->
+      """WITH b AS (
+        | SELECT o_orderpriority AS g,
+        |  CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS cnt
+        | FROM orders GROUP BY 1, 2),
+        |t AS (SELECT g, SUM(cnt) AS n FROM b GROUP BY 1),
+        |c AS (SELECT g, bin, cnt,
+        |  SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM b)
+        |SELECT c.g AS o_orderpriority, CAST(t.n AS BIGINT) AS n,
+        | CAST(MIN(CASE WHEN cum >= CEIL(0.5 * t.n) THEN bin END)
+        |  AS DOUBLE) * 1000.0 AS p50,
+        | CAST(MIN(CASE WHEN cum >= CEIL(0.9 * t.n) THEN bin END)
+        |  AS DOUBLE) * 1000.0 AS p90
+        |FROM c JOIN t ON c.g = t.g
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_first_seen" ->
       """SELECT user_id AS k, MIN(epoch_ns(ts) // 1000) AS first_ts

@@ -304,6 +304,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile histogram equals batch after the last trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamQuantile
+    val rows = Seq(("a", 5.0), ("a", 15.0), ("a", 25.0), ("a", 35.0),
+      ("a", 95.0), ("b", 7.0), ("b", 7.5), ("b", 99.0))
+    val batch = StreamQuantile.quantiles(rows.toDF("g", "v"),
+        col("g"), col("v"), binWidth = 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    // group a: n=5, p50 → 3rd of bins {0,1,2,3,9} = 20.0; p90 → 5th = 90.0
+    assert(batch.contains(("a", 5L, 20.0, 90.0)))
+    // group b: n=3, p50 → 2nd cum at bin 0 (two values) = 0.0; p90 → 90.0
+    assert(batch.contains(("b", 3L, 0.0, 90.0)))
+
+    val input = MemoryStream[(String, Double)]
+    val q = StreamQuantile.quantilesStream(input.toDS(), binWidth = 10.0)
+      .toDF().writeStream.format("memory")
+      .queryName("squant").outputMode("update").start()
+    try {
+      rows.grouped(3).foreach { g => input.addData(g); q.processAllAvailable() }
+      // last emitted estimate per group == the batch answer
+      val last = spark.table("squant").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+      assert(last == batch)
+    } finally q.stop()
+  }
+
   test("streaming HLL converges to the batch sketch estimate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
