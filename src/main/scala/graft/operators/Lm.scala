@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus language-model scoring — the CCNet-style perplexity filter:
+  * score each document by how surprising its token stream is under a
+  * count LM trained on the corpus itself (junk/boilerplate scores at
+  * the extremes; the middle is "normal" text worth keeping).
+  *
+  * The model is an unsmoothed bigram MLE — `p(w₂|w₁) = c(w₁w₂)/c(w₁·)`
+  * — which needs no smoothing here because scoring and training use
+  * the same corpus, so every scored bigram has count ≥ 1. Per-document
+  * score = mean surprisal `(1/n)·Σ (ln c(ctx) − ln c(bigram))`, i.e.
+  * cross-entropy in nats; perplexity = exp(score) if wanted (left to
+  * the caller — exp adds nothing to ranking).
+  *
+  * Scale: bigram counts are two hash aggregates over (64-bit-hashable)
+  * gram strings; scoring joins each doc's bigrams to the count table —
+  * the same shuffle shape as [[Dedup.dupSpanStats]]. Surprisal terms
+  * are summed as DECIMAL(27,18) (order-free exact sum of per-term
+  * doubles) and the mean is rounded to 6 dp, so the score is
+  * engine-portable despite the ln.
+  */
+object Lm {
+
+  /** Per-document mean bigram surprisal:
+    * `(id, n_bigrams, surprisal)`. Documents with fewer than 2 tokens
+    * have no bigrams and are absent. */
+  def bigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val bi = docs.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), Text.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(Text.shinglesOfTokens(col("__toks"), 2))
+        .as("bi"))
+    val c2 = bi.groupBy(col("bi")).agg(count(lit(1)).as("c2"))
+    // The model table is one row per DISTINCT bigram (vocab-bounded);
+    // the corpus-sized scoring join below carries only (id, 64-bit
+    // fingerprint) — never gram strings.
+    val model = c2
+      .withColumn("ctx", regexp_replace(col("bi"), " [^ ]+$", ""))
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ctx"))))
+      .select(xxhash64(col("bi")).as("h"), col("c2"), col("c1"))
+    bi.select(col(id), xxhash64(col("bi")).as("h"))
+      .join(model, "h")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((log(col("c1").cast("double")) - log(col("c2").cast("double")))
+          .cast("decimal(27,18)")).as("__s"))
+      .select(col(id), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams"), 6)
+          .as("surprisal"))
+  }
+}

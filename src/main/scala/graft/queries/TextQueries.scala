@@ -162,6 +162,13 @@ object TextQueries {
         .limit(100)
     }),
 
+    // CCNet-style perplexity filter: per-doc mean bigram surprisal
+    // under the corpus's own unsmoothed bigram MLE (decimal-staged
+    // term sum, 6dp cut — engine-portable despite the ln).
+    "q_perplexity" -> ((s, dir) =>
+      graft.operators.Lm.bigramSurprisal(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
     // The composed training-data pipeline — the end-to-end shape the
     // individual operators exist for: language-ID gate (predicted ==
     // labeled), quality gate, exact near-dup removal (content-
@@ -314,6 +321,29 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips
          |FROM documents""".stripMargin
     },
+
+    // Same bigram split as Spark's shinglesOfTokens(·, 2); surprisal
+    // terms decimal-staged before the order-free sum; ROUND + 0.0
+    // canonicalizes DuckDB's signed zero.
+    "q_perplexity" ->
+      s"""WITH tt AS (SELECT doc_id, $toks AS ts FROM documents),
+         |bi AS (
+         | SELECT doc_id,
+         |  unnest(list_transform(range(1, len(ts)),
+         |   i -> ts[i] || ' ' || ts[i+1])) AS bg
+         | FROM tt),
+         |cnt AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY 1),
+         |m AS (
+         | SELECT bg, cb,
+         |  SUM(cb) OVER (
+         |   PARTITION BY regexp_replace(bg, ' [^ ]+$$', '')) AS cc
+         | FROM cnt)
+         |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         | ROUND(CAST(SUM(CAST(ln(CAST(cc AS DOUBLE))
+         |    - ln(CAST(cb AS DOUBLE)) AS DECIMAL(27,18))) AS DOUBLE)
+         |   / COUNT(*), 6) + 0.0 AS surprisal
+         |FROM bi b JOIN m USING (bg)
+         |GROUP BY 1""".stripMargin,
 
     "q_ngram_lm" ->
       s"""WITH tt AS (SELECT $toks AS ts FROM documents),

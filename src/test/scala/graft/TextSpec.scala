@@ -103,4 +103,18 @@ class TextSpec extends SparkSpec {
       .select(graft.functions.Text.redact(col("text")))
       .head().getString(0) == clean)
   }
+
+  test("bigramSurprisal: hand-computed MLE cross-entropy, 6dp") {
+    import spark.implicits._
+    // Corpus counts: "a b"→3, "b a"→1, "b c"→1; ctx "a"→3, ctx "b"→2.
+    // d1 terms: 0, ln2, 0 → mean ln2/3; d2 terms: 0, ln2 → mean ln2/2.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.Lm.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, r6(math.log(2) / 3))))
+    assert(got(2L) == ((2L, r6(math.log(2) / 2))))
+  }
 }
