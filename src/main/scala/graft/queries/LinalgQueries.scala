@@ -45,6 +45,28 @@ object LinalgQueries {
         .select(col("i"), col("j"),
           (round(col("val"), 6) + lit(0.0)).as("val"))),
 
+    // Covariance matrix of the embedding corpus — PCA's sufficient
+    // statistic: gram/n − μμᵀ, every sum exact decimal, fixed IEEE op
+    // order, 6dp cut (+0.0 kills DuckDB ROUND's signed zero on
+    // cancellation cells).
+    "q_ml_cov" -> ((s, dir) =>
+      graft.operators.Pca.covariance(
+        Tables.load(s, dir, "embeddings"), "embedding", dim, bs)
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))),
+
+    // PCA projection: top-2 principal scores per vector. The
+    // eigenbasis is driver-local Jacobi on the 64×64 covariance
+    // (sufficient-stats-then-local-solve, like q_ml_ols) — not
+    // SQL-expressible, so rows-only; PcaSpec pins the algebra laws.
+    "q_ml_pca" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(e, "embedding", dim, k = 2, bs)
+      graft.operators.Pca.project(e, "vec_id", "embedding", model)
+        .select(col("vec_id"), round(col("pc1"), 6).as("pc1"),
+          round(col("pc2"), 6).as("pc2"))
+    }),
+
     // General 2-D blocked multiply: C = X·W where W is the 64×64
     // matrix of the first 64 embedding rows. X goes through
     // COO→blocks, the SUMMA-shaped join/aggregate multiply, and
@@ -77,6 +99,29 @@ object LinalgQueries {
          |   6) + 0.0 AS val
          |FROM pts, range(1, ${dim + 1}) r1(di), range(1, ${dim + 1}) r2(dj)
          |GROUP BY di, dj""".stripMargin,
+
+    // Mirror of Pca.covariance's op order: exact decimal sums → double
+    // → (gram/n) − (sum_i/n)·(sum_j/n).
+    "q_ml_cov" ->
+      s"""WITH pts AS (
+         | SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+         | FROM embeddings),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts),
+         |mu AS (
+         | SELECT CAST(d - 1 AS INT) AS i,
+         |  CAST(SUM(CAST(x[d] AS DECIMAL(27,18))) AS DOUBLE) / nn.n AS m
+         | FROM pts, range(1, ${dim + 1}) r(d), nn GROUP BY d, nn.n),
+         |g AS (
+         | SELECT CAST(di - 1 AS INT) AS i, CAST(dj - 1 AS INT) AS j,
+         |  CAST(SUM(CAST(x[di] * x[dj] AS DECIMAL(27,18))) AS DOUBLE) AS val
+         | FROM pts, range(1, ${dim + 1}) r1(di), range(1, ${dim + 1}) r2(dj)
+         | GROUP BY di, dj)
+         |SELECT g.i, g.j,
+         | ROUND(g.val / nn.n - mi.m * mj.m, 6) + 0.0 AS cov
+         |FROM g
+         |JOIN mu mi ON mi.i = g.i
+         |JOIN mu mj ON mj.i = g.j
+         |CROSS JOIN nn""".stripMargin,
 
     // Mirror of multiplyBlocked's op order: within an inner block the
     // kernel folds the $bs products in ascending k with a 0.0 seed
