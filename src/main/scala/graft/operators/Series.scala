@@ -98,6 +98,40 @@ object Series {
       parted)
   }
 
+  /** Contiguous global row ids 0..n−1 in `order`-ascending order — the
+    * "number the corpus examples" primitive (stable shard/example ids
+    * for a training run). Same two-level topology as [[cumsum]]: range
+    * partition + local sort, per-partition COUNTS exscanned on the
+    * driver (O(partitions) longs — never data), then a local
+    * row_number + offset. No global single-task sort at any point.
+    * `order` must be a total order (unique key) for the ids to be
+    * deterministic. */
+  def globalRowNumbers(df: DataFrame, order: Column, out: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(n, order)
+      .withColumn(PID, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = parted.groupBy(col(PID)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var running = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = running; running += c; (pid, off)
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF(PID, "__graft_off")
+    val w = Window.partitionBy(col(PID)).orderBy(order)
+    materializeAndRelease(
+      parted
+        .join(broadcast(offDf), PID)
+        .withColumn(out,
+          row_number().over(w).cast("long") - 1L + col("__graft_off"))
+        .drop(PID, "__graft_off"),
+      parted)
+  }
+
   /** 3-point stencil `f(x[-1], x[0], x[+1])` — radius-1 special case of
     * [[stencil]] (stencil_test1.jl:33 golden). */
   def stencil3(df: DataFrame, order: Column, value: Column, out: String,

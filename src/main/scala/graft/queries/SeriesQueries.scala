@@ -23,6 +23,14 @@ object SeriesQueries {
         col("event_id"), d(col("value")), "running")
         .select(col("event_id"), col("running").cast("double").as("running"))),
 
+    // Contiguous 0-based global ids over orders by o_orderkey — the
+    // example-numbering primitive (exscan of per-partition counts; no
+    // global single-task sort).
+    "q_global_ids" -> ((s, dir) =>
+      Series.globalRowNumbers(
+        Tables.load(s, dir, "orders").select(col("o_orderkey")),
+        col("o_orderkey"), "rid")),
+
     // 3-point stencil (x[-1]+2*x[0]+x[1])/4 with borders copying input
     // (stencil_test1.jl golden semantics).
     "q_stencil" -> ((s, dir) =>
@@ -121,6 +129,11 @@ object SeriesQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_global_ids" ->
+      """SELECT o_orderkey,
+        | CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rid
+        |FROM orders""".stripMargin,
+
     "q_cumsum" ->
       """SELECT event_id,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY event_id) AS DOUBLE) AS running

@@ -30,6 +30,15 @@ class SeriesSpec extends SparkSpec {
     assert(run(8) == run(1))
   }
 
+  test("globalRowNumbers: contiguous 0-based ids in order, partition-invariant") {
+    val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("k")
+    def run(n: Int) = Series.globalRowNumbers(df, col("k"), "rid",
+        numPartitions = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = Map(10L -> 0L, 20L -> 1L, 30L -> 2L, 40L -> 3L, 50L -> 4L)
+    assert(run(1) == expect && run(4) == expect)
+  }
+
   test("stencil golden [1.2,2.125,2.875,2.85,1.9] (stencil_test1.jl:33)") {
     val df = Seq((1L, 1.2), (2L, 2.1), (3L, 3.1), (4L, 3.2), (5L, 1.9))
       .toDF("idx", "v")
