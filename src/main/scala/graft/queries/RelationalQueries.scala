@@ -397,6 +397,24 @@ object RelationalQueries {
         .withColumnRenamed("O", "o_sum")
         .withColumnRenamed("P", "p_sum")),
 
+    // Bloom-prefiltered selective join: the dim side (small parts)
+    // keeps ~4% of part keys; the Bloom of those keys drops
+    // non-matching lineitem rows IN THE SCAN STAGE, before any
+    // exchange — false positives are removed by the exact join, so
+    // the result is identical to the plain join (the oracle).
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = Tables.load(s, dir, "part")
+        .filter(col("p_size") <= 2).select(col("p_partkey"))
+      val pruned = graft.operators.Prune.bloomPrefilter(
+        Tables.load(s, dir, "lineitem"), col("l_partkey"),
+        dim, col("p_partkey"))
+      pruned.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty_sum"))
+    }),
+
     // Unpivot (melt) — the inverse of q_pivot: lineitem's four measure
     // columns to (variable, value) rows in the scan stage (narrow, no
     // shuffle), then a per-metric exact-decimal aggregate.
@@ -705,6 +723,13 @@ object RelationalQueries {
         |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
         |   AS p_sum
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 2
+        |GROUP BY 1""".stripMargin,
 
     "q_unpivot" ->
       """WITH m AS (

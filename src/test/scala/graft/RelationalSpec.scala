@@ -126,6 +126,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bloom prefilter: no false negatives, high selectivity, exact after join") {
+    import graft.operators.Prune
+    val dim = (1L to 50L).map(i => i * 997L).toDF("k")
+    val fact = (1L to 50000L).toDF("fk")
+    val bloom = Prune.buildBloom(dim, $"k", numBits = 1 << 16)
+    val kept = fact.filter(Prune.mightContain(bloom, $"fk"))
+      .collect().map(_.getLong(0)).toSet
+    // every true key whose value is in fact's range survives
+    val trueKeys = (1L to 50L).map(_ * 997L).filter(_ <= 50000L).toSet
+    assert(trueKeys.subsetOf(kept), "bloom dropped a true key")
+    // false-positive rate stays near the theoretical ~ (kn/m)^k
+    assert(kept.size < trueKeys.size + 500, s"kept ${kept.size}")
+  }
+
   test("melt is pivot's inverse: wide measures to (variable, value) rows") {
     val wide = Seq((1L, 10.0, 0.5), (2L, 20.0, 0.25))
       .toDF("id", "qty", "disc")
