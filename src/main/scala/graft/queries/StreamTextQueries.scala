@@ -78,6 +78,17 @@ object StreamTextQueries {
         col("event_type"), col("user_id"),
         groupOut = "event_type", itemOut = "user_id")),
 
+    // Streaming Misra–Gries heavy hitters run in batch mode: top-10
+    // users per event type. Capacity 4096 covers the fixtures' 1500
+    // distinct users/group, so the summary is EXACT here (the MG bound
+    // under pressure is pinned by StreamingSpec) and the plain
+    // count/rank oracle applies.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.streaming.StreamHeavyHitters.topK(
+        Tables.load(s, dir, "events"),
+        col("event_type"), col("user_id"), col("event_id"),
+        capacity = 4096, k = 10).toDF()),
+
     // Streaming binned-quantile sketch (mapGroupsWithState, one count
     // per occupied bin) run in batch mode: rank-selected p50/p90 bin
     // edges per order priority, $1000 bins.
@@ -151,6 +162,15 @@ object StreamTextQueries {
          |FROM sh a, sh b
          |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin
     },
+
+    "q_heavy_hitters" ->
+      """SELECT g, item, est FROM (
+        | SELECT event_type AS g, CAST(user_id AS VARCHAR) AS item,
+        |  CAST(COUNT(*) AS BIGINT) AS est,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |   ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR) ASC) AS rn
+        | FROM events GROUP BY 1, 2) t
+        |WHERE rn <= 10""".stripMargin,
 
     // Mirror of the binned rank selection: smallest bin whose
     // cumulative count reaches ceil(q·n), lower edge out.

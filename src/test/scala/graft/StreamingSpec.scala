@@ -304,6 +304,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Misra-Gries heavy hitters: exact at capacity, MG bound under pressure") {
+    import spark.implicits._
+    import graft.streaming.StreamHeavyHitters
+    // 100 of "hot", 50 of "warm", singletons elsewhere
+    val rows = (1 to 100).map(i => ("g", "hot", i.toLong)) ++
+      (101 to 150).map(i => ("g", "warm", i.toLong)) ++
+      (151 to 200).map(i => ("g", s"one$i", i.toLong))
+    val df = rows.toDF("g", "item", "ord")
+    // capacity ≥ distinct → exact counts
+    val exact = StreamHeavyHitters.topK(df, col("g"), col("item"),
+        col("ord"), capacity = 100, k = 2)
+      .collect().map(h => (h.item, h.est)).toMap
+    assert(exact == Map("hot" -> 100L, "warm" -> 50L))
+    // capacity 4 under pressure: n=200 → error ≤ n/(cap+1) = 40; the
+    // true heavy hitter must survive with est ≥ 100 − 40
+    val tight = StreamHeavyHitters.topK(df, col("g"), col("item"),
+        col("ord"), capacity = 4, k = 4)
+      .collect().map(h => (h.item, h.est)).toMap
+    assert(tight.contains("hot"), s"heavy hitter evicted: $tight")
+    assert(tight("hot") >= 60L && tight("hot") <= 100L)
+  }
+
   test("streaming quantile histogram equals batch after the last trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
