@@ -436,14 +436,26 @@ object Dedup {
   /** Connected components over a near-dup pair graph: every node gets
     * the MINIMUM reachable id as its cluster label (so the label is
     * also the canonical keeper — the end of the dedup story:
-    * pairs → clusters → one survivor per cluster). Min-label
-    * propagation: each round joins current labels to the (undirected)
-    * edge list and takes the per-node min; converges in O(component
-    * diameter) rounds — near-dup clusters are shallow (dups of a
-    * common source), so 2-4 rounds in practice. Per round: one join +
-    * one aggregate shuffle, plus an O(1) changed-count to the driver
-    * (the allreduce-loop shape the iterative ML kernels use). Fully
-    * deterministic — min is order-free. */
+    * pairs → clusters → one survivor per cluster).
+    *
+    * Min-label propagation with POINTER DOUBLING: each round a node
+    * takes the min over (its label, its neighbors' labels, its label's
+    * label). The label-of-label hop halves the distance to the
+    * component minimum every round, so convergence is O(log diameter)
+    * rounds — near-dup clusters are shallow anyway (2-3 rounds), but
+    * general graphs (chains, percolation-threshold components as in
+    * `q_components`) would pay O(diameter) without it. Per round: two
+    * joins + one aggregate shuffle, plus an O(1) changed-count to the
+    * driver (the allreduce-loop shape the iterative ML kernels use).
+    *
+    * Each round's label table is an EAGER `localCheckpoint`: without
+    * lineage truncation the analyzed plan re-embeds the previous
+    * round's plan three times (propagate join, union, changed-count
+    * join), i.e. grows exponentially in rounds and OOMs the driver
+    * around round ~12 — data-size-independent, purely a plan
+    * pathology. The checkpoint materializes O(|nodes|) rows per round,
+    * the same floor any iterative CC pays. Fully deterministic — min
+    * is order-free. */
   def nearDupClusters(nodes: DataFrame, pairs: DataFrame,
                       id: String = "id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -451,19 +463,65 @@ object Dedup {
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(MEMORY_AND_DISK)
     var labels = nodes.select(col(id).as("u"), col(id).as("lbl"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      val prop = labels.join(edges, "u").select(col("v").as("u"), col("lbl"))
-      val next = labels.union(prop).groupBy("u").agg(min("lbl").as("lbl"))
-        .persist(MEMORY_AND_DISK)
+      val viaEdge = labels.join(edges, "u")
+        .select(col("v").as("u"), col("lbl"))
+      // pointer doubling: u -> lbl(lbl(u))
+      val viaLbl = labels.toDF("u0", "l0")
+        .join(labels.toDF("l0", "l1"), "l0")
+        .select(col("u0").as("u"), col("l1").as("lbl"))
+      val next = labels.union(viaEdge).union(viaLbl)
+        .groupBy("u").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist(false)
       labels = next
     }
     edges.unpersist(false)
     labels.select(col("u").as(id), col("lbl").as("cluster"))
+  }
+
+  /** Cross-document boilerplate scrub (the C4/RefinedWeb line-dedup
+    * rule): a LINE that appears in at least `minDocs` distinct
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is removed from every document; lines shorter than
+    * `minLineChars` after trimming are exempt (too generic to be
+    * evidence of shared provenance). Returns one row per input
+    * document: (id, clean, n_kept) with `clean` the surviving lines
+    * re-joined in original order ('' when everything was boilerplate).
+    *
+    * Scale: pass 1 aggregates lines to their distinct-document
+    * frequency — partial-aggregable, and the HAVING keeps only the
+    * frequent minority, so the boilerplate set is small relative to
+    * the corpus; pass 2 is a left-anti join of lines against that set
+    * followed by one per-document aggregate that reassembles order
+    * via sort_array over (pos, line) structs — no window, no
+    * per-document sort task, and document BODIES never shuffle (only
+    * their lines, which the reassembly needs anyway). Deterministic:
+    * sort_array on (pos, line) with distinct pos is a total order. */
+  def stripBoilerplate(docs: DataFrame, id: String, text: String,
+                       minDocs: Int = 2,
+                       minLineChars: Int = 10): DataFrame = {
+    val lines = docs.select(col(id),
+      posexplode(split(col(text), "\n", -1)).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(length(trim(col("line"))) >= minLineChars)
+      .groupBy(col("line"))
+      .agg(countDistinct(col(id)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("line"))
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("pos"), col("line"))))
+        .as("__ls"))
+      .select(col(id),
+        concat_ws("\n", expr("transform(__ls, x -> x.line)")).as("clean"),
+        size(col("__ls")).cast("long").as("n_kept"))
+    docs.select(col(id)).join(rebuilt, Seq(id), "left")
+      .select(col(id), coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Eval-set decontamination: per corpus document, the number of its

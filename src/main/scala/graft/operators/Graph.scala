@@ -116,6 +116,20 @@ object Graph {
        |SELECT node, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  /** Weakly connected components of the undirected graph in `edges`
+    * (direction ignored): every node labeled with its component's
+    * minimum node id. First-class form of the label propagation
+    * [[Dedup.nearDupClusters]] runs over near-dup pair graphs — one
+    * join+aggregate shuffle per round, O(graph diameter) rounds, O(1)
+    * driver exchange (the changed-label count) per round. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    Dedup.nearDupClusters(nodes,
+      edges.select(col("src").as("id_a"), col("dst").as("id_b")), "node")
+      .select(col("node"), col("cluster").as("component"))
+  }
+
   /** Exact triangle count of the undirected graph in `edges`
     * (columns `src`, `dst`; direction, duplicates and self-loops are
     * normalized away first).

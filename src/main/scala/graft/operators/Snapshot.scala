@@ -39,6 +39,44 @@ object Snapshot {
       .select(col("key") +: payload.map(p => col(s"__latest.$p").as(p)): _*)
   }
 
+  /** Copy-on-write MERGE (upsert) into a parquet table: rows of
+    * `updates` replace same-`key` rows of the table at `path`; new keys
+    * append. The rewrite goes through a temp directory + two renames
+    * (same crash contract as [[graft.sources.TextIO.compact]]: readers
+    * see old or new, never a mix), and re-running the same updates is
+    * idempotent. This is the write-side twin of [[latestByKey]]
+    * (merge-on-read): pay the rewrite once at ingest and every
+    * downstream read is a plain scan — the right trade when reads
+    * dominate. Schemas must match by name.
+    *
+    * Scale note: a full-table rewrite is the COW floor; partition the
+    * table and call this per affected partition (see
+    * `TextIO.overwritePartitions`) so an incremental merge rewrites
+    * only partitions the updates touch. */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
+                  updates: DataFrame, key: String): Unit = {
+    val target = spark.read.parquet(path)
+    require(target.columns.sorted.sameElements(updates.columns.sorted),
+      s"mergeUpsert schema mismatch: ${target.columns.mkString(",")} vs " +
+        updates.columns.mkString(","))
+    val cols = target.columns.toSeq
+    val merged = target
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .select(cols.map(col): _*)
+      .unionByName(updates.select(cols.map(col): _*))
+    val tmp = path.stripSuffix("/") + ".__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path + ".__merge_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(dst, old)
+    fs.rename(src, dst)
+    fs.delete(old, true)
+  }
+
   /** Diff the compacted state of a log at two cut timestamps
     * (exclusive): rows `added` (key only in the newer snapshot),
     * `removed` (only in the older — possible when keys are created by

@@ -47,7 +47,19 @@ object GraphQueries {
     // degree-ordered orientation bounds the wedge join at O(m^1.5)
     // regardless of hub skew.
     "q_triangles" -> ((s, dir) =>
-      Graph.triangleCount(coPurchase(s, dir)))
+      Graph.triangleCount(coPurchase(s, dir))),
+
+    // Weakly connected components of the SPARSE high-quantity
+    // order↔part graph (~4% of lineitem): min-label propagation,
+    // O(diameter) rounds; oracle = recursive-CTE transitive closure.
+    "q_components" -> ((s, dir) => {
+      val e0 = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 48)
+        .select(concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      Graph.connectedComponents(e0)
+    })
   )
 
   private val edgesSql =
@@ -61,6 +73,20 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> Graph.pageRankSql(edgesSql, Iters),
+
+    "q_components" ->
+      """WITH RECURSIVE e0 AS (
+        | SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+        | FROM lineitem WHERE l_quantity > 48),
+        |edges AS (SELECT a AS u, b AS v FROM e0
+        |          UNION ALL SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT u AS node FROM edges),
+        |reach(u, lbl) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u)
+        |SELECT u AS node, MIN(lbl) AS component
+        |FROM reach GROUP BY u""".stripMargin,
 
     // Mirror of Graph.triangleCount on the co-purchase projection:
     // same (degree, id) orientation, wedge join, closure semi-join.

@@ -64,6 +64,28 @@ object SourceQueries {
             .as("price_sum"))
     }),
 
+    // Copy-on-write MERGE: base table (keys not divisible by 3)
+    // upserted with doubled-price rows for even keys — updates replace,
+    // new keys append — then a grouped aggregate over the merged table.
+    // The oracle replays the same merge relationally.
+    "q_merge_upsert" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val path = tmp(dir, "merge")
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .write.mode("overwrite").parquet(path)
+      graft.operators.Snapshot.mergeUpsert(s, path,
+        orders.select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+          .filter(col("o_orderkey") % 2 === 0),
+        key = "o_orderkey")
+      s.read.parquet(path)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+    }),
+
     // ORC sink/source round-trip — the second columnar lake format;
     // lineitem (the widest fixture) through ORC and back, with a
     // post-read filter so the ORC predicate-pushdown path executes.
@@ -132,6 +154,21 @@ object SourceQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE o_orderkey % 3 <> 0),
+        |upd AS (
+        | SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+        | WHERE o_orderkey % 2 = 0),
+        |m AS (
+        | SELECT * FROM base
+        | WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        | UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus,

@@ -44,6 +44,16 @@ class GraphSpec extends SparkSpec {
     assert(run(2) == run(11))
   }
 
+  test("connectedComponents labels each component with its min id") {
+    import spark.implicits._
+    // components {1,2,3}, {10,11}, direction/dups ignored
+    val e = Seq((2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("triangleCount: K4 + pendant + dup/reversed/self edges → 4") {
     import spark.implicits._
     // K4 on 1..4 has C(4,3) = 4 triangles; node 5 is pendant (none);

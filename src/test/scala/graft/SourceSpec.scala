@@ -36,6 +36,28 @@ class SourceSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("mergeUpsert replaces matched keys, appends new ones, idempotently") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val path = tmpDir("merge")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(path)
+    val updates = Seq((2L, "B"), (4L, "d")).toDF("k", "v")
+    def state() = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    Snapshot.mergeUpsert(spark, path, updates, "k")
+    val expect = Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"))
+    assert(state() == expect)
+    // re-applying the same updates is a no-op
+    Snapshot.mergeUpsert(spark, path, updates, "k")
+    assert(state() == expect)
+    // schema mismatch is rejected before any write
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeUpsert(spark, path, Seq((1L, 2L)).toDF("k", "x"), "k")
+    }
+    assert(state() == expect)
+  }
+
   test("ORC round-trip is lossless; scan filter reaches the ORC reader") {
     import spark.implicits._
     val df = Seq((1L, math.Pi, "a"), (2L, 1.0 / 3.0, "b"), (3L, -0.0, "c"))
