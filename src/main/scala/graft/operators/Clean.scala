@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Null-repair operators for ingest cleaning — the fill/drop surface a
+  * training-data pipeline applies before any aggregate or model kernel
+  * sees the column. The reference engine has no null story at all (its
+  * arrays are dense; see `/root/reference/src/api.jl` — missing data is
+  * a pre-processing concern there too), so this module is part of the
+  * beyond-reference cleaning surface alongside [[Dedup]] and
+  * [[graft.functions.Text]].
+  */
+object Clean {
+
+  /** Rows where every listed column is non-null (SQL `IS NOT NULL`
+    * conjunction — rides the scan as a codegen'd filter, and parquet
+    * null-count statistics prune whole row groups of all-null data). */
+  def dropNulls(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** Impute nulls in `value` with the EXACT per-`grp` type-1 quantile
+    * of the observed (non-null) values — median at `permille` = 500.
+    * A rank-selected quantile is an actual data value (not an
+    * interpolated float), so downstream decimal-exact aggregation over
+    * the filled column stays engine-exact — the property a mean-fill
+    * destroys.
+    *
+    * Scale: the quantile table is one row per group
+    * ([[Stats.quantileByGroup]] — two-pass range refinement, no
+    * per-group sort) and is BROADCAST back, so the fill itself is a
+    * map-side `coalesce` in the scan stage; no extra shuffle of the
+    * fact table. Groups with no observed values keep their nulls
+    * (left-join semantics). Output = input columns plus
+    * `<value>_filled` and boolean `<value>_was_null`. */
+  def imputeGroupQuantile(df: DataFrame, grp: String, value: String,
+                          permille: Int = 500): DataFrame = {
+    val q = Stats.quantileByGroup(
+      df.filter(col(value).isNotNull), grp, col(value), permille)
+    df.join(broadcast(q), Seq(grp), "left")
+      .withColumn(s"${value}_filled", coalesce(col(value), col("quantile")))
+      .withColumn(s"${value}_was_null", col(value).isNull)
+      .drop("quantile")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Chunking, Incremental, Snapshot}
+import graft.operators.{Chunking, Dedup, Incremental, Snapshot}
 
 /** Corpus-preparation queries: context-window chunking, sequence
   * packing, and CDC compaction/diff over the append-only event log.
@@ -29,6 +29,27 @@ object CorpusQueries {
     "q_pack" -> ((s, dir) =>
       Chunking.packAssignments(
         Tables.load(s, dir, "documents"), "doc_id", "text", CTX)),
+
+    // Cross-document boilerplate scrub (C4/RefinedWeb line-dedup rule):
+    // fixture docs are single-line, so re-line them deterministically
+    // into 6-word lines first (same arithmetic in the oracle), then
+    // drop every ≥10-char line shared by ≥2 documents and reassemble
+    // in original order. Planted duplicate docs make the boilerplate
+    // set non-empty (~190 lines at sf0.01). Compared by md5 of the
+    // rebuilt text, so the order-preserving reassembly is what's
+    // actually asserted.
+    "q_boilerplate" -> ((s, dir) => {
+      val relined = Tables.load(s, dir, "documents")
+        .withColumn("__w", graft.functions.Text.tokens(col("text")))
+        .select(col("doc_id"), expr(
+          "concat_ws('\\n', transform(" +
+            "sequence(0, cast(ceil(size(__w)/6.0) as int)-1), " +
+            "i -> concat_ws(' ', slice(__w, i*6+1, 6))))").as("text"))
+      Dedup.stripBoilerplate(relined, "doc_id", "text",
+          minDocs = 2, minLineChars = 10)
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          col("n_kept"))
+    }),
 
     // Latest-record-per-key compaction of the event log (merge-on-read
     // upsert view): one partial-aggregable max_by, no window sort.
@@ -110,6 +131,32 @@ object CorpusQueries {
   private val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
 
   val oracles: Map[String, String] = Map(
+
+    "q_boilerplate" ->
+      s"""WITH tt AS (
+         | SELECT doc_id, $toks AS w FROM documents),
+         |relined AS (
+         | SELECT doc_id, array_to_string(
+         |  list_transform(range(0, CAST(ceil(len(w)/6.0) AS INT)),
+         |   i -> array_to_string(w[i*6+1 : i*6+6], ' ')), chr(10)) AS text
+         | FROM tt),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a
+         |       FROM relined),
+         |lines AS (
+         | SELECT doc_id, i-1 AS pos, a[i] AS line
+         | FROM ls, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) g),
+         |boiler AS (
+         | SELECT line FROM lines WHERE len(trim(line)) >= 10
+         | GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (
+         | SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+         |re AS (
+         | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         |        count(*) AS n_kept
+         | FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, md5(COALESCE(re.clean, '')) AS clean_md5,
+         |       CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
 
     "q_chunk" ->
       s"""WITH tt AS (

@@ -360,6 +360,24 @@ object RelationalQueries {
         Tables.load(s, dir, "orders"), "o_orderpriority",
         d(col("o_totalprice")), permille = 900)),
 
+    // Null repair: knock out 1-in-7 prices, impute each with its
+    // priority group's exact rank-selected median (an actual data
+    // value, so the decimal-exact sum over the filled column stays
+    // engine-exact — a mean fill would not hash-match). The quantile
+    // table is one row per group, broadcast back; the fill is a
+    // map-side coalesce in the scan stage.
+    "q_impute" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price"))
+      graft.operators.Clean.imputeGroupQuantile(o, "o_orderpriority",
+          "price", permille = 500)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("price_was_null").cast("long")).as("n_filled"),
+          dsum(col("price_filled")).as("filled_sum"))
+    }),
+
     // Salted join: skew-safe variant, result identical to q_join.
     "q_join_salted" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -600,6 +618,24 @@ object RelationalQueries {
         |FROM w
         |WHERE cum - cnt < (900 * n + 999) // 1000
         |  AND (900 * n + 999) // 1000 <= cum""".stripMargin,
+
+    "q_impute" ->
+      """WITH w AS (
+        | SELECT o_orderpriority AS p,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
+        | FROM orders),
+        |med AS (
+        | SELECT p, v AS m FROM (
+        |  SELECT p, v, ROW_NUMBER() OVER (PARTITION BY p ORDER BY v) AS rn,
+        |   COUNT(*) OVER (PARTITION BY p) AS n
+        |  FROM w WHERE v IS NOT NULL) t
+        | WHERE rn = (500 * n + 999) // 1000),
+        |f AS (SELECT w.p, COALESCE(v, m) AS fv, (v IS NULL) AS filled
+        |      FROM w JOIN med USING (p))
+        |SELECT p AS o_orderpriority,
+        | CAST(SUM(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        | CAST(SUM(CAST(fv AS DECIMAL(18,2))) AS DOUBLE) AS filled_sum
+        |FROM f GROUP BY 1""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT p_brand, p_partkey, p_retailprice, rn FROM (

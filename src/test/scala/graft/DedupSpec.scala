@@ -212,6 +212,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 7L || b == 7L })
   }
 
+  test("stripBoilerplate drops shared lines, keeps order, handles all-boiler docs") {
+    import spark.implicits._
+    val banner = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"alpha unique one\n$banner\nalpha unique two"),
+      (2L, s"$banner\nbeta body line"),
+      (3L, banner),                    // nothing survives
+      (4L, "short\nln"),               // short lines exempt from df rule
+      (5L, "short\nln")                // dup short lines still kept
+    ).toDF("id", "text")
+    val got = Dedup.stripBoilerplate(docs, "id", "text", minDocs = 2,
+        minLineChars = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("alpha unique one\nalpha unique two", 2L)))
+    assert(got(2L) == (("beta body line", 1L)))
+    assert(got(3L) == (("", 0L)))
+    assert(got(4L) == (("short\nln", 2L)))
+    assert(got(5L) == (("short\nln", 2L)))
+  }
+
   test("fuzzyPairsD1 matches brute-force levenshtein on a random vocabulary") {
     import spark.implicits._
     // small alphabet + short strings => dense edit-distance-1 structure

@@ -216,4 +216,24 @@ class RelationalSpec extends SparkSpec {
     assert(rows("full") == Set((1L, Some(10.0), None),
       (2L, Some(20.0), Some("b")), (3L, None, Some("c"))))
   }
+
+  test("imputeGroupQuantile fills nulls with the group median, flags them") {
+    import spark.implicits._
+    import graft.operators.Clean
+    // group a: observed {1,2,9} -> lower median 2; group b: all null
+    val df = Seq(("a", Some(9.0)), ("a", None), ("a", Some(1.0)),
+      ("a", Some(2.0)), ("b", None)).toDF("g", "v")
+    val got = Clean.imputeGroupQuantile(df, "g", "v", permille = 500)
+      .select("g", "v_filled", "v_was_null")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getBoolean(2)))
+    assert(got.count(x => x._1 == "a" && x._2 == Some(2.0) && x._3) == 1)
+    assert(got.filter(x => x._1 == "a" && !x._3).map(_._2).toSet ==
+      Set(Some(1.0), Some(2.0), Some(9.0)))
+    // a group with no observed values keeps its null (left-join path)
+    assert(got.filter(_._1 == "b").toSeq == Seq(("b", None, true)))
+
+    // dropNulls is the conjunction filter
+    val kept = Clean.dropNulls(df, Seq("g", "v")).count()
+    assert(kept == 3L)
+  }
 }
