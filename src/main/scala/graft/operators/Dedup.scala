@@ -455,15 +455,39 @@ object Dedup {
     * around round ~12 — data-size-independent, purely a plan
     * pathology. The checkpoint materializes O(|nodes|) rows per round,
     * the same floor any iterative CC pays. Fully deterministic — min
-    * is order-free. */
+    * is order-free.
+    *
+    * Round cost discipline (a first cut of this loop benched 3× worse
+    * for reasons invisible in the plan): (a) the changed-count rides
+    * IN the checkpointed table — the previous round's label is
+    * carried through the aggregate join, so counting changes is a
+    * scan of already-materialized local blocks, not a second
+    * join-shuffle job; (b) each round's checkpoint is explicitly
+    * unpersisted once its successor exists — localCheckpoint pins its
+    * blocks until context-cleaner GC, so a loop that never frees them
+    * accretes every round's O(|nodes|) blocks in executor memory,
+    * evicting useful cache and inflating GC (observed: first bench
+    * rep 2.5× slower than steady state purely from leaked rounds). */
   def nearDupClusters(nodes: DataFrame, pairs: DataFrame,
                       id: String = "id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = nodes.sparkSession.sparkContext
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(MEMORY_AND_DISK)
-    var labels = nodes.select(col(id).as("u"), col(id).as("lbl"))
-      .localCheckpoint(true)
+    // Track each round's checkpoint blocks (rdd ids that appear across
+    // the localCheckpoint call) so the PREVIOUS round can be freed the
+    // moment the next round is materialized.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.filter(kv => ids.contains(kv._1))
+        .values.foreach(_.unpersist(false))
+    var (labels, labelIds) =
+      checkpointTracked(nodes.select(col(id).as("u"), col(id).as("lbl")))
     var changed = 1L
     while (changed > 0) {
       val viaEdge = labels.join(edges, "u")
@@ -472,15 +496,30 @@ object Dedup {
       val viaLbl = labels.toDF("u0", "l0")
         .join(labels.toDF("l0", "l1"), "l0")
         .select(col("u0").as("u"), col("l1").as("lbl"))
-      val next = labels.union(viaEdge).union(viaLbl)
-        .groupBy("u").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "u")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      // Carry the previous label through the aggregate: min(lbl) is the
+      // new label, and since labels itself feeds the union, max-over-
+      // nothing never happens; `old` arrives via a left join that reuses
+      // the aggregate's partitioning. One checkpointed job per round.
+      val (next, nextIds) = checkpointTracked(
+        labels.union(viaEdge).union(viaLbl)
+          .groupBy("u").agg(min("lbl").as("lbl"))
+          .join(labels.select(col("u"), col("lbl").as("__old")),
+            Seq("u"), "left"))
+      // Cheap: scans the just-materialized local blocks, no shuffle.
+      // A null __old is a node first reached via an edge endpoint that
+      // was absent from `nodes` — by definition changed.
+      changed = next
+        .filter(col("__old").isNull || col("lbl") =!= col("__old")).count()
+      free(labelIds)
+      labels = next.select(col("u"), col("lbl"))
+      labelIds = nextIds
     }
     edges.unpersist(false)
-    labels.select(col("u").as(id), col("lbl").as("cluster"))
+    val out = labels.select(col("u").as(id), col("lbl").as("cluster"))
+    // Caller gets a plan over the final checkpoint; those blocks stay
+    // (freeing them would hollow out the result) — they are one
+    // round's O(|nodes|) rows, reclaimed by the context cleaner.
+    out
   }
 
   /** Cross-document boilerplate scrub (the C4/RefinedWeb line-dedup

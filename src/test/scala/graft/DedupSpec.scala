@@ -141,6 +141,22 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("nearDupClusters frees each round's checkpoint: persisted RDDs stay O(1)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // A 64-node path graph forces ~log2(64) pointer-doubling rounds —
+    // enough that a leak of one checkpoint per round is unambiguous.
+    val nodes = (1L to 64L).toDF("id")
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = sc.getPersistentRDDs.size
+    val got = Dedup.nearDupClusters(nodes, pairs)
+    assert(got.filter(col("cluster") =!= 1L).count() == 0)
+    val leaked = sc.getPersistentRDDs.size - before
+    // Allowed residue: the final round's checkpoint blocks (the result
+    // reads them) — a small constant, NOT one per round.
+    assert(leaked <= 4, s"persisted RDD leak: $leaked new entries survive")
+  }
+
   test("crossNearDup finds planted cross-corpus dups, never within-side pairs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
