@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loader.
   *
@@ -17,13 +19,26 @@ object Tables {
 
   /** Read a named fixture table from a scale-factor directory.
     *
-    * `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
-    * by default — read it as epoch-nanos long (the reference models all
-    * dates as Int64 day numbers anyway, SURVEY §1.4).
+    * `events.ts` is normalized to EPOCH-NANOS LONG whatever the parquet
+    * holds (the reference models all dates as Int64 day numbers anyway,
+    * SURVEY §1.4): nanosecond-precision parquet reads as long directly
+    * (`nanosAsLong` — Spark 4 rejects ns timestamps otherwise), and
+    * micro-second timestamp parquet (the driver has shipped both across
+    * rounds) is converted via `unix_micros` under a pinned-UTC session,
+    * so every downstream `ts DIV 1000` / nano-literal compare keeps one
+    * stable contract. The DuckDB oracles are unit-agnostic already
+    * (`epoch_ns(ts)` accepts any timestamp precision).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType | TimestampType =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    } else df
   }
 
   /** Register every fixture table as a temp view so `spark.sql` is a

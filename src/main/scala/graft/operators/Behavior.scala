@@ -73,6 +73,46 @@ object Behavior {
     * n_users) where offset 0 is the cohort's own bucket, so
     * n_users(cohort, 0) is the cohort size and retention(k) =
     * n_users(cohort, k) / n_users(cohort, 0). */
+  /** Linear multi-touch attribution: each conversion's value is split
+    * equally across the user's touch events inside the trailing
+    * `lookback` window (touch time in `[conv_t − lookback, conv_t]`,
+    * inclusive); per touch event the credits are summed. Conversions
+    * with no in-window touch get no attribution row (the "direct"
+    * bucket is the caller's complement).
+    *
+    * Shape: candidate (conversion, touch) pairs come from
+    * [[Series.rangeJoin]]'s bucket-replication equi-join on
+    * (user, time-bucket) — never a per-user cross product — then one
+    * keyed window (count per conversion) and one hash aggregate per
+    * touch. Per-pair credits are decimal-staged so the per-touch sum is
+    * order-free; 6 dp cut. Output: (event_id, n_conversions, credit).
+    */
+  def attributionLinear(events: DataFrame, user: Column, ts: Column,
+                        typ: Column, value: Column, id: Column,
+                        convType: String, touchTypes: Seq[String],
+                        lookback: Long): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    val base = events.select(user.as("u"), ts.as("t"), typ.as("__ty"),
+      value.as("__v"), id.as("__eid"))
+    val conv = base.filter(col("__ty") === convType)
+      .select(col("u"), col("t"), col("__v").as("v"),
+        col("__eid").as("conv_id"))
+    val touch = base.filter(col("__ty").isin(touchTypes: _*))
+      .select(col("u"), col("t"), col("__eid").as("touch_id"))
+    val pairs = Series.rangeJoin(conv, touch, key = "u", time = "t",
+      delta = lookback, payload = Seq("t", "touch_id"))
+      .filter(col("r_t") <= col("t"))
+    val perConv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"))
+    pairs
+      .withColumn("__n", count(lit(1)).over(perConv))
+      .select(col("r_touch_id").as("event_id"),
+        (col("v") / col("__n")).cast("decimal(27,18)").as("__c"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("__c")).cast("double"), 6).as("credit"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: Column,
                       bucket: Long): DataFrame = {
     require(bucket > 0, "bucket must be positive")

@@ -433,6 +433,39 @@ object Dedup {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540): cluster
+    * the embedding space with k-means, then compare pairs ONLY within a
+    * cluster — a near-identical pair is assigned to the same cell by
+    * construction, so the clustering is the blocking key and the
+    * quadratic comparison is bounded per cell instead of per corpus.
+    * A point is a duplicate iff some SMALLER-id point in its cell has
+    * cosine ≥ `threshold` to it (greedy min-id keeper — deterministic,
+    * no transitive chaining). Returns (id, cell, is_dup).
+    *
+    * Takes a built [[graft.operators.Similarity.IvfIndex]]: the
+    * expensive k-means runs once per corpus (shared with the ANN
+    * queries via `cachedIvfIndex`) and `assigned` is already
+    * hash-partitioned by cell, so the within-cell self-join introduces
+    * NO new exchange on either side. At 100 TB: size `nCells` ≈
+    * √corpus so per-cell candidate lists grow as √corpus; the flag join
+    * carries bare ids, never vectors. */
+  def semanticDedup(index: graft.operators.Similarity.IvfIndex,
+                    id: String, threshold: Double): DataFrame = {
+    val a = index.assigned.select(col("neighbor_id").as(id),
+      col("cv").as("__v"), col("cell"))
+    val dupIds = a.as("x")
+      .join(a.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .filter(cosine(col("x.__v"), col("y.__v")) >= threshold)
+      .select(col(s"y.$id").as(id))
+      .distinct()
+    a.select(col(id), col("cell"))
+      .join(dupIds.withColumn("__d", lit(true)), Seq(id), "left")
+      .select(col(id), col("cell"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the MINIMUM reachable id as its cluster label (so the label is
     * also the canonical keeper — the end of the dedup story:

@@ -98,4 +98,64 @@ object Sampling {
   /** SQL fragment mirroring [[prefix]] for DuckDB oracles. */
   def prefixSql(keyExpr: String): String =
     s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
+
+  /** DSIR importance weights (Xie et al., "Data Selection via
+    * Importance Resampling", arXiv:2302.03169): score every corpus
+    * document by how much more likely its hashed-bigram bag is under
+    * the TARGET distribution (a small high-quality sample) than under
+    * the RAW corpus distribution. Selecting top-weight / resampling by
+    * weight shifts the corpus mixture toward the target domain.
+    *
+    * Features are token bigrams hashed into 256 buckets (first 2 hex
+    * chars of md5 — engine-portable like every hash in this file);
+    * both distributions are add-one-smoothed bucket histograms, so
+    *
+    *   logw(doc) = Σ_g [ln(t(b(g))+1) − ln(r(b(g))+1)]
+    *             + n_grams · [ln(rTot+256) − ln(tTot+256)]
+    *
+    * Per-term lns are summed as DECIMAL(27,18) (order-free) and the
+    * result rounded to 6 dp — the same portability discipline as
+    * [[Lm.bigramSurprisal]]. Returns (id, n_grams, logw); docs with
+    * fewer than 2 tokens have no bigrams and are absent.
+    *
+    * Scale: gram strings never leave the scan stage (bucket ints are
+    * computed row-locally); the model is a 256-row broadcast; the
+    * target corpus is small by construction (a curated sample), so its
+    * histogram pass is negligible; the raw histogram and the per-doc
+    * weight are each ONE partial-aggregated hash aggregate over the
+    * corpus. */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, id: String,
+                  text: String): DataFrame = {
+    import graft.functions.Text
+    val B = 256
+    def bucket(g: Column): Column =
+      conv(substring(md5(g), 1, 2), 16, 10).cast("int")
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ Text.tokens(col(text)).as("__t"): _*)
+      .select(keep :+ explode(Text.shinglesOfTokens(col("__t"), 2))
+        .as("__g"): _*)
+      .select(keep :+ bucket(col("__g")).as("b"): _*)
+    val tg = grams(target, Seq.empty)
+    val cg = grams(corpus, Seq(col(id)))
+    val spark = corpus.sparkSession
+    val base = spark.range(B).select(col("id").cast("int").as("b"))
+    val lrTable = base
+      .join(tg.groupBy("b").agg(count(lit(1)).as("ct")), Seq("b"), "left")
+      .join(cg.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "left")
+      .select(col("b"),
+        (log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
+          - log(coalesce(col("cr"), lit(0L)).cast("double") + 1.0)).as("lr"))
+    val const = tg.agg(count(lit(1)).as("t_tot"))
+      .crossJoin(cg.agg(count(lit(1)).as("r_tot")))
+      .select((log(col("r_tot").cast("double") + B.toDouble)
+        - log(col("t_tot").cast("double") + B.toDouble)).as("c0"))
+    cg.join(broadcast(lrTable), "b")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("lr").cast("decimal(27,18)")).as("__s"))
+      .crossJoin(broadcast(const))
+      .select(col(id), col("n_grams"),
+        round(col("__s").cast("double")
+          + col("n_grams").cast("double") * col("c0"), 6).as("logw"))
+  }
 }

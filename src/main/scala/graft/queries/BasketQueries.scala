@@ -135,7 +135,18 @@ object BasketQueries {
         Tables.load(s, dir, "events"),
         col("user_id"), tsUs, bucket = 86400000000L)
         .withColumnRenamed("cohort", "cohort_day")
-        .withColumnRenamed("offset", "day_offset"))
+        .withColumnRenamed("offset", "day_offset")),
+
+    // Linear multi-touch attribution: each purchase's value split
+    // equally over the user's click/view touches in the trailing 72 h;
+    // per-touch credit totals. Pairs via the bucket-replication range
+    // join — never a per-user cross product.
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.Behavior.attributionLinear(
+        Tables.load(s, dir, "events"),
+        col("user_id"), tsUs, col("event_type"), col("value"),
+        col("event_id"), convType = "purchase",
+        touchTypes = Seq("click", "view"), lookback = 259200000000L))
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,6 +253,27 @@ object BasketQueries {
         |SELECT f.d0 AS cohort_day, a.d - f.d0 AS day_offset,
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a JOIN f ON a.user_id = f.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Per-pair credit v/n (double / bigint, same IEEE op order as
+    // Spark), decimal-staged order-free sum, 6dp cut.
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, epoch_ns(ts) // 1000 AS t, value AS v,
+        |   event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id AS u, epoch_ns(ts) // 1000 AS tt,
+        |   event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT c.cid, t.tid, c.v,
+        |   COUNT(*) OVER (PARTITION BY c.cid) AS n
+        |  FROM conv c JOIN tch t
+        |   ON c.u = t.u AND t.tt <= c.t AND t.tt >= c.t - 259200000000)
+        |SELECT tid AS event_id, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        | ROUND(CAST(SUM(CAST(v / n AS DECIMAL(27,18))) AS DOUBLE), 6)
+        |  + 0.0 AS credit
+        |FROM p GROUP BY tid""".stripMargin
   )
 }

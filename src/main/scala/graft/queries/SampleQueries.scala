@@ -46,7 +46,16 @@ object SampleQueries {
     "q_reservoir" -> ((s, dir) =>
       Sampling.reservoirPerGroup(Tables.load(s, dir, "documents"),
         col("lang"), col("doc_id"), k = 5)
-        .select(col("grp").as("lang"), col("pick").as("doc_id")))
+        .select(col("grp").as("lang"), col("pick").as("doc_id"))),
+
+    // DSIR importance weights: target = the src1/src2 slice (standing
+    // in for a curated high-quality sample), raw = the whole corpus;
+    // per-doc hashed-bigram log importance ratio.
+    "q_dsir" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Sampling.dsirWeights(d,
+        d.filter(col("source").isin("src1", "src2")), "doc_id", "text")
+    })
   )
 
   private val pfx = Sampling.prefixSql("doc_id")
@@ -82,6 +91,43 @@ object SampleQueries {
         |   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 12),
         |            doc_id) AS rn
         | FROM documents)
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+
+    // DSIR mirror: same bigram split as shinglesOfTokens(·,2), bucket
+    // = first 2 md5 hex chars as an int (strpos arithmetic ≡ Spark's
+    // conv(hex,16,10)), add-one smoothed log-ratio per bucket summed
+    // as DECIMAL, n·const term in the same double op order, 6dp cut.
+    "q_dsir" -> {
+      val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+      s"""WITH tt AS (SELECT doc_id, source, $toks AS ts FROM documents),
+         |bi AS (
+         | SELECT doc_id, source,
+         |  unnest(list_transform(range(1, len(ts)),
+         |   i -> ts[i] || ' ' || ts[i+1])) AS g
+         | FROM tt),
+         |bk AS (
+         | SELECT doc_id, source,
+         |  (strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) AS b
+         | FROM bi),
+         |t AS (SELECT b, COUNT(*) AS ct FROM bk
+         |      WHERE source IN ('src1', 'src2') GROUP BY 1),
+         |r AS (SELECT b, COUNT(*) AS cr FROM bk GROUP BY 1),
+         |tot AS (SELECT
+         |  (SELECT COUNT(*) FROM bk WHERE source IN ('src1', 'src2')) AS t_tot,
+         |  (SELECT COUNT(*) FROM bk) AS r_tot),
+         |lr AS (
+         | SELECT g.b,
+         |  ln(CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0)
+         |   - ln(CAST(COALESCE(r.cr, 0) AS DOUBLE) + 1.0) AS lr
+         | FROM range(0, 256) g(b)
+         | LEFT JOIN t ON t.b = g.b LEFT JOIN r ON r.b = g.b)
+         |SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         | ROUND(CAST(SUM(CAST(lr.lr AS DECIMAL(27,18))) AS DOUBLE)
+         |  + COUNT(*) * (ln(CAST(ANY_VALUE(r_tot) AS DOUBLE) + 256.0)
+         |   - ln(CAST(ANY_VALUE(t_tot) AS DOUBLE) + 256.0)), 6) + 0.0 AS logw
+         |FROM bk JOIN lr ON bk.b = lr.b, tot
+         |GROUP BY bk.doc_id""".stripMargin
+    }
   )
 }

@@ -76,6 +76,18 @@ object SimilarityQueries {
       val e = emb(s, dir)
       Similarity.quantizedTopK(e, e.filter(col("vec_id") < 16),
         "vec_id", "embedding", k = 10)
+    }),
+
+    // Semantic dedup (SemDeDup): k-means cells as the blocking key,
+    // within-cell cosine ≥ 0.30 against any smaller id ⇒ duplicate.
+    // Shares the cached IVF index with q_ann_ivf / q_ann_knn — the
+    // cluster pass is bought once and reused by search AND dedup.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.cachedIvfIndex(e, cacheKey = dir,
+        "vec_id", "embedding", nCells = 16)
+      graft.operators.Dedup.semanticDedup(idx, "vec_id",
+        threshold = 0.30)
     })
   )
 
@@ -209,6 +221,21 @@ object SimilarityQueries {
          | SELECT query_id, neighbor_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
-         | FROM s) WHERE rank <= 10""".stripMargin
+         | FROM s) WHERE rank <= 10""".stripMargin,
+
+    // SemDeDup replay: same k-means assignment chain (a6 = the corpus
+    // assignment under the final centroids), then the within-cell
+    // smaller-id cosine test. Cosine is the bit-exact cosSql mirror,
+    // so the 0.30 threshold cut agrees exactly.
+    "q_semantic_dedup" ->
+      s"""WITH ${MLQueries.kmeansCtePrefix(k = 16, iters = 5, dim = 64)},
+         |d AS (
+         | SELECT DISTINCT b.vec_id AS id
+         | FROM a6 a JOIN a6 b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         | WHERE ${cosSql("a.x", "b.x")} >= 0.30)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+         | a.vec_id IN (SELECT id FROM d) AS is_dup
+         |FROM a6 a""".stripMargin
   )
 }

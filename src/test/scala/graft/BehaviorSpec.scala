@@ -56,4 +56,29 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
       (1L, 0L, 1L)))
   }
+
+  test("attributionLinear: equal split over in-window touches, golden") {
+    // u1: touches at t=10,20 (both in window of conv at 25, lookback 20
+    //  → window [5,25]), conv value 6.0 → 3.0 each.
+    //  A second conv at 31 (window [11,31]) sees only t=20 → 4.0 to it.
+    // u2: touch at 100 AFTER conv at 50 → no attribution.
+    // Touch exactly at conv time (u3, t=7) IS in-window (inclusive).
+    val df = Seq(
+      (1L, "u1", 10L, "click", 0.0),
+      (2L, "u1", 20L, "view", 0.0),
+      (3L, "u1", 25L, "purchase", 6.0),
+      (4L, "u1", 31L, "purchase", 4.0),
+      (5L, "u2", 100L, "click", 0.0),
+      (6L, "u2", 50L, "purchase", 9.0),
+      (7L, "u3", 7L, "click", 0.0),
+      (8L, "u3", 7L, "purchase", 2.0)
+    ).toDF("eid", "u", "ts", "ty", "v")
+    val got = Behavior.attributionLinear(df, col("u"), col("ts"),
+        col("ty"), col("v"), col("eid"),
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        lookback = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 3.0), (2L, 2L, 7.0), (7L, 1L, 2.0)))
+  }
 }

@@ -112,6 +112,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDedup flags smaller-id cosine neighbors within a cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Two well-separated blobs; ids 1,2 identical (same cell, cos=1),
+    // id 3 near them but below threshold-able? -> use orthogonal-ish
+    val a = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val b = Array.tabulate(8)(i => if (i >= 4) 1.0f else 0.0f)
+    val aJit = a.clone(); aJit(7) = 0.01f
+    val df = Seq(
+      (1L, a.toSeq, 0), (2L, a.toSeq, 0), (3L, aJit.toSeq, 0),
+      (4L, b.toSeq, 1), (5L, b.map(v => v * 2f).toSeq, 1)
+    ).toDF("vec_id", "embedding", "label")
+    val idx = graft.operators.Similarity.buildIvfIndex(
+      df, "vec_id", "embedding", nCells = 2, iters = 3)
+    val got = Dedup.semanticDedup(idx, "vec_id", threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    idx.release()
+    assert(got(1L) === false) // smallest id of its dup set = keeper
+    assert(got(2L) === true)  // identical to 1 → dup
+    assert(got(3L) === true)  // cos(a, aJit) > 0.999 → dup of 1
+    assert(got(4L) === false)
+    assert(got(5L) === true)  // same direction as 4 → cos = 1
+  }
+
   test("decontaminate counts distinct shared shingles against the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))

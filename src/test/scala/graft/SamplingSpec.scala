@@ -102,4 +102,28 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), "reservoir must not window-sort groups")
     assert(plan.contains("graft_topk"), "reservoir should use the native top-k aggregate")
   }
+
+  test("dsirWeights ranks target-like docs above off-target docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),   // target-like
+      (2L, "omega sigma tau rho omega sigma"),     // off-target
+      (3L, "alpha beta gamma delta"),               // target-like, shorter
+      (4L, "one")                                   // <2 tokens → absent
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta gamma delta alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(!w.contains(4L))
+    assert(w(1L)._1 == 5L) // 5 bigrams
+    assert(w(1L)._2 > w(2L)._2, "target-like doc must outweigh off-target")
+    assert(w(3L)._2 > w(2L)._2)
+    // partition invariance (decimal-staged sum is order-free)
+    val w13 = Sampling.dsirWeights(corpus.repartition(13), target,
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w13 == w.map { case (k, v) => k -> v._2 })
+  }
 }
