@@ -48,4 +48,27 @@ object Layout {
   def pruneFraction(dim: String, domainWidth: Long): Column =
     (sum(col(s"${dim}_max") - col(s"${dim}_min") + 1) /
       (count(lit(1)) * domainWidth)).as(s"${dim}_read_fraction")
+
+  /** Deterministic training-shard layout: shuffle the corpus into a
+    * content-hash global order (the "randomize example order once at
+    * write time" step before sequential training reads) and cut it
+    * into fixed-size shards — every row gets (shard, pos), shard
+    * `k` holding global positions [k·shardSize, (k+1)·shardSize).
+    *
+    * The order is md5 of the key, so the permutation is reproducible
+    * across runs/engines/partitionings and uncorrelated with any data
+    * column; positions come from [[Series.globalRowNumbers]] (range
+    * partition + per-partition count exscan — O(partitions) driver
+    * state, NO global single-task sort at 100 TB). Writing partitioned
+    * by `shard` then yields equal-size sequential-read training files.
+    * Returns the input columns plus `shard` and `pos`. */
+  def trainShards(df: DataFrame, key: Column, shardSize: Long): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val ordered = Series.globalRowNumbers(
+      df.withColumn("__h", md5(key.cast("string"))), col("__h"), "__rid")
+    ordered
+      .withColumn("shard", expr("__rid div " + shardSize + "L"))
+      .withColumn("pos", col("__rid") % shardSize)
+      .drop("__h", "__rid")
+  }
 }

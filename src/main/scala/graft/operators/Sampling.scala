@@ -99,6 +99,195 @@ object Sampling {
   def prefixSql(keyExpr: String): String =
     s"substring(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
 
+  /** Sequential Poisson sampling (Ohlsson 1998; Rosén's order-sampling
+    * family): a deterministic weighted sample WITHOUT replacement of
+    * the `k` rows whose priority `u/w` is smallest, where `u` is a
+    * content-hash uniform and `w` a positive integer weight — inclusion
+    * probability ≈ proportional to `w` (πps), reproducible across
+    * runs, engines, and partition layouts. The natural consumer of
+    * importance weights like [[dsirWeights]] or a quality score.
+    *
+    * Integer-exact priority: `u24` = first 6 md5 hex chars of the id
+    * (24 bits), `pri = (u24 · 2^20) div w` — long floor-division,
+    * bit-identical in every engine. The textbook A-ES key `-ln(u)/w`
+    * needs libm, and a 1-ulp `ln` divergence across engines could flip
+    * membership at the selection boundary; floor-division cannot.
+    * Priority ties (coarsened by the div) break toward the smaller id.
+    *
+    * Selection runs on the native bounded-heap top-k aggregate (score
+    * = −pri, so "best" = smallest priority): map-side partial heaps
+    * bound state at k entries per task and the shuffle at
+    * O(k · partitions) — no global sort at 100 TB. The k winners then
+    * join back (broadcast, one scan-stage hash join) to recover their
+    * weight column. Returns (id, w, pri), `w` the long-cast weight.
+    *
+    * Rows with `w ≤ 0` or null are excluded (a zero weight cannot be
+    * drawn; a negative one is a caller bug surfaced by the count). */
+  def weightedOrderSample(df: DataFrame, id: Column, weight: Column,
+                          k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keyed = df
+      .select(id.cast("long").as("id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("__u24",
+        conv(substring(md5(col("id").cast("string")), 1, 6), 16, 10)
+          .cast("long"))
+      .withColumn("__pri", expr("(__u24 * 1048576L) div w"))
+    val winners = keyed
+      .groupBy()
+      .agg(graft.functions.TopKFunctions.topK(
+        col("id"), -col("__pri").cast("double"), k).as("__picks"))
+      .select(explode(col("__picks")).as("p"))
+      .select(col("p.id").as("id"),
+        (-col("p.score")).cast("long").as("pri"))
+    keyed.select(col("id"), col("w"))
+      .join(broadcast(winners), "id")
+      .select(col("id"), col("w"), col("pri"))
+  }
+
+  /** DuckDB SQL fragment mirroring [[weightedOrderSample]]'s 24-bit
+    * hash uniform: 6 hex digits of md5 decoded by strpos arithmetic
+    * (≡ Spark's `conv(hex, 16, 10)`). */
+  def u24Sql(keyExpr: String): String = {
+    val h = s"md5(CAST($keyExpr AS VARCHAR))"
+    (1 to 6).map { i =>
+      val mult = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Token-budget corpus mixing — the two-pass planner behind "give me
+    * at most `budget` tokens from every source": pass 1 aggregates the
+    * per-stratum token total `T_s`; each stratum's keep-rate is then
+    * `num_s = min(65536, (65536·budget) div T_s)` in 1/65536 units
+    * (integer floor — never overshoots the budget in expectation), and
+    * pass 2 keeps rows whose 16-bit key hash falls below `num_s`.
+    * Strata already within budget keep everything (rate 65536).
+    *
+    * Scale: the rate table is one row per stratum, broadcast back, so
+    * the planner costs one aggregate scan + one filtered scan — the
+    * membership predicate is a codegen'd integer compare in the scan
+    * stage. Deterministic and engine-exact end to end: totals, rates,
+    * and membership are all integer arithmetic on content hashes.
+    * Returns the kept rows plus `__rate_num` (the stratum's keep-rate
+    * numerator, for audit). */
+  def tokenBudgetMix(df: DataFrame, key: Column, strata: Column,
+                     nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val tagged = df.withColumn("__s", strata)
+      .withColumn("__nt", nTokens.cast("long"))
+    val rates = tagged.groupBy(col("__s"))
+      .agg(sum(col("__nt")).as("__tot"))
+      .withColumn("__rate_num",
+        least(lit(65536L), expr(s"(65536L * ${budget}L) div __tot")))
+      .select(col("__s"), col("__rate_num"))
+    val u16 = conv(prefix(key), 16, 10).cast("long")
+    tagged.join(broadcast(rates), "__s")
+      .filter(u16 < col("__rate_num"))
+      .drop("__s", "__nt")
+  }
+
+  /** DuckDB SQL fragment mirroring [[tokenBudgetMix]]'s 16-bit key
+    * hash (4 md5 hex digits via strpos arithmetic). */
+  def u16Sql(keyExpr: String): String = {
+    val h = s"md5(CAST($keyExpr AS VARCHAR))"
+    (1 to 4).map { i =>
+      val mult = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** x^(quarters/4) as a sqrt/multiply chain: x^¼ = √√x, x^½ = √x,
+    * x^¾ = √x·√√x. IEEE-754 requires √ and · to be correctly rounded,
+    * so — unlike `pow`, whose libm implementations differ across
+    * engines by ulps — this chain is bit-identical everywhere, which
+    * keeps the floor'd rate numerator below deterministic. */
+  private def quarterPow(x: Column, quarters: Int): Column = quarters match {
+    case 1 => sqrt(sqrt(x))
+    case 2 => sqrt(x)
+    case 3 => sqrt(x) * sqrt(sqrt(x))
+    case 4 => x
+    case _ => throw new IllegalArgumentException(
+      s"alpha quarters must be 1..4, got $quarters")
+  }
+
+  /** SQL mirror of [[quarterPow]]. */
+  private def quarterPowSql(x: String, quarters: Int): String = quarters match {
+    case 1 => s"sqrt(sqrt($x))"
+    case 2 => s"sqrt($x)"
+    case 3 => s"sqrt($x) * sqrt(sqrt($x))"
+    case 4 => x
+    case _ => throw new IllegalArgumentException(
+      s"alpha quarters must be 1..4, got $quarters")
+  }
+
+  /** Temperature-based mixture resampling — the multilingual
+    * "up-sample low-resource strata" step (the α-smoothed sampling of
+    * XLM-R / mT5, Conneau et al. arXiv:1911.02116 §3.1): stratum `s`
+    * with token total `T_s` receives a share of the `budget`
+    * proportional to `T_s^α`, α < 1 flattening the distribution toward
+    * uniform. Its keep-rate is therefore
+    *
+    *   rate_s = min(1, budget · T_s^(α−1) / Σ_j T_j^α)
+    *
+    * applied as a deterministic 16-bit hash threshold, exactly like
+    * [[tokenBudgetMix]]'s (α = 1 makes the allocation proportional,
+    * i.e. one uniform corpus-wide rate `budget/ΣT`; [[tokenBudgetMix]]
+    * is the different per-stratum-cap policy).
+    *
+    * α is given in QUARTERS (1 → 0.25, 2 → 0.5, 3 → 0.75, 4 → 1) so
+    * `T^α` is a √/· chain — correctly rounded by IEEE-754 in every
+    * engine, where a libm `pow` could differ by an ulp and flip the
+    * floor'd rate numerator. All remaining arithmetic is one identical
+    * double op sequence per stratum; the numerator floors into
+    * 1/65536 units. Same two-pass scale shape as [[tokenBudgetMix]]:
+    * one aggregate scan, a broadcast rate table, one filtered scan.
+    * Returns kept rows plus `__rate_num`. */
+  def temperatureMix(df: DataFrame, key: Column, strata: Column,
+                     nTokens: Column, budget: Long,
+                     alphaQuarters: Int = 2): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val tagged = df.withColumn("__s", strata)
+      .withColumn("__nt", nTokens.cast("long"))
+    val tots = tagged.groupBy(col("__s"))
+      .agg(sum(col("__nt")).as("__tot"))
+    // Σ T^α staged through DECIMAL(38,18): addition order across
+    // strata is engine/partition-dependent, and double addition is not
+    // associative — the decimal sum is order-free (DSIR discipline).
+    val denom = tots
+      .agg(sum(quarterPow(col("__tot").cast("double"), alphaQuarters)
+        .cast("decimal(38,18)")).cast("double").as("__denom"))
+    val rates = tots.crossJoin(broadcast(denom))
+      .withColumn("__rate_num",
+        least(lit(65536L),
+          floor(lit(65536.0) * lit(budget.toDouble)
+            * quarterPow(col("__tot").cast("double"), alphaQuarters)
+            / col("__tot").cast("double") / col("__denom")).cast("long")))
+      .select(col("__s"), col("__rate_num"))
+    val u16 = conv(prefix(key), 16, 10).cast("long")
+    tagged.join(broadcast(rates), "__s")
+      .filter(u16 < col("__rate_num"))
+      .drop("__s", "__nt")
+  }
+
+  /** DuckDB mirror of [[temperatureMix]]'s rate numerator, given SQL
+    * expressions for the stratum total and the decimal-staged Σ T^α
+    * denominator (already cast back to DOUBLE). The op sequence
+    * matches the Spark side exactly: 65536·B·T^α, /T, /denom, floor. */
+  def temperatureRateSql(totExpr: String, denomExpr: String, budget: Long,
+                         alphaQuarters: Int): String = {
+    val ta = quarterPowSql(s"CAST($totExpr AS DOUBLE)", alphaQuarters)
+    s"""LEAST(65536, CAST(FLOOR(65536.0 * CAST($budget AS DOUBLE)
+       | * $ta / CAST($totExpr AS DOUBLE) / $denomExpr) AS BIGINT))"""
+      .stripMargin.replace("\n", "")
+  }
+
+  /** DuckDB mirror of the Σ T^α denominator over a totals relation. */
+  def temperatureDenomSql(totExpr: String, alphaQuarters: Int): String = {
+    val ta = quarterPowSql(s"CAST($totExpr AS DOUBLE)", alphaQuarters)
+    s"CAST(SUM(CAST($ta AS DECIMAL(38,18))) AS DOUBLE)"
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection via
     * Importance Resampling", arXiv:2302.03169): score every corpus
     * document by how much more likely its hashed-bigram bag is under

@@ -55,6 +55,42 @@ object SampleQueries {
       val d = Tables.load(s, dir, "documents")
       Sampling.dsirWeights(d,
         d.filter(col("source").isin("src1", "src2")), "doc_id", "text")
+    }),
+
+    // Sequential Poisson weighted sample: 60 docs drawn ∝ n_chars
+    // (size-proportional πps) on integer-exact hash priorities — the
+    // bounded-heap top-k, no global sort.
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedOrderSample(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), k = 60)
+        .select(col("id").as("doc_id"), col("w"), col("pri"))),
+
+    // Token-budget mixing: cap every source at 4000 whitespace tokens;
+    // report the per-source keep-rate and what the deterministic
+    // hash-threshold sample actually kept.
+    "q_token_budget" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("nt",
+          size(graft.functions.Text.tokens(col("text"))).cast("long"))
+      Sampling.tokenBudgetMix(d, col("doc_id"), col("source"), col("nt"),
+        budget = 4000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens_kept"),
+          max(col("__rate_num")).as("rate_num"))
+    }),
+
+    // Temperature (α=0.5) mixture over languages: low-resource langs
+    // get a budget share ∝ √tokens — the multilingual up-sampling
+    // rates, derived and applied deterministically.
+    "q_temperature_mix" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("nt",
+          size(graft.functions.Text.tokens(col("text"))).cast("long"))
+      Sampling.temperatureMix(d, col("doc_id"), col("lang"), col("nt"),
+        budget = 8000L, alphaQuarters = 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens_kept"),
+          max(col("__rate_num")).as("rate_num"))
     })
   )
 
@@ -128,6 +164,62 @@ object SampleQueries {
          |   - ln(CAST(ANY_VALUE(t_tot) AS DOUBLE) + 256.0)), 6) + 0.0 AS logw
          |FROM bk JOIN lr ON bk.b = lr.b, tot
          |GROUP BY bk.doc_id""".stripMargin
-    }
+    },
+
+    // Integer-exact order-sampling priorities: (u24·2^20) floor-div
+    // weight, smallest k win, ties toward the smaller id — both
+    // engines compute the identical BIGINT.
+    "q_weighted_sample" ->
+      s"""WITH pr AS (
+         | SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |  CAST((${Sampling.u24Sql("doc_id")} * 1048576)
+         |       // CAST(n_chars AS BIGINT) AS BIGINT) AS pri
+         | FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, w, pri FROM pr ORDER BY pri, doc_id LIMIT 60""".stripMargin,
+
+    // Two-pass budget mirror: per-source token totals → integer
+    // floor keep-rate in 1/65536 units → 16-bit hash membership.
+    "q_token_budget" ->
+      s"""WITH tc AS (
+         | SELECT doc_id, source,
+         |  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |       AS BIGINT) AS nt
+         | FROM documents),
+         |rt AS (
+         | SELECT source, LEAST(65536, (65536 * 4000) // SUM(nt)) AS num
+         | FROM tc GROUP BY source),
+         |kept AS (
+         | SELECT tc.source, tc.nt, rt.num
+         | FROM tc JOIN rt USING (source)
+         | WHERE ${Sampling.u16Sql("doc_id")} < rt.num)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(nt) AS BIGINT) AS tokens_kept,
+         | CAST(MAX(num) AS BIGINT) AS rate_num
+         |FROM kept GROUP BY source""".stripMargin,
+
+    // √/· chains and one fixed double op sequence per stratum keep the
+    // floor'd α=0.5 rate numerator bit-identical to the Spark side.
+    "q_temperature_mix" ->
+      s"""WITH tc AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |       AS BIGINT) AS nt
+         | FROM documents),
+         |tot AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS t
+         |        FROM tc GROUP BY lang),
+         |dn AS (SELECT ${Sampling.temperatureDenomSql("t", 2)} AS denom
+         |       FROM tot),
+         |rt AS (
+         | SELECT lang,
+         |  ${Sampling.temperatureRateSql("t", "denom", 8000L, 2)} AS num
+         | FROM tot, dn),
+         |kept AS (
+         | SELECT tc.lang, tc.nt, rt.num
+         | FROM tc JOIN rt USING (lang)
+         | WHERE ${Sampling.u16Sql("doc_id")} < rt.num)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(nt) AS BIGINT) AS tokens_kept,
+         | CAST(MAX(num) AS BIGINT) AS rate_num
+         |FROM kept GROUP BY lang""".stripMargin
   )
 }

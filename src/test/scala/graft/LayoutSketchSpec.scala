@@ -135,4 +135,33 @@ class LayoutSketchSpec extends SparkSpec {
     // tiny (0 unless all 4 addressed cells collide)
     assert(est <= 3, s"ghost estimate $est")
   }
+
+  test("trainShards: full fixed-size shards in md5 order, partition invariant") {
+    import spark.implicits._
+    val df = (0L until 330L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Layout.trainShards(d, col("id"), shardSize = 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val got = run(df)
+    // reference permutation: rank in (md5, id) order
+    val ranked = (0L until 330L)
+      .map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (h, i)
+      }.sorted.map(_._2).zipWithIndex
+      .map { case (i, r) => (i, r.toLong / 64L, r.toLong % 64L) }.toSet
+    assert(got == ranked)
+    // 330 rows / 64 → shards 0..4 full (64), shard 5 holds 10
+    val sizes = got.groupBy(_._2).map { case (s, rs) => s -> rs.size }
+    assert(sizes == Map(0L -> 64, 1L -> 64, 2L -> 64, 3L -> 64,
+      4L -> 64, 5L -> 10))
+    // per-shard positions are contiguous from 0
+    got.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3) == (0L until rs.size.toLong).toSet, s"shard $s")
+    }
+    assert(run(df.repartition(7)) == got)
+  }
 }

@@ -126,4 +126,119 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w13 == w.map { case (k, v) => k -> v._2 })
   }
+
+  /** Independent scalar recomputation of the order-sampling priority. */
+  private def refPri(id: Long, w: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
+    (java.lang.Long.parseLong(hex, 16) * 1048576L) / w
+  }
+
+  test("weightedOrderSample == brute-force smallest-k, no Window, partition invariant") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, 1L + i % 17)).toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedOrderSample(d, col("id"), col("w"), k = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val got = run(df)
+    val ref = (1L to 400L).map(i => (i, 1L + i % 17))
+      .map { case (i, w) => (i, w, refPri(i, w)) }
+      .sortBy(t => (t._3, t._1)).take(25).toSet
+    assert(got == ref)
+    assert(run(df.repartition(13)) == got)
+    val plan = Sampling.weightedOrderSample(df, col("id"), col("w"), 25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "selection must not global-sort")
+    assert(plan.contains("graft_topk"))
+  }
+
+  test("weightedOrderSample inclusion tracks weight; w<=0 excluded") {
+    import spark.implicits._
+    // one row carries 10^6× the weight of 999 others: its priority is
+    // ~10^6 smaller, so it must be drawn (deterministic given md5)
+    val df = ((1L to 999L).map(i => (i, 1L)) :+ (1000L, 1000000L))
+      .toDF("id", "w")
+    val picked = Sampling.weightedOrderSample(df, col("id"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.contains(1000L), "heavy row must be sampled")
+    // zero/negative weights can never be drawn
+    val withBad = df.union(Seq((2000L, 0L), (2001L, -5L)).toDF("id", "w"))
+    val picked2 = Sampling.weightedOrderSample(withBad, col("id"),
+      col("w"), 1000).collect().map(_.getLong(0)).toSet
+    assert(!picked2.contains(2000L) && !picked2.contains(2001L))
+    assert(picked2.size == 1000)
+  }
+
+  test("tokenBudgetMix: exact rates, membership, and full-keep strata") {
+    import spark.implicits._
+    // stratum a: 10 docs × 100 tokens = 1000 ≤ budget → keep all at 65536
+    // stratum b: 200 docs × 50 tokens = 10000 > budget 1000 →
+    //   num = (65536*1000) div 10000 = 6553
+    val rows = (1L to 10L).map(i => (i, "a", 100L)) ++
+      (100L until 300L).map(i => (i, "b", 50L))
+    val df = rows.toDF("id", "s", "nt")
+    val kept = Sampling.tokenBudgetMix(df, col("id"), col("s"), col("nt"),
+      budget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val aKept = kept.filter(_._2 == "a")
+    assert(aKept.length == 10 && aKept.forall(_._3 == 65536L))
+    val bKept = kept.filter(_._2 == "b")
+    assert(bKept.forall(_._3 == 6553L))
+    // membership is exactly the 16-bit hash threshold
+    val expectB = (100L until 300L).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) < 6553L
+    }.toSet
+    assert(bKept.map(_._1).toSet == expectB)
+    // kept tokens land near the budget in expectation (rate ≈ 10%)
+    val bTokens = bKept.length * 50L
+    assert(bTokens < 3 * 1000L, s"kept $bTokens tokens for budget 1000")
+  }
+
+  test("temperatureMix flattens toward low-resource strata; alpha=1 == tokenBudgetMix") {
+    import spark.implicits._
+    // big: 400 docs × 50 tok = 20000; small: 20 docs × 50 tok = 1000
+    val rows = (1L to 400L).map(i => (i, "big", 50L)) ++
+      (1000L until 1020L).map(i => (i, "small", 50L))
+    val df = rows.toDF("id", "s", "nt")
+    def rates(alphaQ: Int): Map[String, Long] =
+      Sampling.temperatureMix(df, col("id"), col("s"), col("nt"),
+        budget = 2000L, alphaQuarters = alphaQ)
+        .select(col("s"), col("__rate_num")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact mirror of the rate arithmetic
+    def refNum(t: Double, denom: Double, alphaQ: Int): Long = {
+      val ta = alphaQ match {
+        case 1 => math.sqrt(math.sqrt(t)); case 2 => math.sqrt(t)
+        case 3 => math.sqrt(t) * math.sqrt(math.sqrt(t)); case 4 => t
+      }
+      math.min(65536L, math.floor(65536.0 * 2000.0 * ta / t / denom).toLong)
+    }
+    val d05 = math.sqrt(20000.0) + math.sqrt(1000.0)
+    val r05 = rates(2)
+    assert(r05("big") == refNum(20000.0, d05, 2))
+    assert(r05("small") == refNum(1000.0, d05, 2))
+    // flattening: the small stratum's keep-RATE exceeds the big one's
+    assert(r05("small") > r05("big"))
+    // α = 1: share ∝ T, so every stratum gets the SAME uniform rate
+    // B/ΣT — proportional allocation is corpus-uniform sampling
+    val r1 = rates(4)
+    val uniform = math.floor(65536.0 * 2000.0 / 21000.0).toLong
+    assert(r1("big") == uniform && r1("small") == uniform)
+    // kept-row membership is the u16 threshold of the derived rate
+    val kept = Sampling.temperatureMix(df, col("id"), col("s"), col("nt"),
+      budget = 2000L, alphaQuarters = 2)
+      .collect().map(_.getLong(0)).toSet
+    val expect = rows.filter { case (i, s, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) < r05(s)
+    }.map(_._1).toSet
+    assert(kept == expect)
+  }
 }
