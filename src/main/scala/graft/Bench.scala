@@ -16,12 +16,14 @@ import org.apache.spark.sql.SparkSession
   *    r3's driver run billed a 68 s pause to a query whose
   *    steady-state rep was 2 s), then `SPARK_GRAFT_BENCH_REPS`
   *    (default 3) timed reps back-to-back;
-  *  - report the per-query MEDIAN in `queries`; every individual rep
-  *    goes to stderr and `bench_reps.json`, so a swing can be
-  *    attributed to host noise (reps disagree) vs plan cost (reps
-  *    agree). The stdout line stays compact (3-decimal medians, no
-  *    inline reps): r3's full-precision inline-reps line outgrew the
-  *    driver's tail-capture buffer and failed to parse.
+  *  - report per-query MEDIANs in `queries`, most-expensive-first,
+  *    truncated to fit the driver's ~2000-char tail capture (r3's
+  *    full-precision inline-reps line outgrew it and failed to
+  *    parse); the cheap remainder is folded into `omitted` and
+  *    `value` is the total over ALL queries. Every individual rep and
+  *    the complete median map go to `bench_reps.json`, so a swing can
+  *    be attributed to host noise (reps disagree) vs plan cost (reps
+  *    agree).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,22 +68,51 @@ object Bench {
     }
     def f(v: Double): String = "%.3f".format(v)
     val medians = reps.map { case (k, v) => k -> median(v) }
-    val qs = medians.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val rs = reps.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":[" + v.map(f).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val mediansJson = medians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val repsJson =
-      s"""{"reps":$rs,"nreps":$nReps,"errors":$errs,"sf":"$sfDir"}"""
-    System.err.println(s"[bench-reps] $repsJson")
+      s"""{"reps":$rs,"medians":$mediansJson,"nreps":$nReps,""" +
+        s""""errors":$errs,"sf":"$sfDir"}"""
+    // Full per-rep data goes ONLY to the file — never to stderr: in a
+    // 2>&1 capture a multi-KB stderr line can interleave AFTER the
+    // stdout summary and push it out of the driver's ~2000-char tail
+    // window (exactly how the r3 bench line failed to parse).
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_reps.json"),
       repsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] reps file write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The stdout line must land entirely inside the driver's tail
+    // capture (~2000 chars, shared with sbt's trailing "[success] ..."
+    // line). With 100+ registry queries, per-query medians no longer
+    // fit, so: include queries individually in DESCENDING median order
+    // (the expensive ones carry the perf signal) until the serialized
+    // line reaches the budget, then fold the cheap remainder into an
+    // "omitted" summary. `value` stays the total over ALL queries; the
+    // complete per-query medians + reps are in bench_reps.json.
+    val budget = 1700
+    val byCost = medians.toSeq.sortBy { case (k, v) => (-v, k) }
+    val entries = byCost.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val fixedLen = (s"""{"metric":"total","value":${f(total)},""" +
+      s""""unit":"sec","queries":{},""" +
+      s""""omitted":{"n":999,"sec":999.999},""" +
+      s""""errors":$errs,"sf":"$sfDir"}""").length
+    var used = fixedLen
+    var nIncl = 0
+    while (nIncl < entries.size && used + entries(nIncl).length + 1 <= budget) {
+      used += entries(nIncl).length + 1; nIncl += 1
+    }
+    val qs = entries.take(nIncl).mkString("{", ",", "}")
+    val omittedSec = byCost.drop(nIncl).map(_._2).sum
+    val omitted =
+      s"""{"n":${entries.size - nIncl},"sec":${f(omittedSec)}}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CompressionRatio, CosineSimilarity,
-  MergeAdjacentPair, MinHashSignature, SimHashChunks, SquaredDistance,
-  ZOrderKey}
+  MergeAdjacentPair, MinHashSignature, NfcNormalize, SimHashChunks,
+  SquaredDistance, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MergeAdjacentPair(children.head,
           strArg(children(1), "graft_merge_pair"),
           strArg(children(2), "graft_merge_pair"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),

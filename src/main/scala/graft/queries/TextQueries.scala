@@ -106,6 +106,21 @@ object TextQueries {
             .cast("int"))
     }),
 
+    // Unicode + whitespace normalization (the canonical step-0 of a
+    // C4-style cleanup): NFC via the native codegen'd graft_nfc,
+    // control-char strip, exotic-whitespace collapse, trim. All
+    // scan-stage, no shuffle; the oracle applies the identical
+    // RE2-compatible chain through DuckDB's nfc_normalize.
+    "q_normalize" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.NormalizeFunctions.cleanup(col("text"))
+            .as("norm_text"),
+          length(graft.functions.NormalizeFunctions.cleanup(col("text")))
+            .as("n_chars_clean"),
+          (graft.functions.NormalizeFunctions.cleanup(col("text"))
+            =!= col("text")).cast("int").as("changed"))),
+
     // PII redaction: scrub emails/IPs/phone runs with deterministic
     // placeholders + per-pattern hit counts — a pure regexp_replace
     // chain in the scan stage (RE2-compatible patterns so the oracle
@@ -308,6 +323,14 @@ object TextQueries {
          | CAST((1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) < 0.9
          |   AND tb.top_bigram_frac < 0.18 AS INT) AS keep
          |FROM tt t JOIN tb ON t.doc_id = tb.doc_id""".stripMargin,
+
+    "q_normalize" -> {
+      val clean = graft.functions.NormalizeFunctions.cleanupSqlDuck("text")
+      s"""SELECT doc_id, $clean AS norm_text,
+         | length($clean) AS n_chars_clean,
+         | CAST($clean <> text AS INT) AS changed
+         |FROM documents""".stripMargin
+    },
 
     "q_redact" -> {
       val redacted = Text.piiPatterns.foldLeft("text") {

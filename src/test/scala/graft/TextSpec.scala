@@ -117,4 +117,29 @@ class TextSpec extends SparkSpec {
     assert(got(1L) == ((3L, r6(math.log(2) / 3))))
     assert(got(2L) == ((2L, r6(math.log(2) / 2))))
   }
+
+  test("nfc composes decomposed accents; cleanup collapses exotic space") {
+    import graft.functions.NormalizeFunctions
+    // "e\u0301" (e + COMBINING ACUTE) must compose to U+00E9; NBSP
+    // (U+00A0) and ideographic space (U+3000) collapse to one ASCII
+    // space; C0 control (BEL) dropped; trailing space trimmed;
+    // already-clean text passes through unchanged.
+    val dirty = "cafe\u0301 du\u00a0\u3000monde \u0007 ok "
+    val got = one(dirty)
+      .select(NormalizeFunctions.cleanup(col("text"))).head().getString(0)
+    assert(got == "caf\u00e9 du monde ok")
+    val clean = "plain ascii text"
+    assert(one(clean).select(NormalizeFunctions.cleanup(col("text")))
+      .head().getString(0) == clean)
+    // nfc alone: composition only, idempotent on composed input
+    assert(one("e\u0301").select(NormalizeFunctions.nfc(col("text")))
+      .head().getString(0) == "\u00e9")
+    assert(one("\u00e9").select(NormalizeFunctions.nfc(col("text")))
+      .head().getString(0) == "\u00e9")
+  }
+
+  test("graft_nfc is registered as a SQL function") {
+    val r = spark.sql("SELECT graft_nfc('e\u0301') AS s").head().getString(0)
+    assert(r == "\u00e9")
+  }
 }
