@@ -705,4 +705,73 @@ object Dedup {
       .withColumn("dup_frac",
         col("dup_grams").cast("double") / col("n_grams").cast("double"))
   }
+
+  /** Exact duplicated-substring REMOVAL (the scrub counterpart of
+    * [[dupSpanStats]]; Lee et al. arXiv:2107.06499 §"ExactSubstr"):
+    * every occurrence of a corpus-duplicated token k-gram is deleted
+    * EXCEPT the canonical one — canonical = the occurrence in the
+    * smallest doc id, earliest position there (a deterministic
+    * keep-first rule both engines can mirror as two chained MINs, no
+    * struct-ordering portability assumptions). A token is dropped iff
+    * some non-canonical duplicated gram occurrence covers it; the doc
+    * is rebuilt from the surviving tokens in order.
+    *
+    * Scale shape: text never shuffles. Grams become 64-bit
+    * fingerprints in the scan stage; the global count and the
+    * canonical-position lookup shuffle (hash, id, pos) longs; only
+    * occurrences of DUPLICATED grams (tot ≥ 2 minus one canonical per
+    * gram) explode to covered token indices (k longs each), so the
+    * removal set is proportional to the duplication actually present,
+    * not to corpus size. Reassembly is one sort_array per doc over
+    * surviving (pos, token) pairs — the same bounded per-doc rollup
+    * as [[stripBoilerplate]], no window, no per-doc sort task.
+    *
+    * Returns (id, n_kept, n_removed, scrub_fp): counts + md5 of the
+    * rebuilt text (order-sensitive, so the fingerprint certifies the
+    * reassembly, not just the kept-set). */
+  def scrubDupSpans(df: DataFrame, id: String, text: String,
+                    k: Int = 8): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), Text.tokens(col(text)).as("__toks"))
+    val tokPos = toks.select(col(id),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val grams = toks.select(col(id),
+        posexplode(Text.shinglesOfTokens(col("__toks"), k))
+          .as(Seq("pos", "g")))
+      .select(col(id), col("pos"), xxhash64(col("g")).as("h"))
+    // Renamed join keys (dh/ch) sidestep self-join ambiguity: dupStats
+    // and canonPos both derive from `grams`.
+    val dupStats = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("tot"), min(col(id)).as("cd"))
+      .filter(col("tot") >= 2)
+      .select(col("h").as("dh"), col("cd"))
+    val canonPos = grams.join(dupStats,
+        col("h") === col("dh") && col(id) === col("cd"))
+      .groupBy(col("h")).agg(min(col("pos")).as("cp"))
+      .select(col("h").as("ch"), col("cp"))
+    val removedPos = grams
+      .join(dupStats, col("h") === col("dh")).drop("dh")
+      .join(canonPos, col("h") === col("ch")).drop("ch")
+      .filter(!(col(id) === col("cd") && col("pos") === col("cp")))
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("rp"))
+      .distinct()
+    val kept = tokPos.join(removedPos,
+      tokPos(id) === removedPos(id) && col("pos") === col("rp"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("__s"))
+    df.select(col(id), size(Text.tokens(col(text))).as("__n_total"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        md5(coalesce(col("__s"), lit("")).cast("binary")).as("scrub_fp"))
+  }
 }

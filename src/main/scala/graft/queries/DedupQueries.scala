@@ -101,6 +101,14 @@ object DedupQueries {
       Dedup.dupSpanStats(Tables.load(s, dir, "documents"),
         "doc_id", "text", k = 8)),
 
+    // Exact duplicated-substring REMOVAL: rebuild each doc with every
+    // non-canonical duplicated 8-gram occurrence scrubbed. The oracle
+    // replays the same two-stage canonical rule on raw gram strings
+    // and md5-compares the rebuilt text (order-sensitive).
+    "q_dedup_scrub" -> ((s, dir) =>
+      Dedup.scrubDupSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 8)),
+
     // Fuzzy record linkage: distinct part names within one edit of each
     // other (deletion-neighborhood blocking + exact levenshtein verify).
     // The oracle is the brute-force length-unblocked pairwise join —
@@ -212,6 +220,47 @@ object DedupQueries {
          | CAST(SUM(CASE WHEN gt.tot > 1 THEN pg.n ELSE 0 END) AS DOUBLE)
          |  / CAST(SUM(pg.n) AS DOUBLE) AS dup_frac
          |FROM pg JOIN gt USING (g) GROUP BY 1""".stripMargin,
+
+    // Same canonical rule as scrubDupSpans: MIN doc, then MIN pos in
+    // that doc; raw gram strings where Spark uses xxhash64. Positions
+    // are 1-based here vs Spark's 0-based — both engines only compare
+    // positions internally, and the rebuilt text is base-independent.
+    "q_dedup_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ts FROM documents),
+         |tok AS (
+         | SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |   i -> struct_pack(pos := i, tok := ts[i]))) AS u FROM t)),
+         |gr AS (
+         | SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+         |   i -> struct_pack(pos := i,
+         |     g := array_to_string(list_slice(ts, i, i + 7), ' ')))) AS u
+         |  FROM t)),
+         |gt AS (
+         | SELECT g, MIN(doc_id) AS cd FROM gr
+         | GROUP BY 1 HAVING COUNT(*) >= 2),
+         |cp AS (
+         | SELECT gr.g, MIN(gr.pos) AS cp FROM gr
+         | JOIN gt ON gr.g = gt.g AND gr.doc_id = gt.cd GROUP BY 1),
+         |rem AS (
+         | SELECT DISTINCT doc_id, rp FROM (
+         |  SELECT gr.doc_id,
+         |   unnest(list_transform(range(0, 8), j -> gr.pos + j)) AS rp
+         |  FROM gr JOIN gt ON gr.g = gt.g JOIN cp ON gr.g = cp.g
+         |  WHERE NOT (gr.doc_id = gt.cd AND gr.pos = cp.cp))),
+         |kept AS (
+         | SELECT tok.* FROM tok
+         | ANTI JOIN rem ON tok.doc_id = rem.doc_id AND tok.pos = rem.rp),
+         |rb AS (
+         | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY pos) AS s
+         | FROM kept GROUP BY 1)
+         |SELECT t.doc_id,
+         | coalesce(rb.n_kept, 0) AS n_kept,
+         | CAST(len(t.ts) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed,
+         | md5(coalesce(rb.s, '')) AS scrub_fp
+         |FROM t LEFT JOIN rb ON t.doc_id = rb.doc_id""".stripMargin,
 
     // 4-shingles: range is end-exclusive → i = 1..len-3, the same
     // len-3 = n-k+1 shingles as Spark's sequence(0, size-4).

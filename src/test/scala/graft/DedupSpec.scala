@@ -297,4 +297,35 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(got == want)
   }
+
+  test("scrubDupSpans keeps the first occurrence, scrubs the rest") {
+    import spark.implicits._
+    val span = (1 to 4).map(i => s"dup$i").mkString(" ") // k=4 planted span
+    val docs = Seq(
+      (1L, s"alpha $span beta"),            // canonical (min doc)
+      (2L, s"gamma delta $span"),           // non-canonical → scrubbed
+      (3L, "unique words only here"),       // untouched
+      (4L, s"$span mid $span")              // within-doc repeat: 2nd goes
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .scrubDupSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 holds the canonical occurrence (min doc, min pos): kept 6
+    assert(got(1L) == ((6L, 0L)))
+    // doc 2 loses exactly the 4 span tokens
+    assert(got(2L) == ((2L, 4L)))
+    // doc 3 untouched
+    assert(got(3L) == ((4L, 0L)))
+    // doc 4: both its occurrences are non-canonical (doc 1 owns the
+    // gram) → 8 tokens scrubbed, "mid" survives
+    assert(got(4L) == ((1L, 8L)))
+    // the rebuilt-text fingerprint of an untouched doc equals md5(text)
+    val fp3 = graft.operators.Dedup
+      .scrubDupSpans(docs, "doc_id", "text", k = 4)
+      .filter($"doc_id" === 3L).head().getString(3)
+    assert(fp3 == java.security.MessageDigest.getInstance("MD5")
+      .digest("unique words only here".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
 }
