@@ -55,4 +55,53 @@ object Lm {
         round(col("__s").cast("double") / col("n_bigrams"), 6)
           .as("surprisal"))
   }
+
+  /** Model-based quality gate (the fasttext-shaped classifier filter):
+    * train a logistic model on hashed-token-bucket features against a
+    * caller-supplied weak label (a heuristic rule, a curated sample, a
+    * language tag), then score EVERY document and emit a keep flag.
+    * This is the standard second-stage filter after rule heuristics:
+    * the rules label a slice, the model generalizes the judgment.
+    *
+    * Features: x[0] = 1 (bias); x[1+b] = fraction of the doc's tokens
+    * whose md5 first hex digit is `b` (`buckets` ≤ 16) — the hashing
+    * trick with an engine-portable hash, so the DuckDB oracle builds
+    * bit-identical features. Featurization is pure scan-stage HOF
+    * work (no shuffle); training is [[ML.logisticRegression]]'s
+    * exact-decimal allreduce-per-iteration loop (one partial/final
+    * aggregate per iteration, O(dim) to the driver); scoring bakes the
+    * learned weights back as literals — one more scan, margin summed
+    * in fixed index order, so the whole train+score run is
+    * deterministic and engine-exact to 6 dp.
+    *
+    * Returns (id, score, keep) for every input document. */
+  def qualityClassifier(docs: DataFrame, id: String, text: String,
+                        label: org.apache.spark.sql.Column,
+                        buckets: Int = 16, iters: Int = 3,
+                        lr: Double = 1.0): DataFrame = {
+    require(buckets >= 2 && buckets <= 16,
+      "buckets must be in [2,16] (one md5 hex digit)")
+    val dim = buckets + 1
+    val feats = docs
+      .select(col(id), label.cast("double").as("y"),
+        Text.tokens(col(text)).as("__t"))
+      .select(col(id), col("y"),
+        transform(col("__t"),
+          t => conv(substring(md5(t), 1, 1), 16, 10).cast("int"))
+          .as("__bk"))
+      .select(col(id), col("y"),
+        concat(
+          array(lit(1.0)),
+          transform(sequence(lit(0), lit(buckets - 1)),
+            b => size(filter(col("__bk"), v => v === b)).cast("double")
+              / size(col("__bk")).cast("double"))).as("x"))
+    val w = ML.logisticRegression(feats, "x", "y", dim, iters, lr)
+      .head().getSeq[Double](0)
+    val margin = (0 until dim)
+      .map(j => element_at(col("x"), j + 1) * lit(w(j)))
+      .reduce(_ + _)
+    val score = lit(1.0) / (lit(1.0) + exp(-margin))
+    feats.select(col(id), round(score, 6).as("score"),
+      (score >= 0.5).cast("int").as("keep"))
+  }
 }

@@ -154,8 +154,17 @@ object MLQueries {
     * sum the Scala plan builds, then the sigmoid) and an exact-decimal
     * gradient CTE; the weight update repeats the Scala op order
     * `w - (lr*g)/n`. */
-  private def logregOracle(iters: Int, dim: Int, lr: Double): String = {
-    val margin = (1 to dim).map(j => s"x[$j]*w[$j]").mkString(" + ")
+  /** The left-to-right margin sum `x[1]*w[1] + … + x[dim]*w[dim]` —
+    * the exact op order of the Scala kernel's `reduce(_ + _)`. */
+  private[queries] def logregMargin(dim: Int): String =
+    (1 to dim).map(j => s"x[$j]*w[$j]").mkString(" + ")
+
+  /** The gradient-descent CTE chain (everything after a caller-supplied
+    * `pts(x, y, …)` CTE): `nn`, `w0`, and `e$i`/`g$i`/`w$i` per
+    * unrolled iteration. Shared by the embedding logreg oracle and the
+    * text quality-classifier oracle, which differ only in `pts`. */
+  private[queries] def logregSteps(iters: Int, dim: Int, lr: Double): String = {
+    val margin = logregMargin(dim)
     def step(i: Int) =
       s"""e$i AS (
          | SELECT x, 1.0/(1.0 + exp(-($margin))) - y AS err
@@ -168,16 +177,20 @@ object MLQueries {
          | SELECT list(wj ORDER BY dim) AS w FROM (
          |  SELECT g.dim AS dim, w.w[g.dim] - ($lr * g.g) / nn.nv AS wj
          |  FROM g$i g, w${i - 1} w, nn) t)""".stripMargin
+    s"""nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM pts),
+       |w0 AS (SELECT list_transform(range(1, ${dim + 1}),
+       |  v -> CAST(0.0 AS DOUBLE)) AS w),
+       |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  private def logregOracle(iters: Int, dim: Int, lr: Double): String = {
     // `+ 0.0` canonicalizes DuckDB ROUND's signed zero (Spark's
     // BigDecimal round has none) — a weight rounding to -0.0 would
     // hash-mismatch an identical result.
     s"""WITH pts AS (
        | SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
        |  CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
-       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM pts),
-       |w0 AS (SELECT list_transform(range(1, ${dim + 1}),
-       |  v -> CAST(0.0 AS DOUBLE)) AS w),
-       |${(1 to iters).map(step).mkString(",\n")}
+       |${logregSteps(iters, dim, lr)}
        |SELECT CAST(dim - 1 AS INT) AS idx, ROUND(w[dim], 6) + 0.0 AS w
        |FROM w$iters, range(1, ${dim + 1}) r(dim)""".stripMargin
   }

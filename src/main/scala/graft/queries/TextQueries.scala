@@ -106,6 +106,17 @@ object TextQueries {
             .cast("int"))
     }),
 
+    // Model-based quality gate: train a logistic classifier on
+    // hashed-token-bucket features against the weak label lang=='en',
+    // score every doc, emit keep flags. Train+score is deterministic
+    // (exact-decimal gradients, fixed margin order) so the oracle
+    // replays the whole descent as unrolled CTEs and hash-matches.
+    "q_quality_model" -> ((s, dir) =>
+      graft.operators.Lm.qualityClassifier(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        label = col("lang") === "en",
+        buckets = 16, iters = 3, lr = 1.0)),
+
     // Unicode + whitespace normalization (the canonical step-0 of a
     // C4-style cleanup): NFC via the native codegen'd graft_nfc,
     // control-char strip, exotic-whitespace collapse, trim. All
@@ -323,6 +334,24 @@ object TextQueries {
          | CAST((1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) < 0.9
          |   AND tb.top_bigram_frac < 0.18 AS INT) AS keep
          |FROM tt t JOIN tb ON t.doc_id = tb.doc_id""".stripMargin,
+
+    "q_quality_model" -> {
+      val margin = MLQueries.logregMargin(17)
+      s"""WITH pts AS (
+         | SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
+         |  list_prepend(CAST(1.0 AS DOUBLE), list_transform(range(0, 16),
+         |   b -> CAST(len(list_filter(bk, v -> v = b)) AS DOUBLE)
+         |     / CAST(len(bk) AS DOUBLE))) AS x
+         | FROM (SELECT doc_id, lang,
+         |   list_transform($toks, t ->
+         |     strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) AS bk
+         |  FROM documents)),
+         |${MLQueries.logregSteps(iters = 3, dim = 17, lr = 1.0)}
+         |SELECT doc_id,
+         | ROUND(1.0/(1.0 + exp(-($margin))), 6) + 0.0 AS score,
+         | CAST(1.0/(1.0 + exp(-($margin))) >= 0.5 AS INT) AS keep
+         |FROM pts, w3""".stripMargin
+    },
 
     "q_normalize" -> {
       val clean = graft.functions.NormalizeFunctions.cleanupSqlDuck("text")

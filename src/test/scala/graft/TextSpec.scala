@@ -142,4 +142,22 @@ class TextSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_nfc('e\u0301') AS s").head().getString(0)
     assert(r == "\u00e9")
   }
+
+  test("qualityClassifier separates a planted separable corpus") {
+    import spark.implicits._
+    // 'aaa'\u2192bucket 4, 'bbb'\u2192bucket 0: class-pure bucket distributions,
+    // linearly separable, so a few steps at high lr must split them.
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 5) "aaa aaa aaa" else "bbb bbb bbb", i <= 5))
+      .toDF("doc_id", "text", "lab")
+    val out = graft.operators.Lm.qualityClassifier(
+      docs, "doc_id", "text", label = col("lab"),
+      buckets = 16, iters = 20, lr = 8.0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2))))
+      .toMap
+    (1L to 5L).foreach(i => assert(out(i)._2 == 1, s"doc $i: ${out(i)}"))
+    (6L to 10L).foreach(i => assert(out(i)._2 == 0, s"doc $i: ${out(i)}"))
+    // identical docs score identically (featurization is content-pure)
+    assert(out(1L)._1 == out(2L)._1)
+  }
 }
