@@ -121,4 +121,81 @@ object Multimodal {
                                     i: org.apache.spark.sql.Column,
                                     len: org.apache.spark.sql.Column) =
     bytes.substr(i * len + 1, len)
+
+  /** Perceptual hash over the (stub-)decoded signal: 64 samples from
+    * the same keyed-LCG decode as [[fakeDecode]], one bit per sample —
+    * set iff the sample exceeds the mean (the classic pHash/blockhash
+    * shape: decode → fixed projection → threshold against the global
+    * mean). Deterministic mod-2⁶⁴ arithmetic throughout, so the DuckDB
+    * oracle reproduces every bit (LCG states in closed form with baked
+    * per-step constants). A real implementation swaps the decode for
+    * pixels + DCT; the threshold/bit packing and everything downstream
+    * is production shape. */
+  private[graft] def phash64(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L // ??? real codec goes here — STUB
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val v = new Array[Float](64)
+    var j = 0
+    while (j < 64) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      v(j) = ((h >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f
+      j += 1
+    }
+    var s = 0.0
+    j = 0; while (j < 64) { s += v(j); j += 1 }
+    val m = s / 64.0
+    var out = 0L
+    j = 0; while (j < 64) { if (v(j) > m) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Image near-dup detection by perceptual hash: pairs of media whose
+    * 64-bit pHashes differ in at most `maxHamming` ≤ 3 bits.
+    *
+    * Scale shape: hashes are 8 bytes per media — the blob never leaves
+    * its scan stage. Exact-equal hashes collapse FIRST (one groupBy;
+    * identical media — the overwhelming dup mode — costs linear work
+    * and kills the banding skew a hot constant image would cause).
+    * Near pairs then band the DISTINCT hashes 4×16 bits (pigeonhole:
+    * ≤ 3 flipped bits leave one chunk intact, so recall is exact, not
+    * probabilistic), bucket-join, and verify with bit_count(xor).
+    *
+    * Returns (id_a, id_b, dist): dist 0 rows pair each identical-hash
+    * member with its min-id representative (linear in group size, not
+    * quadratic); dist ≥ 1 rows pair the representatives of two distinct
+    * hashes. */
+  def phashDedup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val ph = udf((b: Array[Byte]) => phash64(b))
+    hashPairs(
+      media.select(col("media_id"), ph(col("bytes")).as("h")), maxHamming)
+  }
+
+  /** The banding/verify stage of [[phashDedup]] over precomputed
+    * (media_id, h) hashes — split out so the pigeonhole-recall
+    * guarantee is testable with crafted hashes (the stub decoder has
+    * full avalanche, so organic near-but-unequal pairs can't occur). */
+  private[graft] def hashPairs(hashes: DataFrame,
+                               maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "4x16 banding guarantees recall only for maxHamming <= 3")
+    val groups = hashes.groupBy(col("h")).agg(min(col("media_id")).as("rep"))
+    val identical = hashes.join(groups, "h")
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("media_id").as("id_b"),
+        lit(0).as("dist"))
+    val chunks = groups.select(col("h"), col("rep"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .select(col("h"), col("rep"), col("ci"),
+        expr("shiftrightunsigned(h, ci * 16) & 65535").as("cv"))
+    val near = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("id_a"), col("b.rep").as("id_b"),
+        expr("bit_count(a.h ^ b.h)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+    identical.unionByName(near)
+  }
 }

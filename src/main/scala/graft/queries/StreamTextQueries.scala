@@ -108,6 +108,25 @@ object StreamTextQueries {
           element_at(col("feature"), 1).as("f0"))
     }),
 
+    // Multimodal: perceptual-hash image near-dup — identical-hash
+    // collapse + 4x16 banding over distinct hashes, hamming <= 3
+    // verify. Oracle rebuilds every hash bit in HUGEINT (closed-form
+    // LCG with baked per-step constants) and brute-forces the pairs,
+    // which also proves the banding's pigeonhole completeness.
+    // The fixture corpus has no duplicate payloads, so re-ingest docs
+    // 0..24 under shifted ids (the re-crawl scenario) — their pHashes
+    // must collapse onto the originals.
+    "q_mm_phash" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val recrawl = base.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val media = Multimodal.asMedia(base.unionByName(recrawl),
+        "doc_id", "text", "image")
+      Multimodal.phashDedup(Multimodal.resize(media, 64, 64),
+        maxHamming = 3)
+    }),
+
     // Multimodal: frame sampling (every 2nd frame), frames per media.
     // Pure byte-slice plumbing (no stub decode), so it IS
     // SQL-expressible — oracle mirrors the int frame arithmetic.
@@ -121,7 +140,77 @@ object StreamTextQueries {
     })
   )
 
+  /** DuckDB mirror of [[Multimodal.phash64]] + phashDedup. LCG states
+    * in closed form: state n = A^n·h0 + C·(A^(n-1)+…+1) (mod 2^64),
+    * with A^n split into baked 32-bit limbs so the modular product of
+    * two 64-bit values never overflows signed int128. The final SELECT
+    * brute-forces all distinct-hash pairs — ground truth that also
+    * certifies the Spark side's banding recall. */
+  private def phashOracle: String = {
+    val MOD = BigInt(1) << 64
+    val A = BigInt("6364136223846793005")
+    val C = BigInt("1442695040888963407")
+    var an = BigInt(1); var sn = BigInt(0)
+    val (m0s, m1s, adds) = (1 to 64).map { _ =>
+      an = an * A % MOD; sn = (sn * A + 1) % MOD
+      ((an % (BigInt(1) << 32)).toString, (an >> 32).toString,
+        (C * sn % MOD).toString)
+    }.unzip3
+    val m0 = m0s.mkString("[", ",", "]")
+    val m1 = m1s.mkString("[", ",", "]")
+    val ad = adds.mkString("[", ",", "]")
+    val pow2 = (0 to 63).map(j => (BigInt(1) << j).toString)
+      .mkString("[", ",", "]")
+    val W = "18446744073709551616::HUGEINT"   // 2^64
+    val H = "4294967296::HUGEINT"             // 2^32
+    val mul = s"(($m0)[j+1] * (h % $H) + ((($m1)[j+1] * (h % $H)" +
+      s" + ($m0)[j+1] * (h // $H)) % $H) * $H) % $W"
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+       |m AS (
+       |  SELECT doc_id AS media_id,
+       |    substr(text, 1, least(length(text), 12288)) AS payload
+       |  FROM src),
+       |h0 AS (
+       |  SELECT media_id, list_reduce(
+       |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |      list_transform(range(1, length(payload) + 1),
+       |        i -> CAST(ord(substr(payload, i, 1)) AS HUGEINT))),
+       |    (acc, b) -> (31 * acc + b) % $W) AS h
+       |  FROM m),
+       |v AS (
+       |  SELECT media_id, list_transform(range(0, 64), j ->
+       |    CAST((($mul + ($ad)[j+1]) % $W) // 1099511627776::HUGEINT
+       |      AS DOUBLE) / 8388608.0 - 1.0) AS vs
+       |  FROM h0),
+       |ph AS (
+       |  SELECT media_id, vs,
+       |    list_reduce(vs, (a, b) -> a + b) / 64.0 AS mn FROM v),
+       |hb AS (
+       |  SELECT media_id, list_sum(list_transform(range(0, 64), j ->
+       |    CASE WHEN vs[j+1] > mn THEN ($pow2)[j+1]::HUGEINT
+       |         ELSE 0::HUGEINT END)) AS hu
+       |  FROM ph),
+       |hs AS (
+       |  SELECT media_id, CAST(CASE WHEN hu >= 9223372036854775808
+       |    THEN hu - $W ELSE hu END AS BIGINT) AS h FROM hb),
+       |g AS (SELECT h, MIN(media_id) AS rep FROM hs GROUP BY 1),
+       |ident AS (
+       |  SELECT g.rep AS id_a, hs.media_id AS id_b, 0 AS dist
+       |  FROM hs JOIN g USING (h) WHERE hs.media_id <> g.rep),
+       |near AS (
+       |  SELECT a.rep AS id_a, b.rep AS id_b,
+       |    bit_count(xor(a.h, b.h)) AS dist
+       |  FROM g a JOIN g b ON a.rep < b.rep
+       |  WHERE bit_count(xor(a.h, b.h)) <= 3)
+       |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM
+       | (SELECT * FROM ident UNION ALL SELECT * FROM near)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mm_phash" -> phashOracle,
     "q_hll_stream" -> graft.operators.Sketch.estimateSql(
       "events", "user_id", "event_type", "n_approx"),
 

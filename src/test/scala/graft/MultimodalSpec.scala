@@ -69,4 +69,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.length == 7))
     assert(frames.mkString == "abcdefghijklmnopqrstuvwxyz0123456789".take(35))
   }
+
+  test("phash64 is deterministic and content-sensitive") {
+    val a = Multimodal.phash64("an image payload".getBytes("UTF-8"))
+    val b = Multimodal.phash64("an image payload".getBytes("UTF-8"))
+    val c = Multimodal.phash64("another payload!".getBytes("UTF-8"))
+    assert(a == b && a != c)
+  }
+
+  test("hashPairs: identical collapse is linear, banding finds <=3-bit flips") {
+    import spark.implicits._
+    val base = 0x0123456789ABCDEFL
+    val hashes = Seq(
+      1L -> base, 2L -> base, 3L -> base,      // identical group, rep=1
+      4L -> (base ^ 7L),                       // 3 bits flipped → near
+      5L -> (base ^ 0x8001000100010001L),      // 4 chunks touched → out
+      6L -> 0x7777000011112222L                // unrelated
+    ).toDF("media_id", "h")
+    val got = Multimodal.hashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 3)))
+  }
 }
