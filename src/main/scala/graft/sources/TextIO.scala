@@ -36,6 +36,19 @@ object TextIO {
   def readColumnar(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: union the footer schemas of every file
+    * under `paths` (an ingest table written over months gains columns;
+    * files predating a column yield nulls for it). `mergeSchema` costs
+    * one footer read per file at planning time — fine for an explicit
+    * evolved read, wrong as a default at 100 TB (millions of footers),
+    * which is why [[readColumnar]] keeps the cheap
+    * first-file-schema path and evolution is opt-in here. Pushdown
+    * and pruning survive: a filter on a late-added column prunes
+    * old files entirely (their row groups have no such column —
+    * all-null stats). */
+  def readColumnarEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** ORC columnar sink/source — the second columnar interchange format
     * (Hive/Trino lakes). Same pushdown/pruning contract as parquet:
     * predicate pushdown via ORC SearchArguments, column pruning via the

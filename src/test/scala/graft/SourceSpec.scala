@@ -138,4 +138,24 @@ class SourceSpec extends SparkSpec {
     val after = spark.read.parquet(path).collect().map(_.toSeq).toSet
     assert(after == before)
   }
+
+  test("readColumnarEvolved merges schemas across file generations") {
+    import spark.implicits._
+    val v1 = tmpDir("evo_v1"); val v2 = tmpDir("evo_v2")
+    // generation 1: (id, a); generation 2 adds a quality column
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(v1)
+    Seq((3L, "z", 0.9)).toDF("id", "a", "quality")
+      .write.parquet(v2)
+    val evolved = TextIO.readColumnarEvolved(spark, v1, v2)
+    assert(evolved.columns.toSet == Set("id", "a", "quality"))
+    val rows = evolved.select("id", "quality").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.9)))
+    // a filter on the late column drops every old-generation row
+    assert(evolved.filter(col("quality") > 0.5).count() == 1)
+    // the default single-schema read stays the cheap path (no merge)
+    assert(TextIO.readColumnar(spark, v1).columns.toSet == Set("id", "a"))
+  }
 }
