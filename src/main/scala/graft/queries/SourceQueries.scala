@@ -121,6 +121,61 @@ object SourceQueries {
           max(col("n_name")).as("max_name"))
     }),
 
+    // Day-partitioned lake layout + partition pruning: events written
+    // hive-style (`day=.../`, repartitioned BY day first so each of the
+    // 30 directories is one task's single well-sized file, not
+    // tasks × days small files), then one week read back through a
+    // partition-column predicate — pruned to 7 of 30 directories at
+    // planning time (PartitionFilters, asserted by SourceSpec); the
+    // other 23 days' files are never listed into tasks. The 100 TB
+    // pattern: layout chosen once at write, amortized over every later
+    // query.
+    "q_partition_prune" -> ((s, dir) => {
+      val path = tmp(dir, "bydate")
+      TextIO.writePartitionedColumnar(
+        Tables.load(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+          .repartition(col("day")),
+        path, Seq("day"))
+      TextIO.readColumnar(s, path)
+        .filter(col("day").between(
+          to_date(lit("2024-01-10")), to_date(lit("2024-01-16"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_sum"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"),
+          countDistinct(col("day")).as("n_days"))
+    }),
+
+    // Idempotent single-day backfill: the day-partitioned lake gets one
+    // day re-ingested with corrected values (dynamic partition
+    // overwrite rewrites ONLY `day=2024-01-12/`; the other 29
+    // directories' files are untouched, so the rewrite cost tracks the
+    // day, not the lake), run TWICE to demonstrate convergence — the
+    // oracle replays the correction relationally.
+    "q_backfill" -> ((s, dir) => {
+      val path = tmp(dir, "backfill")
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      TextIO.writePartitionedColumnar(
+        events.repartition(col("day")), path, Seq("day"))
+      val corrected = events
+        .filter(col("day") === to_date(lit("2024-01-12")))
+        .withColumn("value", col("value") * 2)
+        .repartition(col("day"))
+      TextIO.overwritePartitions(corrected, path, Seq("day"))
+      TextIO.overwritePartitions(corrected, path, Seq("day")) // re-run: no-op
+      TextIO.readColumnar(s, path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"),
+          countDistinct(col("day")).as("n_days"))
+    }),
+
     // Semi-structured column parsing: the events.props JSON payload
     // parsed with a DECLARED schema (`from_json`, one parse per row in
     // the scan stage — no inference pass, no UDF), then an integer
@@ -184,6 +239,26 @@ object SourceQueries {
         | CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
         | MAX(n_name) AS max_name
         |FROM nation GROUP BY 1""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        | CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
+        |  AND DATE '2024-01-16'
+        |GROUP BY 1""".stripMargin,
+
+    "q_backfill" ->
+      """SELECT event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-12'
+        |   THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS value_sum,
+        | CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

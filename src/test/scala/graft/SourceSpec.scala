@@ -139,6 +139,37 @@ class SourceSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("partition-column predicate prunes directories at planning time") {
+    import spark.implicits._
+    val path = tmpDir("prune")
+    // 10 days, partitioned hive-style; repartition by day first so each
+    // directory is a single task's file (the write-side discipline the
+    // layout depends on at scale).
+    val df = (1L to 300L).map(i => (i, s"2024-01-${10 + (i % 10).toInt}"))
+      .toDF("id", "d").withColumn("day", to_date(col("d"))).drop("d")
+      .repartition(col("day"))
+    TextIO.writePartitionedColumnar(df, path, Seq("day"))
+    assert(new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("day=")) == 10)
+    val pruned = spark.read.parquet(path)
+      .filter(col("day").between(
+        to_date(lit("2024-01-12")), to_date(lit("2024-01-14"))))
+    // the scan node must carry the predicate as a partition filter …
+    val scanMeta = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scanMeta.contains("PartitionFilters") &&
+      scanMeta.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"no partition filter in scan:\n$scanMeta")
+    // … and only the 3 matching directories' files are read (collect —
+    // not count() — so the action runs THIS QueryExecution and its
+    // scan metrics are the ones populated)
+    assert(pruned.collect().length == 90)
+    val numFiles = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }.sum
+    assert(numFiles == 3, s"expected 3 pruned files read, got $numFiles")
+  }
+
   test("readColumnarEvolved merges schemas across file generations") {
     import spark.implicits._
     val v1 = tmpDir("evo_v1"); val v2 = tmpDir("evo_v2")
