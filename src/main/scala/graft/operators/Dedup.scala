@@ -522,19 +522,28 @@ object Dedup {
     var (labels, labelIds) =
       checkpointTracked(nodes.select(col(id).as("u"), col(id).as("lbl")))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val viaEdge = labels.join(edges, "u")
         .select(col("v").as("u"), col("lbl"))
-      // pointer doubling: u -> lbl(lbl(u))
-      val viaLbl = labels.toDF("u0", "l0")
-        .join(labels.toDF("l0", "l1"), "l0")
-        .select(col("u0").as("u"), col("l1").as("lbl"))
+      // Pointer doubling: u -> lbl(lbl(u)). Round 1 skips it — the
+      // label table is still the identity, so the hop composes to the
+      // identity and the join would be pure overhead. (A deeper
+      // u -> lbl³(u) variant was tried and benched WORSE: the chained
+      // label-table joins serialize two extra shuffles per round, which
+      // costs more than the rounds they save.)
+      val hops =
+        if (round == 1) Nil
+        else Seq(labels.toDF("u0", "l0")
+          .join(labels.toDF("l0", "l1"), "l0")
+          .select(col("u0").as("u"), col("l1").as("lbl")))
       // Carry the previous label through the aggregate: min(lbl) is the
       // new label, and since labels itself feeds the union, max-over-
       // nothing never happens; `old` arrives via a left join that reuses
       // the aggregate's partitioning. One checkpointed job per round.
       val (next, nextIds) = checkpointTracked(
-        labels.union(viaEdge).union(viaLbl)
+        hops.foldLeft(labels.union(viaEdge))(_ union _)
           .groupBy("u").agg(min("lbl").as("lbl"))
           .join(labels.select(col("u"), col("lbl").as("__old")),
             Seq("u"), "left"))
