@@ -175,6 +175,36 @@ object ML {
           .as("intercept"))
   }
 
+  /** Per-group simple linear regression — "many small models in one
+    * pass". Same exact-decimal sufficient statistics as [[olsExact]]
+    * but grouped: each group's entire state is five numbers, folded by
+    * ONE partial-aggregated hash shuffle, so a million groups cost the
+    * same plan as one (no per-group iteration, no per-group task, no
+    * driver loop — the degenerate-but-common "fit a model per segment"
+    * workload that tempts people into collect()-and-loop). Groups with
+    * zero x-variance yield null slope/intercept (0/0), surfaced rather
+    * than masked. Returns (group, n, slope, intercept). */
+  def olsByGroup(df: DataFrame, grp: Column, x: Column,
+                 y: Column): DataFrame = {
+    val xd = x.cast("decimal(18,4)")
+    val yd = y.cast("decimal(18,4)")
+    df.groupBy(grp)
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(xd).cast("double").as("__sx"), sum(yd).cast("double").as("__sy"),
+        sum(xd * xd).cast("double").as("__sxx"),
+        sum(xd * yd).cast("double").as("__sxy"))
+      .withColumn("__den",
+        col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope", when(col("__den") === 0.0, lit(null))
+        .otherwise((col("__n") * col("__sxy") -
+          col("__sx") * col("__sy")) / col("__den")))
+      .withColumn("intercept",
+        col("__sy") / col("__n") - col("slope") * (col("__sx") / col("__n")))
+      .withColumn("n", col("__n").cast("long"))
+      .drop("__n", "__sx", "__sy", "__sxx", "__sxy", "__den")
+  }
+
   /** `NaiveBayes(points, responses, classes)` — Gaussian NB (features
     * may be negative, e.g. embeddings). Returns per-row predictions. */
   def naiveBayes(df: DataFrame, features: String, label: String,

@@ -28,6 +28,21 @@ object MLQueries {
         round(col("intercept"), 6).as("intercept"))
     }),
 
+    // Per-group OLS ("a model per segment" in ONE aggregate pass):
+    // value regressed on hour-of-day per event type. Exact-decimal
+    // sufficient statistics make every group's fit bit-reproducible;
+    // outputs rounded 6 dp for the same cancellation reason as
+    // q_ml_ols.
+    "q_grouped_ols" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ML.olsByGroup(ev, col("event_type"),
+        expr("ts div 3600000000000") % 24, // ns → hour-of-day, exact
+        col("value"))
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+    }),
+
     // Kmeans(points, k, iters) on the embeddings table.
     "q_ml_kmeans" -> ((s, dir) =>
       ML.kmeans(Tables.load(s, dir, "embeddings"), "embedding",
@@ -232,6 +247,24 @@ object MLQueries {
         |SELECT CAST(SUM(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
         |  4.0 * SUM(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END) / 1000000.0 AS pi_est
         |FROM p""".stripMargin,
+
+    "q_grouped_ols" ->
+      """WITH s AS (SELECT event_type,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(h AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(h AS DECIMAL(18,4)) * CAST(h AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(h AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sxy
+        | FROM (SELECT event_type, value,
+        |   (epoch_ns(ts) // 3600000000000) % 24 AS h FROM events)
+        | GROUP BY event_type),
+        |sl AS (SELECT event_type, n, sx, sy,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | ROUND(slope, 6) AS slope,
+        | ROUND(sy / n - slope * (sx / n), 6) AS intercept FROM sl""".stripMargin,
 
     "q_ml_ols" ->
       """WITH s AS (SELECT

@@ -24,6 +24,30 @@ class MLSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 7.0) < 1e-9)
   }
 
+  test("olsByGroup fits each segment independently in one aggregate") {
+    import spark.implicits._
+    // group a: y = 2x + 1; group b: y = -0.5x + 10; group c: constant x
+    // (zero variance → null fit, surfaced not masked)
+    val df = ((1 to 50).map(i => ("a", i.toDouble, 2.0 * i + 1.0)) ++
+      (1 to 50).map(i => ("b", i.toDouble, -0.5 * i + 10.0)) ++
+      (1 to 5).map(_ => ("c", 4.0, 9.0)))
+      .toDF("g", "x", "y")
+    val r = ML.olsByGroup(df, col("g"), col("x"), col("y"))
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(3), Option(row.get(1)).map(_ => row.getDouble(1)),
+          Option(row.get(2)).map(_ => row.getDouble(2)))).toMap
+    assert(r("a")._1 == 50 && math.abs(r("a")._2.get - 2.0) < 1e-9 &&
+      math.abs(r("a")._3.get - 1.0) < 1e-9)
+    assert(math.abs(r("b")._2.get + 0.5) < 1e-9 &&
+      math.abs(r("b")._3.get - 10.0) < 1e-9)
+    assert(r("c")._2.isEmpty && r("c")._3.isEmpty)
+    // one partial/final hash aggregate, no window or per-group sort
+    val plan = ML.olsByGroup(df, col("g"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("Window") &&
+      !plan.toLowerCase.contains("sortaggregate"))
+  }
+
   test("kmeans separates two obvious blobs") {
     import spark.implicits._
     val pts = (1 to 50).map(i => Seq(0.0 + i * 0.001, 0.0)) ++

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{Sessionize, StreamDedup, StreamJoin, WindowAgg}
+import graft.streaming.{Sessionize, StreamDedup, StreamIngest, StreamJoin,
+  WindowAgg}
 
 /** Structured Streaming sessionization: the same operator that passes
   * the batch DuckDB oracle, driven incrementally from a MemoryStream
@@ -440,5 +441,42 @@ class StreamingSpec extends SparkSpec {
       val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
       batch.foreach { case (k, v) => assert(v >= truth(k)) }
     } finally q.stop()
+  }
+
+  test("upsertStream folds CDC micro-batches into a parquet table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val path = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    // seed snapshot
+    Seq((1L, 0L, "a"), (2L, 0L, "b")).toDF("k", "ver", "v")
+      .write.parquet(path)
+    def state() = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val input = MemoryStream[(Long, Long, String)]
+    val q = StreamIngest.upsertStream(
+      input.toDF().toDF("k", "ver", "v"), path, "k", "ver", ckpt)
+    try {
+      // batch 1: update an existing key, insert a new one
+      input.addData((2L, 1L, "B"), (3L, 1L, "c"))
+      q.processAllAvailable()
+      assert(state() == Set((1L, 0L, "a"), (2L, 1L, "B"), (3L, 1L, "c")))
+      // batch 2: two versions of one key in ONE batch — highest wins
+      input.addData((3L, 3L, "C3"), (3L, 2L, "C2"))
+      q.processAllAvailable()
+      assert(state() == Set((1L, 0L, "a"), (2L, 1L, "B"), (3L, 3L, "C3")))
+    } finally q.stop()
+    // a second ingest query over the same table picks up where the
+    // first left off — the table is the durable state, not the query
+    val input2 = MemoryStream[(Long, Long, String)]
+    input2.addData((4L, 1L, "d"))
+    val q2 = StreamIngest.upsertStream(
+      input2.toDF().toDF("k", "ver", "v"), path, "k", "ver", s"$dir/ckpt2")
+    try {
+      q2.processAllAvailable()
+      assert(state() == Set((1L, 0L, "a"), (2L, 1L, "B"), (3L, 3L, "C3"),
+        (4L, 1L, "d")))
+    } finally q2.stop()
   }
 }
