@@ -42,4 +42,36 @@ object Clean {
       .withColumn(s"${value}_was_null", col(value).isNull)
       .drop("quantile")
   }
+
+  /** Winsorize `value` per `grp`: clip to the EXACT rank-selected
+    * [`loPermille`, `hiPermille`] quantiles of the group. Rank-selected
+    * cut points are actual data values (same engine-exactness argument
+    * as [[imputeGroupQuantile]]), so decimal aggregation over the
+    * clipped column hash-matches across engines.
+    *
+    * Scale shape: the cut-point table is one row per group — two
+    * quantile passes, each partial-aggregated, no per-group sort — and
+    * is BROADCAST back, so the clip itself is a codegen'd
+    * `greatest(lo, least(hi, v))` riding the scan stage; the fact
+    * table never shuffles. Output = input columns plus
+    * `<value>_clipped` and boolean flags `<value>_clipped_lo` /
+    * `<value>_clipped_hi`. */
+  def winsorizeByGroup(df: DataFrame, grp: String, value: String,
+                       loPermille: Int = 50,
+                       hiPermille: Int = 950): DataFrame = {
+    require(0 < loPermille && loPermille < hiPermille && hiPermille < 1000,
+      s"need 0 < lo < hi < 1000, got ($loPermille, $hiPermille)")
+    val nn = df.filter(col(value).isNotNull)
+    val lo = Stats.quantileByGroup(nn, grp, col(value), loPermille)
+      .withColumnRenamed("quantile", "__lo")
+    val hi = Stats.quantileByGroup(nn, grp, col(value), hiPermille)
+      .withColumnRenamed("quantile", "__hi")
+    df.join(broadcast(lo), Seq(grp), "left")
+      .join(broadcast(hi), Seq(grp), "left")
+      .withColumn(s"${value}_clipped",
+        greatest(col("__lo"), least(col("__hi"), col(value))))
+      .withColumn(s"${value}_clipped_lo", col(value) < col("__lo"))
+      .withColumn(s"${value}_clipped_hi", col(value) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -378,6 +378,21 @@ object RelationalQueries {
           dsum(col("price_filled")).as("filled_sum"))
     }),
 
+    // Robust preprocessing: winsorize value per event type at the
+    // exact rank-selected [p05, p95], then aggregate the clipped
+    // column. Cut points are one broadcast row per group; the clip is
+    // a codegen'd greatest/least in the scan stage — the fact table
+    // never shuffles for the clip, only for the final aggregate.
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Clean.winsorizeByGroup(
+        Tables.load(s, dir, "events").select("event_type", "value"),
+        "event_type", "value", loPermille = 50, hiPermille = 950)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value_clipped")).as("clipped_sum"),
+          sum(col("value_clipped_lo").cast("long")).as("n_lo"),
+          sum(col("value_clipped_hi").cast("long")).as("n_hi"))),
+
     // Salted join: skew-safe variant, result identical to q_join.
     "q_join_salted" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -603,6 +618,34 @@ object RelationalQueries {
         |  ROW_NUMBER() OVER (PARTITION BY p_brand
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         | FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH c AS (
+        |  SELECT event_type, value AS v, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type
+        |    ORDER BY v) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |lo AS (SELECT event_type, v AS lo FROM w
+        |  WHERE cum - cnt < (50 * n + 999) // 1000
+        |   AND (50 * n + 999) // 1000 <= cum),
+        |hi AS (SELECT event_type, v AS hi FROM w
+        |  WHERE cum - cnt < (950 * n + 999) // 1000
+        |   AND (950 * n + 999) // 1000 <= cum),
+        |cl AS (
+        |  SELECT e.event_type,
+        |   GREATEST(lo.lo, LEAST(hi.hi, e.value)) AS cv,
+        |   e.value < lo.lo AS is_lo, e.value > hi.hi AS is_hi
+        |  FROM events e
+        |  JOIN lo ON e.event_type = lo.event_type
+        |  JOIN hi ON e.event_type = hi.event_type)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(cv AS DECIMAL(18,2))) AS DOUBLE) AS clipped_sum,
+        | CAST(SUM(CASE WHEN is_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        | CAST(SUM(CASE WHEN is_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM cl GROUP BY 1""".stripMargin,
 
     "q_p90" ->
       """WITH c AS (

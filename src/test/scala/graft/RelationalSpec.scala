@@ -236,4 +236,30 @@ class RelationalSpec extends SparkSpec {
     val kept = Clean.dropNulls(df, Seq("g", "v")).count()
     assert(kept == 3L)
   }
+
+  test("winsorizeByGroup clips at exact per-group rank quantiles") {
+    import spark.implicits._
+    import graft.operators.Clean
+    // group a: 1..10 → p200 cut = 2, p800 cut = 8 (ceil-rank selection);
+    // group b: constant, nothing clips
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 5.0))).toDF("g", "v")
+    val out = Clean.winsorizeByGroup(df, "g", "v",
+        loPermille = 200, hiPermille = 800)
+      .select("g", "v", "v_clipped", "v_clipped_lo", "v_clipped_hi")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val a = out.filter(_._1 == "a")
+    assert(a.filter(_._4).map(_._2).toSet == Set(1.0)) // below p20
+    assert(a.filter(_._5).map(_._2).toSet == Set(9.0, 10.0)) // above p80
+    assert(a.map(_._3).toSet == (2 to 8).map(_.toDouble).toSet)
+    assert(out.filter(_._1 == "b").forall(x =>
+      x._3 == 5.0 && !x._4 && !x._5))
+    // the clip is broadcast-joined: no exchange of the fact side beyond
+    // the quantile passes themselves
+    val plan = Clean.winsorizeByGroup(df, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
