@@ -64,4 +64,44 @@ object Profile {
       .withColumn("lo_edge", lit(lo) + col("bin") * lit(w))
       .select(col("bin"), col("lo_edge"), col("n_rows"))
   }
+
+  /** Pearson chi-square test of association between two categorical
+    * columns — "is this quality signal independent of that segment?",
+    * the screening step before trusting a filter to behave uniformly
+    * across languages/domains/time.
+    *
+    * Scale shape: ONE partial-aggregated scan builds the contingency
+    * table; everything after runs on the table itself, whose size is
+    * |A|·|B| cells (categoricals — tiny by assumption), via cell-table
+    * self-aggregates and broadcast joins. Absent cells still contribute
+    * (0−e)²/e = e, so the cell grid is completed by a row-total ×
+    * col-total cross of the SMALL marginal tables, never a scan of the
+    * data. Determinism: observed counts and marginals are exact longs;
+    * each cell's term is a fixed double-op sequence; the term SUM is
+    * staged through DECIMAL(27,18) so it is summation-order-free —
+    * the statistic hash-matches an engine mirror at 6 dp.
+    *
+    * Returns one row: (n, dof, chi2). */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val obs = df.groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = obs.groupBy(col("__a"))
+      .agg(sum(col("__o")).as("__ra"))
+    val colTot = obs.groupBy(col("__b"))
+      .agg(sum(col("__o")).as("__rb"))
+    val grid = rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val e = (col("__ra") * col("__rb")).cast("double") / col("__n")
+    grid
+      .crossJoin(broadcast(obs.agg(sum(col("__o")).cast("double").as("__n"))))
+      .withColumn("__term",
+        ((col("__o").cast("double") - e) * (col("__o").cast("double") - e)
+          / e).cast("decimal(27,18)"))
+      .agg(
+        max(col("__n")).cast("long").as("n"),
+        ((countDistinct(col("__a")) - 1) *
+          (countDistinct(col("__b")) - 1)).as("dof"),
+        round(sum(col("__term")).cast("double"), 6).as("chi2"))
+  }
 }

@@ -19,7 +19,15 @@ object ProfileQueries {
 
     "q_histogram" -> ((s, dir) =>
       Profile.histogram(Tables.load(s, dir, "orders"),
-        col("o_totalprice"), lo = 0.0, hi = 600000.0, bins = 12))
+        col("o_totalprice"), lo = 0.0, hi = 600000.0, bins = 12)),
+
+    // Association screening: is event type independent of time-of-day
+    // quadrant? One contingency-table scan; the statistic's term sum is
+    // decimal-staged (order-free) so both engines agree at 6 dp.
+    "q_chi2" -> ((s, dir) =>
+      Profile.chiSquare(Tables.load(s, dir, "events"),
+        col("event_type"),
+        expr("((ts div 3600000000000) % 24) div 6")))
   )
 
   /** Mirror of the two-scan profile: a stats UNION ALL branch per
@@ -83,6 +91,30 @@ object ProfileQueries {
         |   CAST(FLOOR((o_totalprice - CAST(0.0 AS DOUBLE))
         |     / CAST(50000.0 AS DOUBLE)) AS BIGINT), 0), 11)
         |   AS bin FROM orders)
-        |GROUP BY bin""".stripMargin
+        |GROUP BY bin""".stripMargin,
+
+    "q_chi2" ->
+      """WITH p AS (
+        |  SELECT event_type AS a,
+        |   ((epoch_ns(ts) // 3600000000000) % 24) // 6 AS b FROM events),
+        |obs AS (SELECT a, b, COUNT(*) AS o FROM p GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY 1),
+        |rb AS (SELECT b, SUM(o) AS rb FROM obs GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+        |grid AS (
+        |  SELECT ra.a, rb.b, ra.ra, rb.rb, COALESCE(obs.o, 0) AS o
+        |  FROM ra CROSS JOIN rb
+        |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b),
+        |terms AS (
+        |  SELECT a, b,
+        |   CAST((CAST(o AS DOUBLE) - CAST(ra * rb AS DOUBLE) / nn.n)
+        |     * (CAST(o AS DOUBLE) - CAST(ra * rb AS DOUBLE) / nn.n)
+        |     / (CAST(ra * rb AS DOUBLE) / nn.n) AS DECIMAL(27,18)) AS t
+        |  FROM grid, nn)
+        |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+        | CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+        |   AS dof,
+        | ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2
+        |FROM terms""".stripMargin
   )
 }

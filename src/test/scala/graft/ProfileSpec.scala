@@ -66,4 +66,24 @@ class ProfileSpec extends SparkSpec {
     assert(got(9L) == ((90.0, 3L))) // 99.9, 100 (right edge), 250 (clamp)
     assert(got.values.map(_._2).sum == 8L)
   }
+
+  test("chiSquare: hand-computed 2x2, absent cells contribute e") {
+    import spark.implicits._
+    // 2x2: o = [[10,20],[20,10]]; all e = 15 → chi2 = 4·(25/15) = 20/3
+    val rows = Seq.fill(10)(("x", 0L)) ++ Seq.fill(20)(("x", 1L)) ++
+      Seq.fill(20)(("y", 0L)) ++ Seq.fill(10)(("y", 1L))
+    val r = Profile.chiSquare(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert(r.getLong(0) == 60 && r.getLong(1) == 1)
+    assert(math.abs(r.getDouble(2) - 20.0 / 3.0) < 1e-6)
+    // an absent cell ((y,1) never observed) still contributes e:
+    // o = [[5,5],[10,0]]; row x=10, y=10, col0=15, col1=5, N=20
+    // e = [[7.5,2.5],[7.5,2.5]]; chi2 = 2·(2.5²/7.5) + 2.5²/2.5 + 2.5
+    //    = 25/15 + 25/15 + 2.5 + 2.5 = 20/3
+    val rows2 = Seq.fill(5)(("x", 0L)) ++ Seq.fill(5)(("x", 1L)) ++
+      Seq.fill(10)(("y", 0L))
+    val r2 = Profile.chiSquare(rows2.toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(r2.getLong(0) == 20 && r2.getLong(1) == 1)
+    assert(math.abs(r2.getDouble(2) - 20.0 / 3.0) < 1e-6)
+  }
 }
