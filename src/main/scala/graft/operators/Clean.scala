@@ -62,16 +62,26 @@ object Clean {
     require(0 < loPermille && loPermille < hiPermille && hiPermille < 1000,
       s"need 0 < lo < hi < 1000, got ($loPermille, $hiPermille)")
     val nn = df.filter(col(value).isNotNull)
-    val lo = Stats.quantileByGroup(nn, grp, col(value), loPermille)
-      .withColumnRenamed("quantile", "__lo")
-    val hi = Stats.quantileByGroup(nn, grp, col(value), hiPermille)
-      .withColumnRenamed("quantile", "__hi")
-    df.join(broadcast(lo), Seq(grp), "left")
-      .join(broadcast(hi), Seq(grp), "left")
-      .withColumn(s"${value}_clipped",
-        greatest(col("__lo"), least(col("__hi"), col(value))))
-      .withColumn(s"${value}_clipped_lo", col(value) < col("__lo"))
-      .withColumn(s"${value}_clipped_hi", col(value) > col("__hi"))
+    // both cut points from ONE quantile computation — the fact-table
+    // passes are rank-independent, so [lo, hi] costs the same scans as
+    // a single quantile; the pivot runs on one row per (group, rank)
+    val cuts = Stats
+      .quantilesByGroup(nn, grp, col(value), Seq(loPermille, hiPermille))
+      .groupBy(col(grp))
+      .agg(
+        max(when(col("permille") === loPermille, col("quantile")))
+          .as("__lo"),
+        max(when(col("permille") === hiPermille, col("quantile")))
+          .as("__hi"))
+    df.join(broadcast(cuts), Seq(grp), "left")
+      // greatest/least SKIP nulls, so an unguarded clip would fabricate
+      // the hi cut for a null value — nulls must stay null (flags false)
+      .withColumn(s"${value}_clipped", when(col(value).isNull, lit(null))
+        .otherwise(greatest(col("__lo"), least(col("__hi"), col(value)))))
+      .withColumn(s"${value}_clipped_lo",
+        col(value).isNotNull && col(value) < col("__lo"))
+      .withColumn(s"${value}_clipped_hi",
+        col(value).isNotNull && col(value) > col("__hi"))
       .drop("__lo", "__hi")
   }
 }

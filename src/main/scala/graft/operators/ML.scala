@@ -156,12 +156,13 @@ object ML {
   def olsExact(df: DataFrame, x: Column, y: Column): DataFrame = {
     val xd = x.cast("decimal(18,4)")
     val yd = y.cast("decimal(18,4)")
+    val cc = df.filter(x.isNotNull && y.isNotNull)
     // Exact decimal sufficient statistics, then a fixed double-op
     // sequence — mirrored verbatim in the DuckDB oracle. (Keeping the
     // n·Sxy products in decimal would overflow DuckDB's 38-digit type
     // derivation; casting the exact sums to double first is
     // deterministic on both engines.)
-    df.agg(
+    cc.agg(
       count(lit(1)).cast("double").as("n"),
       sum(xd).cast("double").as("sx"), sum(yd).cast("double").as("sy"),
       sum(xd * xd).cast("double").as("sxx"),
@@ -188,7 +189,9 @@ object ML {
                  y: Column): DataFrame = {
     val xd = x.cast("decimal(18,4)")
     val yd = y.cast("decimal(18,4)")
-    df.groupBy(grp)
+    // Complete cases only: an unfiltered count(*) would disagree with
+    // the null-skipping sums and silently bias every group's fit.
+    df.filter(x.isNotNull && y.isNotNull).groupBy(grp)
       .agg(
         count(lit(1)).cast("double").as("__n"),
         sum(xd).cast("double").as("__sx"), sum(yd).cast("double").as("__sy"),

@@ -78,12 +78,19 @@ object Profile {
     * col-total cross of the SMALL marginal tables, never a scan of the
     * data. Determinism: observed counts and marginals are exact longs;
     * each cell's term is a fixed double-op sequence; the term SUM is
-    * staged through DECIMAL(27,18) so it is summation-order-free —
+    * staged through DECIMAL(38,18) so it is summation-order-free —
     * the statistic hash-matches an engine mirror at 6 dp.
     *
     * Returns one row: (n, dof, chi2). */
   def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val obs = df.groupBy(a.as("__a"), b.as("__b"))
+    // Complete-case analysis: null categories are EXCLUDED up front.
+    // (Left in, they would corrupt the statistic silently: the grid's
+    // equi-join can never match a null key, so a null category's
+    // observed counts become 0 while its marginals still inflate every
+    // expected count.) Callers who want null as a level should
+    // coalesce it to a sentinel value first.
+    val obs = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
       .agg(count(lit(1)).as("__o"))
     val rowTot = obs.groupBy(col("__a"))
       .agg(sum(col("__o")).as("__ra"))
@@ -95,9 +102,13 @@ object Profile {
     val e = (col("__ra") * col("__rb")).cast("double") / col("__n")
     grid
       .crossJoin(broadcast(obs.agg(sum(col("__o")).cast("double").as("__n"))))
+      // DECIMAL(38,18), not (27,18): a single term can reach ~N (a
+      // strongly associated pair over billions of rows), and 9 integer
+      // digits would overflow the cast to null — silently DROPPED from
+      // the sum. 20 integer digits put overflow beyond any real corpus.
       .withColumn("__term",
         ((col("__o").cast("double") - e) * (col("__o").cast("double") - e)
-          / e).cast("decimal(27,18)"))
+          / e).cast("decimal(38,18)"))
       .agg(
         max(col("__n")).cast("long").as("n"),
         ((countDistinct(col("__a")) - 1) *

@@ -320,13 +320,37 @@ object Stats {
     * Every window in the plan runs over aggregated histograms, never raw
     * rows (asserted in PlanQualitySpec). */
   def quantileByGroup(df: DataFrame, grp: String, value: Column,
-                      permille: Int, buckets: Int = 4096): DataFrame = {
-    require(permille > 0 && permille <= 1000, "permille in (0, 1000]")
+                      permille: Int, buckets: Int = 4096): DataFrame =
+    quantilesByGroup(df, grp, value, Seq(permille), buckets)
+      .select(col(grp), col("quantile"))
+
+  /** Several exact per-group quantiles in ONE set of passes — the
+    * fact-table work (stats aggregate, bucket-count aggregate, winning-
+    * bucket selection) is identical for every requested rank, so
+    * asking for [p05, p95] (winsorize) or a whole ladder costs the
+    * same scans as one quantile; only the tiny per-(group, bucket)
+    * histogram is crossed with the rank list. Output
+    * (grp, permille, quantile) — same type-1 rank convention as
+    * [[quantileByGroup]]. */
+  def quantilesByGroup(df: DataFrame, grp: String, value: Column,
+                       permilles: Seq[Int],
+                       buckets: Int = 4096): DataFrame = {
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p > 0 && p <= 1000),
+      "permilles in (0, 1000]")
+    require(permilles.distinct.size == permilles.size,
+      "duplicate permilles")
     val base = df.select(col(grp), value.as("__v"))
     val stats = base.groupBy(col(grp)).agg(
       min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
       count(lit(1)).as("__n"))
-      .withColumn("__k", expr(s"($permille * __n + 999) DIV 1000"))
+    // one (group, permille, target-rank) row per requested rank —
+    // |groups|·|permilles| rows, the only place the rank list appears
+    val ranks = stats
+      .withColumn("permille",
+        explode(array(permilles.map(lit(_)): _*)))
+      .select(col(grp), col("permille"),
+        expr("(permille * __n + 999) DIV 1000").as("__k"))
     val bidx = when(col("__hi") <= col("__lo"), lit(0)).otherwise(
       least(greatest(
         floor((col("__v") - col("__lo")).cast("double") /
@@ -336,21 +360,24 @@ object Stats {
       .withColumn("__b", bidx)
     val bw = Window.partitionBy(col(grp)).orderBy(col("__b"))
     val winners = bucketed.groupBy(col(grp), col("__b"))
-      .agg(count(lit(1)).as("__c"), first(col("__k")).as("__k"))
+      .agg(count(lit(1)).as("__c"))
       .withColumn("__before", sum(col("__c")).over(bw) - col("__c"))
+      .join(ranks, grp) // histogram × rank list: both tiny
       .filter(col("__before") < col("__k") &&
         col("__k") <= col("__before") + col("__c"))
-      .select(col(grp), col("__b").as("__wb"),
+      .select(col(grp), col("permille"), col("__b").as("__wb"),
         (col("__k") - col("__before")).as("__lk"))
-    val vw = Window.partitionBy(col(grp)).orderBy(col("__v"))
+    val vw = Window.partitionBy(col(grp), col("permille"))
+      .orderBy(col("__v"))
     bucketed.join(sparkBroadcast(winners), grp)
       .filter(col("__b") === col("__wb"))
-      .groupBy(col(grp), col("__v"))
+      .groupBy(col(grp), col("permille"), col("__v"))
       .agg(count(lit(1)).as("__c"), first(col("__lk")).as("__lk"))
       .withColumn("__cum", sum(col("__c")).over(vw))
       .filter(col("__cum") - col("__c") < col("__lk") &&
         col("__lk") <= col("__cum"))
-      .select(col(grp), col("__v").cast("double").as("quantile"))
+      .select(col(grp), col("permille"),
+        col("__v").cast("double").as("quantile"))
   }
 
   /** (grp, value, cnt, cum, n) — the per-group cumulative value

@@ -64,8 +64,46 @@ object Snapshot {
       .join(updates.select(col(key)), Seq(key), "left_anti")
       .select(cols.map(col): _*)
       .unionByName(updates.select(cols.map(col): _*))
+    atomicRewrite(spark, path, merged)
+  }
+
+  /** Version-aware MERGE: like [[mergeUpsert]], but an update only
+    * replaces a same-key row when its `version` is HIGHER — a late or
+    * replayed lower-version update is a no-op, so out-of-order
+    * delivery still converges to highest-version-wins (the guard
+    * [[mergeUpsert]] deliberately lacks: it implements last-writer-
+    * wins for callers who already ordered their batches). Updates win
+    * version ties, which under the (key, version)-unique CDC contract
+    * can only be an identical-row replay — keeping re-application
+    * idempotent. One aggregate over target ∪ updates; same atomic
+    * rewrite contract as [[mergeUpsert]]. */
+  def mergeVersioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                     updates: DataFrame, key: String,
+                     version: String): Unit = {
+    val target = spark.read.parquet(path)
+    require(target.columns.sorted.sameElements(updates.columns.sorted),
+      s"mergeVersioned schema mismatch: ${target.columns.mkString(",")} vs " +
+        updates.columns.mkString(","))
+    val cols = target.columns.toSeq
+    val payload = cols.filterNot(_ == key)
+    val merged = latestByKey(
+      target.withColumn("__src", lit(0))
+        .unionByName(updates.select(cols.map(col): _*)
+          .withColumn("__src", lit(1))),
+      col(key), col(version), col("__src"), payload)
+      .withColumnRenamed("key", key)
+      .select(cols.map(col): _*)
+    atomicRewrite(spark, path, merged)
+  }
+
+  /** Rewrite the parquet table at `path` to `df` through a temp
+    * directory and two renames — readers see the old or the new table,
+    * never a mix; a crash between the renames leaves the old state
+    * recoverable under `.__merge_old`. */
+  private def atomicRewrite(spark: org.apache.spark.sql.SparkSession,
+                            path: String, df: DataFrame): Unit = {
     val tmp = path.stripSuffix("/") + ".__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)

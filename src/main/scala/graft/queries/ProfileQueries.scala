@@ -109,7 +109,7 @@ object ProfileQueries {
         |  SELECT a, b,
         |   CAST((CAST(o AS DOUBLE) - CAST(ra * rb AS DOUBLE) / nn.n)
         |     * (CAST(o AS DOUBLE) - CAST(ra * rb AS DOUBLE) / nn.n)
-        |     / (CAST(ra * rb AS DOUBLE) / nn.n) AS DECIMAL(27,18)) AS t
+        |     / (CAST(ra * rb AS DOUBLE) / nn.n) AS DECIMAL(38,18)) AS t
         |  FROM grid, nn)
         |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
         | CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)

@@ -12,13 +12,16 @@ import graft.operators.Snapshot
   * [[Snapshot.mergeUpsert]]), so downstream readers always see a plain
   * scannable table, never a change log they must replay.
   *
-  * Within a micro-batch, multiple updates to one key collapse to the
-  * highest `version` BEFORE the merge ([[Snapshot.latestByKey]]) —
-  * (key, version) pairs are assumed unique, the usual CDC contract.
-  * Batch replays converge: the merge is idempotent for identical
-  * inputs, so foreachBatch's at-least-once delivery yields an
-  * exactly-once TABLE STATE (per-batch dedup, not per-row dedup — a
-  * re-run batch rewrites the same rows to the same values).
+  * Disorder is handled at BOTH granularities — (key, version) pairs
+  * are assumed unique, the usual CDC contract. Within a micro-batch,
+  * multiple updates to one key collapse to the highest `version`
+  * before the merge ([[Snapshot.latestByKey]]); across batches, the
+  * merge itself is version-aware ([[Snapshot.mergeVersioned]]), so a
+  * stale update arriving a batch late loses to the newer row already
+  * in the table. Batch replays converge: the merge is idempotent for
+  * identical inputs, so foreachBatch's at-least-once delivery yields
+  * an exactly-once TABLE STATE (per-batch dedup, not per-row dedup —
+  * a re-run batch rewrites the same rows to the same values).
   *
   * Scale: the COW merge is a full-table rewrite per batch — the floor
   * for an unpartitioned parquet target. At 100 TB the target is
@@ -49,7 +52,11 @@ object StreamIngest {
             .latestByKey(batch, col(key), col(version), col(version),
               payload)
             .withColumnRenamed("key", key)
-          Snapshot.mergeUpsert(batch.sparkSession, path, latest, key)
+          // Version-aware merge, not plain upsert: micro-batch BOUNDARIES
+          // don't respect event order, so a stale update arriving a
+          // batch late must lose to the newer row already in the table.
+          Snapshot.mergeVersioned(batch.sparkSession, path, latest, key,
+            version)
         }
       }
       .start()

@@ -41,6 +41,16 @@ class MLSpec extends SparkSpec {
     assert(math.abs(r("b")._2.get + 0.5) < 1e-9 &&
       math.abs(r("b")._3.get - 10.0) < 1e-9)
     assert(r("c")._2.isEmpty && r("c")._3.isEmpty)
+    // null x or y drops the ROW (complete cases): n must agree with the
+    // sums, or the fit is silently biased
+    val withNulls = ((1 to 50).map(i =>
+      ("a", Some(i.toDouble), Some(2.0 * i + 1.0))) ++
+      (1 to 50).map(i => ("a", Some(i.toDouble), None: Option[Double])))
+      .toDF("g", "x", "y")
+    val rn = ML.olsByGroup(withNulls, col("g"), col("x"), col("y")).head()
+    assert(rn.getLong(3) == 50 &&
+      math.abs(rn.getDouble(1) - 2.0) < 1e-9 &&
+      math.abs(rn.getDouble(2) - 1.0) < 1e-9)
     // one partial/final hash aggregate, no window or per-group sort
     val plan = ML.olsByGroup(df, col("g"), col("x"), col("y"))
       .queryExecution.executedPlan.toString

@@ -77,13 +77,20 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 20.0 / 3.0) < 1e-6)
     // an absent cell ((y,1) never observed) still contributes e:
     // o = [[5,5],[10,0]]; row x=10, y=10, col0=15, col1=5, N=20
-    // e = [[7.5,2.5],[7.5,2.5]]; chi2 = 2·(2.5²/7.5) + 2.5²/2.5 + 2.5
-    //    = 25/15 + 25/15 + 2.5 + 2.5 = 20/3
+    // e = [[7.5,2.5],[7.5,2.5]]
+    // chi2 = 2·(2.5²/7.5) + 2·(2.5²/2.5) = 5/6 + 5/6 + 2.5 + 2.5 = 20/3
     val rows2 = Seq.fill(5)(("x", 0L)) ++ Seq.fill(5)(("x", 1L)) ++
       Seq.fill(10)(("y", 0L))
     val r2 = Profile.chiSquare(rows2.toDF("a", "b"), col("a"), col("b"))
       .head()
     assert(r2.getLong(0) == 20 && r2.getLong(1) == 1)
     assert(math.abs(r2.getDouble(2) - 20.0 / 3.0) < 1e-6)
+    // null categories are excluded (complete-case), not silently
+    // corrupted through the unmatched-null-key grid join
+    val withNulls = rows ++ Seq.fill(30)((null: String, 1L))
+    val r3 = Profile.chiSquare(withNulls.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(r3.getLong(0) == 60 && r3.getLong(1) == 1)
+    assert(math.abs(r3.getDouble(2) - 20.0 / 3.0) < 1e-6)
   }
 }

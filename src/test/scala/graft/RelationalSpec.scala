@@ -256,6 +256,15 @@ class RelationalSpec extends SparkSpec {
     assert(a.map(_._3).toSet == (2 to 8).map(_.toDouble).toSet)
     assert(out.filter(_._1 == "b").forall(x =>
       x._3 == 5.0 && !x._4 && !x._5))
+    // a null value stays null (greatest/least skip nulls — unguarded,
+    // the clip would fabricate the hi cut), flags false
+    val nullRows = ((1 to 10).map(i => ("a", Some(i.toDouble))) :+
+      ("a", None: Option[Double])).toDF("g", "v")
+    val withNull = Clean.winsorizeByGroup(nullRows, "g", "v", 200, 800)
+      .filter(col("v").isNull)
+      .select("v_clipped", "v_clipped_lo", "v_clipped_hi").collect()
+    assert(withNull.length == 1 && withNull.head.isNullAt(0) &&
+      !withNull.head.getBoolean(1) && !withNull.head.getBoolean(2))
     // the clip is broadcast-joined: no exchange of the fact side beyond
     // the quantile passes themselves
     val plan = Clean.winsorizeByGroup(df, "g", "v")

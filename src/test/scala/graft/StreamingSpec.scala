@@ -466,6 +466,11 @@ class StreamingSpec extends SparkSpec {
       input.addData((3L, 3L, "C3"), (3L, 2L, "C2"))
       q.processAllAvailable()
       assert(state() == Set((1L, 0L, "a"), (2L, 1L, "B"), (3L, 3L, "C3")))
+      // batch 3: a STALE update (ver below the table's) arriving a
+      // batch late must lose — batch boundaries don't respect order
+      input.addData((3L, 1L, "stale"))
+      q.processAllAvailable()
+      assert(state() == Set((1L, 0L, "a"), (2L, 1L, "B"), (3L, 3L, "C3")))
     } finally q.stop()
     // a second ingest query over the same table picks up where the
     // first left off — the table is the durable state, not the query
