@@ -378,6 +378,16 @@ object RelationalQueries {
           dsum(col("price_filled")).as("filled_sum"))
     }),
 
+    // Quantile ladder: four exact per-group ranks from ONE set of
+    // fact-table passes (stats, bucket counts, winning-bucket
+    // selection are rank-independent; only the tiny per-group
+    // histogram is crossed with the rank list).
+    "q_quantiles" -> ((s, dir) =>
+      graft.operators.Stats.quantilesByGroup(
+        Tables.load(s, dir, "orders"), "o_orderpriority",
+        d(col("o_totalprice")), Seq(250, 500, 750, 900))
+        .select(col("o_orderpriority"), col("permille"), col("quantile"))),
+
     // Robust preprocessing: winsorize value per event type at the
     // exact rank-selected [p05, p95], then aggregate the clipped
     // column. Cut points are one broadcast row per group; the clip is
@@ -618,6 +628,22 @@ object RelationalQueries {
         |  ROW_NUMBER() OVER (PARTITION BY p_brand
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         | FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_quantiles" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |   COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY v) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c),
+        |p(permille) AS (VALUES (250), (500), (750), (900))
+        |SELECT o_orderpriority, permille, CAST(v AS DOUBLE) AS quantile
+        |FROM w CROSS JOIN p
+        |WHERE cum - cnt < (permille * n + 999) // 1000
+        |  AND (permille * n + 999) // 1000 <= cum""".stripMargin,
 
     "q_winsorize" ->
       """WITH c AS (
