@@ -116,6 +116,45 @@ object Graph {
        |SELECT node, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  /** DuckDB mirror of [[connectedComponents]]: `rounds` unrolled
+    * CTEs of min-label propagation WITH pointer doubling — each round
+    * takes min over (own label, in-neighbors' labels, label-of-label),
+    * exactly the Spark loop's recurrence, so labels reach the
+    * component minimum in ~log(diameter) rounds (the Spark loop, which
+    * runs to an observed fixpoint, needed 12 on the sf0.1 percolation
+    * graph; 32 is a wide margin, and an under-converged oracle fails
+    * the differential LOUDLY as a mismatch, never silently). A naive
+    * `WITH RECURSIVE reach` mirror is exact too but materializes the
+    * full TRANSITIVE CLOSURE (Σ component² rows — 10⁸+ at sf0.1),
+    * which is why this bounded form exists. `edgesSql` must yield
+    * directed (src, dst) covering both directions. */
+  def componentsSql(edgesSql: String, rounds: Int = 32): String = {
+    // Every CTE is AS MATERIALIZED: each round is referenced three
+    // times (next round's base, neighbor-min, label-of-label) and an
+    // inlining planner would otherwise expand the chain 3^rounds-fold
+    // (observed as "too many open files" from the exploded scans).
+    val iterCtes = (1 to rounds).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         | SELECT n.node, LEAST(n.lbl, COALESCE(nb.ml, n.lbl),
+         |   COALESCE(ll.lbl, n.lbl)) AS lbl
+         | FROM $p n
+         | LEFT JOIN (
+         |  SELECT e.dst AS node, MIN(r.lbl) AS ml
+         |  FROM edges e JOIN $p r ON e.src = r.node
+         |  GROUP BY 1) nb ON nb.node = n.node
+         | LEFT JOIN $p ll ON ll.node = n.lbl)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM edges
+       |   UNION ALL SELECT dst FROM edges)),
+       |r0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+       |$iterCtes
+       |SELECT node, lbl AS component FROM r$rounds""".stripMargin
+  }
+
   /** Weakly connected components of the undirected graph in `edges`
     * (direction ignored): every node labeled with its component's
     * minimum node id. First-class form of the label propagation

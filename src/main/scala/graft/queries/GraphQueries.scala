@@ -74,19 +74,18 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> Graph.pageRankSql(edgesSql, Iters),
 
-    "q_components" ->
-      """WITH RECURSIVE e0 AS (
-        | SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
-        | FROM lineitem WHERE l_quantity > 48),
-        |edges AS (SELECT a AS u, b AS v FROM e0
-        |          UNION ALL SELECT b, a FROM e0),
-        |nodes AS (SELECT DISTINCT u AS node FROM edges),
-        |reach(u, lbl) AS (
-        | SELECT node, node FROM nodes
-        | UNION
-        | SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u)
-        |SELECT u AS node, MIN(lbl) AS component
-        |FROM reach GROUP BY u""".stripMargin,
+    // Bounded pointer-doubled min-label rounds, NOT a recursive
+    // reachability CTE: the closure form is exact but materializes
+    // Σ component² rows (hours of DuckDB at sf0.1); this mirror runs
+    // the Spark loop's own recurrence 32 rounds.
+    "q_components" -> Graph.componentsSql(
+      """SELECT a AS src, b AS dst FROM
+        | (SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+        |  FROM lineitem WHERE l_quantity > 48)
+        |UNION ALL
+        |SELECT b AS src, a AS dst FROM
+        | (SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+        |  FROM lineitem WHERE l_quantity > 48)""".stripMargin),
 
     // Mirror of Graph.triangleCount on the co-purchase projection:
     // same (degree, id) orientation, wedge join, closure semi-join.
