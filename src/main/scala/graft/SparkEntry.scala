@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.{BasketQueries, CorpusQueries, DedupQueries,
-  GraphQueries, LayoutQueries, LinalgQueries, MLQueries,
+  EncodeQueries, GraphQueries, LayoutQueries, LinalgQueries, MLQueries,
   ProfileQueries, RelationalQueries, SampleQueries, SearchQueries,
   SeriesQueries, SimilarityQueries, SketchQueries, SourceQueries,
   StreamTextQueries, TextQueries}
@@ -29,7 +29,7 @@ object SparkEntry {
       LinalgQueries.queries ++ SearchQueries.queries ++
       CorpusQueries.queries ++ SketchQueries.queries ++
       LayoutQueries.queries ++ GraphQueries.queries ++
-      ProfileQueries.queries
+      ProfileQueries.queries ++ EncodeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +42,5 @@ object SparkEntry {
       LinalgQueries.oracles ++ SearchQueries.oracles ++
       CorpusQueries.oracles ++ SketchQueries.oracles ++
       LayoutQueries.oracles ++ GraphQueries.oracles ++
-      ProfileQueries.oracles
+      ProfileQueries.oracles ++ EncodeQueries.oracles
 }

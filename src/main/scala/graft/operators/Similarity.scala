@@ -320,4 +320,125 @@ object Similarity {
                      id: String, vec: String, nCells: Int = 16): IvfIndex =
     indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",
       _ => buildIvfIndex(corpus, id, vec, nCells))
+
+  /** A built product-quantization (PQ) index: every corpus vector is
+    * stored as `m` sub-codebook indices (bytes, carried as ints) — the
+    * 100 TB ANN memory lever beyond int8: an m=8 code is 8 bytes where
+    * the float32 vector was 256, a 32× cut of the resident corpus.
+    *
+    * `codes` is (neighbor_id, codes array&lt;int&gt; of length m);
+    * `codebooks(j)(c)` is the `ds`-dim centroid `c` of subspace `j`
+    * (m·ksub·ds doubles — KiB-scale, broadcastable regardless of corpus
+    * size). Both pieces are plain DataFrames/arrays: write `codes` to
+    * storage once, rebuild never. Call [[release]] when done. */
+  final case class PqIndex(codes: DataFrame,
+                           codebooks: Array[Array[Array[Double]]],
+                           m: Int, ksub: Int, ds: Int) {
+    def release(): Unit = codes.unpersist(false)
+  }
+
+  /** Train a PQ index: the vector is split into `m` contiguous `ds`-dim
+    * subspaces; each subspace gets its own `ksub`-cell codebook from
+    * the engine-native deterministic [[graft.operators.ML.kmeansLloyd]]
+    * (exact-decimal updates ⇒ the whole build is bit-reproducible and
+    * DuckDB-oracle-checkable), then ONE narrow codegen'd pass encodes
+    * every corpus row as its m nearest-subcentroid positions.
+    * kmeansLloyd keeps empty cells dense (0..ksub-1), so a code IS the
+    * cluster id — no position remapping. Build cost: m small Lloyd runs
+    * (each a few scans of one ds-dim slice) + one encode scan, paid
+    * once per corpus. */
+  def buildPqIndex(corpus: DataFrame, id: String, vec: String,
+                   m: Int = 8, ksub: Int = 16, iters: Int = 5): PqIndex = {
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val dim = corpus.select(size(col(vec)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
+    val base = corpus
+      .select(col(id), col(vec).cast("array<double>").as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+      val sub = base.select(col(id),
+        slice(col("__x"), j * ds + 1, ds).as("__sub"))
+      val km = graft.operators.ML
+        .kmeansLloyd(sub, "__sub", id, k = ksub, iters = iters)
+      val cb = km.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+        .sortBy(_._1).map(_._2)
+      km.unpersist(false)
+      cb
+    }
+    val codeCols = (0 until m).map { j =>
+      graft.functions.VectorFunctions.nearestCell(
+        slice(col("__x"), j * ds + 1, ds), codebooks(j))
+    }
+    val codes = base
+      .select(col(id).as("neighbor_id"), array(codeCols: _*).as("codes"))
+      .repartition(par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    base.unpersist(false)
+    PqIndex(codes, codebooks, m, ksub, ds)
+  }
+
+  /** Probe a built [[PqIndex]]: asymmetric-distance (ADC) scan + exact
+    * re-rank.
+    *
+    * Each query precomputes its LUT — dot(query subvector, subcentroid)
+    * for all m·ksub cells, a narrow projection against the broadcast
+    * codebook literal — and the corpus scan scores a code with m table
+    * lookups instead of `dim` multiplies, touching only the m-byte
+    * codes, never the vectors. The top `k·refine` ADC candidates per
+    * query (bounded-heap partial aggregate, same shuffle contract as
+    * [[bruteForceTopK]]) are then re-scored with exact cosine against
+    * `corpus` — only `queries·k·refine` vector reads — and cut to k.
+    * Output shape matches [[bruteForceTopK]]; every stage is a fixed
+    * IEEE op sequence, so the approximate result itself is
+    * deterministic and oracle-checkable. */
+  def probePq(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+              id: String, vec: String, k: Int, refine: Int = 4): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val cbLit = typedlit(index.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val lut = flatten(transform(sequence(lit(0), lit(index.m - 1)),
+      j => transform(element_at(cbLit, j + 1),
+        c => dot(slice(col("qv"), j * lit(index.ds) + lit(1),
+          lit(index.ds)), c))))
+    val q = broadcast(queries
+      .select(col(id).as("query_id"),
+        col(vec).cast("array<double>").as("qv"))
+      .withColumn("lut", lut)
+      .select(col("query_id"), col("lut")))
+    val adc = index.codes
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
+            (c, j) => element_at(col("lut"),
+              j * lit(index.ksub) + c + lit(1))),
+          lit(0.0), (acc, x) => acc + x).as("cos"))
+    val cand = topKByGroup(adc, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(id).as("query_id"),
+      col(vec).as("qv2")))
+    val exact = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosine(col("qv2"), col("cv")).as("cos"))
+    topKByGroup(exact, k)
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
+
+  /** Process-level PQ index cache (build once, probe many — every
+    * timed bench rep pays encode-scan + re-rank cost only). */
+  def cachedPqIndex(corpus: => DataFrame, cacheKey: String,
+                    id: String, vec: String, m: Int = 8,
+                    ksub: Int = 16): PqIndex =
+    pqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$m|$ksub",
+      _ => buildPqIndex(corpus, id, vec, m, ksub))
 }

@@ -128,37 +128,39 @@ object MLQueries {
     * `a1..a$iters`/`c1..c$iters`, and the final full-corpus assignment
     * `a${iters+1}` under `c$iters`. Shared by the k-means oracle and
     * the IVF oracle (whose index build IS this k-means). */
-  private[queries] def kmeansCtePrefix(k: Int, iters: Int, dim: Int): String = {
+  private[queries] def kmeansCtePrefix(k: Int, iters: Int, dim: Int,
+                                       prefix: String = "",
+                                       xExpr: String = "embedding"): String = {
     def dist(x: String, c: String) =
       s"""list_reduce(list_transform(list_zip($x, $c),
          | p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
          |    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
          | (a, b) -> a + b)""".stripMargin
     def assign(i: Int) =
-      s"""a$i AS (
+      s"""${prefix}a$i AS (
          | SELECT vec_id, x, cell FROM (
          |  SELECT p.vec_id, p.x, c.cell,
          |   ROW_NUMBER() OVER (PARTITION BY p.vec_id
          |     ORDER BY ${dist("p.x", "c.c")} ASC, c.cell ASC) AS rnk
-         |  FROM pts p, c${i - 1} c) t
+         |  FROM ${prefix}pts p, ${prefix}c${i - 1} c) t
          | WHERE rnk = 1)""".stripMargin
     def update(i: Int) =
-      s"""c$i AS (
+      s"""${prefix}c$i AS (
          | SELECT cell, list(m ORDER BY dim) AS c FROM (
          |  SELECT cell, dim,
          |   CAST(SUM(CAST(CAST(list_extract(x, dim) AS DOUBLE)
          |     AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM a$i, range(1, ${dim + 1}) r(dim)
+         |  FROM ${prefix}a$i, range(1, ${dim + 1}) r(dim)
          |  GROUP BY cell, dim) t
          | GROUP BY cell
          | UNION ALL
-         | SELECT cell, c FROM c${i - 1}
-         | WHERE cell NOT IN (SELECT cell FROM a$i))""".stripMargin
+         | SELECT cell, c FROM ${prefix}c${i - 1}
+         | WHERE cell NOT IN (SELECT cell FROM ${prefix}a$i))""".stripMargin
     val steps = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
-    s"""pts AS (SELECT vec_id, embedding AS x FROM embeddings),
-       |c0 AS (
+    s"""${prefix}pts AS (SELECT vec_id, $xExpr AS x FROM embeddings),
+       |${prefix}c0 AS (
        | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+       |  list_transform($xExpr, v -> CAST(v AS DOUBLE)) AS c
        | FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k) t),
        |${steps.mkString(",\n")},
        |${assign(iters + 1)}""".stripMargin

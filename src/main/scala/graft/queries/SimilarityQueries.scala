@@ -78,6 +78,22 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10)
     }),
 
+    // Product quantization (IVF-PQ's compression half): 8 subspace
+    // codebooks of 16 cells (32× corpus memory cut vs float32), ADC
+    // scan over the 8-byte codes, exact re-rank of the top-40
+    // candidates to k=10. Build/probe split via the process cache,
+    // like q_ann_ivf. Approximate vs the true top-k (recall floor in
+    // SimilaritySpec) but fully deterministic — the oracle replays the
+    // 8 per-subspace k-means chains, the code assignment, the
+    // left-associated ADC term sum, and the re-rank bit-for-bit.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.cachedPqIndex(e, cacheKey = dir,
+        "vec_id", "embedding", m = 8, ksub = 16)
+      Similarity.probePq(idx, e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 10, refine = 4)
+    }),
+
     // Semantic dedup (SemDeDup): k-means cells as the blocking key,
     // within-cell cosine ≥ 0.30 against any smaller id ⇒ duplicate.
     // Shares the cached IVF index with q_ann_ivf / q_ann_knn — the
@@ -99,7 +115,75 @@ object SimilarityQueries {
     s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
   }
 
+  /** Plain dot product with the per-element double cast — the SQL
+    * mirror of the ADC LUT entry / term sum building block. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+       | (acc, v) -> acc + v)""".stripMargin
+
+  /** DuckDB replay of q_ann_pq: 8 per-subspace k-means chains (the
+    * proven kmeansCtePrefix pattern, prefixed s0_..s7_ over
+    * list_slice'd subvectors), neighbor codes = the final assignments
+    * joined to their subcentroids, ADC = the left-associated sum of 8
+    * subspace dots (the exact op order of the Spark LUT fold), top-40
+    * candidate cut, exact-cosine re-rank to k=10. */
+  private def pqOracle(m: Int, ksub: Int, ds: Int, iters: Int,
+                       kCand: Int, k: Int): String = {
+    // AS MATERIALIZED: with 8 parallel 13-CTE k-means chains DuckDB's
+    // small-cardinality inlining heuristic re-expands shared CTEs
+    // exponentially (hangs/OOMs at sf0.001); materialization pins each
+    // CTE to one evaluation.
+    val chains = (0 until m).map { j =>
+      MLQueries.kmeansCtePrefix(ksub, iters, ds, prefix = s"s${j}_",
+        xExpr = s"list_slice(embedding, ${j * ds + 1}, ${(j + 1) * ds})")
+        .replace(" AS (", " AS MATERIALIZED (")
+    }.mkString(",\n")
+    val nbrJoins = (0 until m).map { j =>
+      val a = s"s${j}_a${iters + 1}"
+      val c = s"s${j}_c$iters"
+      val link = if (j == 0) s"$a a$j"
+      else s"JOIN $a a$j ON a$j.vec_id = a0.vec_id"
+      s"$link JOIN $c b$j ON b$j.cell = a$j.cell"
+    }.mkString("\n  ")
+    val rCols = (0 until m).map(j => s"b$j.c AS r$j").mkString(", ")
+    val terms = (0 until m).map { j =>
+      dotSql(s"list_slice(q.qv, ${j * ds + 1}, ${(j + 1) * ds})", s"n.r$j")
+    }.mkString("\n  + ")
+    s"""WITH $chains,
+       |nbr AS (
+       | SELECT a0.vec_id AS neighbor_id, $rCols
+       | FROM $nbrJoins),
+       |q AS (SELECT vec_id AS query_id,
+       |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 16),
+       |adc AS (
+       | SELECT q.query_id, n.neighbor_id,
+       |  $terms AS adc
+       | FROM nbr n CROSS JOIN q
+       | WHERE n.neighbor_id <> q.query_id),
+       |cand AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc DESC, neighbor_id ASC) AS rnk
+       |  FROM adc) t WHERE rnk <= $kCand),
+       |s AS (
+       | SELECT c.query_id, c.neighbor_id,
+       |  ${cosSql("q2.embedding", "e.embedding")} AS cos
+       | FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings q2 ON q2.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       | SELECT query_id, neighbor_id, cos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       | FROM s) WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" ->
+      pqOracle(m = 8, ksub = 16, ds = 8, iters = 5, kCand = 40, k = 10),
+
     "q_quantize" ->
       """WITH pts AS (
         | SELECT vec_id,

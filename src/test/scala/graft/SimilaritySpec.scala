@@ -40,6 +40,55 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size == exact.size)
   }
 
+  test("PQ probe achieves high recall vs brute force on fixture embeddings") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.buildPqIndex(e, "vec_id", "embedding",
+      m = 8, ksub = 8)
+    val approx = Similarity.probePq(idx, e, q, "vec_id", "embedding",
+      k = 10, refine = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    idx.release()
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    assert(approx.size == exact.size) // k rows per query survive re-rank
+  }
+
+  test("PQ codes are m small ints; re-ranked scores are exact cosines") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = Similarity.buildPqIndex(e, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val codes = idx.codes.collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.size == 4 && cs.forall(c => c >= 0 && c < 8))
+    }
+    val q = e.filter(col("vec_id") < 2)
+    val got = Similarity.probePq(idx, e, q, "vec_id", "embedding",
+      k = 5, refine = 4).collect()
+    idx.release()
+    // every reported score equals the exact cosine of that pair
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    got.foreach { r =>
+      val (qid, nid, cos) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val (a, b) = (vecs(qid), vecs(nid))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      val expect = dot / math.sqrt(na) / math.sqrt(nb)
+      assert(math.abs(cos - expect) < 1e-9,
+        s"pair ($qid,$nid): $cos vs $expect")
+    }
+  }
+
   test("IVF index round-trips through parquet: saved index probes identically") {
     // The 100 TB contract: build once, write the index, probe many
     // times from storage. assigned is partitioned by cell on disk so a
