@@ -115,4 +115,100 @@ object Profile {
           (countDistinct(col("__b")) - 1)).as("dof"),
         round(sum(col("__term")).cast("double"), 6).as("chi2"))
   }
+
+  /** Row-level data-quality checks, ALL fused into one aggregate scan:
+    * each entry is (check_name, violation predicate); the result has a
+    * row per check — (check_name, violations, total). This is the
+    * constraint-validation step of an ingest pipeline (not-null,
+    * value-range, accepted-values, pattern checks…) priced at exactly
+    * one partial-aggregated pass regardless of how many checks run. */
+  def dqRowChecks(df: DataFrame,
+                  checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = checks.zipWithIndex.map { case ((_, viol), i) =>
+      sum(viol.cast("long")).as(s"__v_$i")
+    } :+ count(lit(1)).as("__tot")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = checks.zipWithIndex.map { case ((n, _), i) =>
+      s"'${n.replace("'", "''")}', __v_$i"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${checks.size}, $stackExpr) AS (check_name, violations)",
+      "__tot AS total")
+  }
+
+  /** Key-uniqueness check: violations = excess rows beyond one per
+    * distinct key (0 ⇔ the key is unique). One exact count-distinct
+    * aggregate — the shuffle carries keys once, never rows. */
+  def dqUnique(df: DataFrame, keys: Seq[String],
+               name: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    df.select(struct(keys.map(col): _*).as("__k"))
+      .agg((count(lit(1)) - countDistinct(col("__k"))).as("violations"),
+        count(lit(1)).as("total"))
+      .select(lit(name).as("check_name"), col("violations"), col("total"))
+  }
+
+  /** Referential-integrity check: violations = child rows whose
+    * non-null key has no match in the parent (orphans), via one
+    * left-anti join against the parent's distinct keys — Catalyst
+    * broadcasts the key set when the parent is dimension-sized. */
+  def dqReferential(child: DataFrame, childKey: Column,
+                    parent: DataFrame, parentKey: Column,
+                    name: String): DataFrame = {
+    val orphans = child.select(childKey.as("__k"))
+      .filter(col("__k").isNotNull)
+      .join(parent.select(parentKey.as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val tot = child.agg(count(lit(1)).as("total"))
+    orphans.crossJoin(tot)
+      .select(lit(name).as("check_name"), col("violations"), col("total"))
+  }
+
+  /** Population-stability-index drift between two slices of one
+    * numeric column — "did this month's corpus shift against the
+    * reference?", the monitoring gate before a silent distribution
+    * change poisons a model.
+    *
+    * Both slices histogram into the same literal equal-width
+    * [lo, hi)·bins grid ([[histogram]]'s codegen'd floor bin — one
+    * partial-aggregated scan per slice, bin counts are the only
+    * shuffle). Empty bins participate through an ε=1e-6 proportion
+    * clamp (the standard PSI convention, and it keeps ln finite).
+    * Per bin: `term = (pa − pb) · ln(pa/pb)` in a fixed IEEE op
+    * order; the total stages terms through DECIMAL(38,18) so it is
+    * summation-order-free. Returns one row per bin —
+    * (bin, na, nb, term, psi) — with term/psi rounded to 6 dp
+    * (ln is libm; 1-ulp engine divergence is invisible at 6 dp).
+    * Rule of thumb: psi < 0.1 stable, > 0.25 shifted. */
+  def psiDrift(a: DataFrame, b: DataFrame, value: Column,
+               lo: Double, hi: Double, bins: Int): DataFrame = {
+    val spark = a.sparkSession
+    val ha = histogram(a, value, lo, hi, bins)
+      .select(col("bin"), col("n_rows").as("na"))
+    val hb = histogram(b, value, lo, hi, bins)
+      .select(col("bin"), col("n_rows").as("nb"))
+    val grid = spark.range(bins).select(col("id").as("bin"))
+      .join(ha, Seq("bin"), "left").join(hb, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tots = grid.agg(sum(col("na")).cast("double").as("__ta"),
+      sum(col("nb")).cast("double").as("__tb"))
+    val eps = lit(1e-6)
+    val pa = when(col("na") === 0, eps)
+      .otherwise(col("na").cast("double") / col("__ta"))
+    val pb = when(col("nb") === 0, eps)
+      .otherwise(col("nb").cast("double") / col("__tb"))
+    val terms = grid.crossJoin(broadcast(tots))
+      .withColumn("__term", (pa - pb) * log(pa / pb))
+    val total = terms
+      .agg(round(sum(col("__term").cast("decimal(38,18)"))
+        .cast("double"), 6).as("psi"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("na"), col("nb"),
+        (round(col("__term"), 6) + lit(0.0)).as("term"),
+        (col("psi") + lit(0.0)).as("psi"))
+  }
 }

@@ -27,7 +27,41 @@ object ProfileQueries {
     "q_chi2" -> ((s, dir) =>
       Profile.chiSquare(Tables.load(s, dir, "events"),
         col("event_type"),
-        expr("((ts div 3600000000000) % 24) div 6")))
+        expr("((ts div 3600000000000) % 24) div 6"))),
+
+    // Ingest constraint suite: every row-level check on a table fused
+    // into ONE aggregate scan, plus key-uniqueness (one exact
+    // count-distinct) and two referential-integrity anti-joins.
+    "q_dq_report" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val customer = Tables.load(s, dir, "customer")
+      Profile.dqRowChecks(orders, Seq(
+          "orders.custkey_not_null" -> col("o_custkey").isNull,
+          "orders.status_accepted" ->
+            !col("o_orderstatus").isin("O", "F", "P"),
+          "orders.price_range" ->
+            (col("o_totalprice") <= 0.0 || col("o_totalprice") > 600000.0)))
+        .unionAll(Profile.dqRowChecks(lineitem, Seq(
+          "lineitem.qty_range" ->
+            (col("l_quantity") < 1.0 || col("l_quantity") > 30.0))))
+        .unionAll(Profile.dqUnique(orders, Seq("o_orderkey"),
+          "orders.orderkey_unique"))
+        .unionAll(Profile.dqReferential(orders, col("o_custkey"),
+          customer, col("c_custkey"), "orders.custkey_in_customer"))
+        .unionAll(Profile.dqReferential(lineitem, col("l_orderkey"),
+          orders, col("o_orderkey"), "lineitem.orderkey_in_orders"))
+    }),
+
+    // Distribution-drift monitor: PSI of the order-price distribution,
+    // pre-1998 slice vs the rest, over the q_histogram bin grid.
+    "q_drift" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      Profile.psiDrift(
+        orders.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        orders.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01"))),
+        col("o_totalprice"), lo = 0.0, hi = 600000.0, bins = 12)
+    })
   )
 
   /** Mirror of the two-scan profile: a stats UNION ALL branch per
@@ -80,6 +114,81 @@ object ProfileQueries {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileOracle,
+
+    "q_dq_report" ->
+      """SELECT 'orders.custkey_not_null' AS check_name,
+        | CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS violations,
+        | CAST(COUNT(*) AS BIGINT) AS total FROM orders
+        |UNION ALL
+        |SELECT 'orders.status_accepted',
+        | CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |   THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(COUNT(*) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.price_range',
+        | CAST(SUM(CASE WHEN o_totalprice <= CAST(0.0 AS DOUBLE)
+        |   OR o_totalprice > CAST(600000.0 AS DOUBLE)
+        |   THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(COUNT(*) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'lineitem.qty_range',
+        | CAST(SUM(CASE WHEN l_quantity < CAST(1.0 AS DOUBLE)
+        |   OR l_quantity > CAST(30.0 AS DOUBLE)
+        |   THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.orderkey_unique',
+        | CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        | CAST(COUNT(*) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.custkey_in_customer',
+        | CAST((SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey IS NOT NULL
+        |    AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  AS BIGINT),
+        | CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem.orderkey_in_orders',
+        | CAST((SELECT COUNT(*) FROM lineitem l
+        |   WHERE l.l_orderkey IS NOT NULL
+        |    AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  AS BIGINT),
+        | CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)""".stripMargin,
+
+    // Mirrors psiDrift's op order: same floor/clamp bin, completed
+    // 0..11 grid, eps-clamped proportions, (pa−pb)·ln(pa/pb) term,
+    // decimal-staged total, 6dp + signed-zero canonicalization.
+    "q_drift" ->
+      """WITH binned AS (
+        | SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice
+        |     - CAST(0.0 AS DOUBLE)) / CAST(50000.0 AS DOUBLE))
+        |    AS BIGINT), 0), 11) AS bin,
+        |  o_orderdate < TIMESTAMP '1998-01-01' AS in_a
+        | FROM orders),
+        |ga AS (SELECT bin, COUNT(*) AS n FROM binned WHERE in_a GROUP BY 1),
+        |gb AS (SELECT bin, COUNT(*) AS n FROM binned WHERE NOT in_a GROUP BY 1),
+        |grid AS (
+        | SELECT t.bin, COALESCE(ga.n, 0) AS na, COALESCE(gb.n, 0) AS nb
+        | FROM range(0, 12) t(bin)
+        |  LEFT JOIN ga ON ga.bin = t.bin LEFT JOIN gb ON gb.bin = t.bin),
+        |tots AS (
+        | SELECT CAST(SUM(na) AS DOUBLE) AS ta,
+        |  CAST(SUM(nb) AS DOUBLE) AS tb FROM grid),
+        |terms AS (
+        | SELECT bin, na, nb,
+        |  (CASE WHEN na = 0 THEN 1e-6 ELSE CAST(na AS DOUBLE) / ta END
+        |   - CASE WHEN nb = 0 THEN 1e-6 ELSE CAST(nb AS DOUBLE) / tb END)
+        |  * ln(CASE WHEN na = 0 THEN 1e-6 ELSE CAST(na AS DOUBLE) / ta END
+        |     / CASE WHEN nb = 0 THEN 1e-6 ELSE CAST(nb AS DOUBLE) / tb END)
+        |   AS term_raw
+        | FROM grid, tots),
+        |total AS (
+        | SELECT round(CAST(SUM(CAST(term_raw AS DECIMAL(38,18)))
+        |   AS DOUBLE), 6) AS psi FROM terms)
+        |SELECT bin, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        | round(term_raw, 6) + 0.0 AS term, psi + 0.0 AS psi
+        |FROM terms, total""".stripMargin,
 
     // All literals cast to DOUBLE: bare 50000.0 is DECIMAL in DuckDB
     // and would change the arithmetic type (and the hash) vs Spark.

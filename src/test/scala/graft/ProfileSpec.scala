@@ -93,4 +93,60 @@ class ProfileSpec extends SparkSpec {
     assert(r3.getLong(0) == 60 && r3.getLong(1) == 1)
     assert(math.abs(r3.getDouble(2) - 20.0 / 3.0) < 1e-6)
   }
+
+  test("dqRowChecks fuses checks into one scan; goldens per check") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "ok", 5.0), (None, "ok", -1.0),
+      (Some(3L), "bad", 5.0), (Some(4L), "ok", 11.0)
+    ).toDF("k", "status", "v")
+    val got = Profile.dqRowChecks(df, Seq(
+        "k_not_null" -> col("k").isNull,
+        "status_ok" -> !col("status").isin("ok"),
+        "v_range" -> (col("v") < 0.0 || col("v") > 10.0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      "k_not_null" -> (1L, 4L),
+      "status_ok" -> (1L, 4L),
+      "v_range" -> (2L, 4L)))
+    // one aggregate scan: a single Aggregate over one relation
+    val plan = Profile.dqRowChecks(df,
+      Seq("a" -> col("k").isNull, "b" -> (col("v") > 0)))
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected one fused aggregate, got $plan")
+  }
+
+  test("dqUnique and dqReferential count excess rows and orphans") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"))
+      .toDF("k", "p")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val u = Profile.dqUnique(child, Seq("k"), "k_unique").head()
+    assert(u.getString(0) == "k_unique" &&
+      u.getLong(1) == 1L && u.getLong(2) == 4L)
+    val r = Profile.dqReferential(child, col("k"), parent, col("pk"),
+      "k_in_parent").head()
+    assert(r.getString(0) == "k_in_parent" &&
+      r.getLong(1) == 1L && r.getLong(2) == 4L)
+  }
+
+  test("psiDrift: identical slices → 0; shifted slice → large PSI") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i % 10).toDouble).toDF("v")
+    val same = Profile.psiDrift(a, a, col("v"), 0.0, 10.0, 5)
+      .collect()
+    assert(same.length == 5)
+    same.foreach { r => assert(r.getDouble(4) == 0.0) }
+    // b concentrated in the top bins only
+    val b = (1 to 100).map(i => 8.0 + (i % 2)).toDF("v")
+    val drift = Profile.psiDrift(a, b, col("v"), 0.0, 10.0, 5)
+      .collect()
+    assert(drift.head.getDouble(4) > 0.25, s"psi ${drift.head.getDouble(4)}")
+    // the grid is complete even where b is empty
+    assert(drift.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
 }
