@@ -431,6 +431,110 @@ object Similarity {
     topKByGroup(exact, k)
   }
 
+  /** The composed IVF-PQ index — the production ANN shape at 100 TB:
+    * coarse k-means cells bound WHICH codes a probe touches (nprobe/
+    * nCells of the corpus) and PQ codes bound what each touch costs
+    * (m LUT lookups over m bytes). `codes` is (cell, neighbor_id,
+    * codes), hash-partitioned by cell so every probe join is
+    * co-located. */
+  final case class IvfPqIndex(codes: DataFrame,
+                              centroids: DataFrame,
+                              matrix: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]],
+                              m: Int, ksub: Int, ds: Int) {
+    def release(): Unit = codes.unpersist(false)
+  }
+
+  /** Combine a built coarse index and a built PQ index over the SAME
+    * corpus into one cell-partitioned code table (one build-time
+    * shuffle; neither component is released — they may be shared). */
+  def composeIvfPq(ivf: IvfIndex, pq: PqIndex): IvfPqIndex = {
+    val spark = ivf.assigned.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val codes = ivf.assigned.select(col("neighbor_id"), col("cell"))
+      .join(pq.codes, Seq("neighbor_id"))
+      .repartition(par, col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    IvfPqIndex(codes, ivf.centroids, ivf.matrix, pq.codebooks,
+      pq.m, pq.ksub, pq.ds)
+  }
+
+  /** Build IVF-PQ from scratch (both component indexes are private to
+    * the result and released once the code table is materialized). */
+  def buildIvfPqIndex(corpus: DataFrame, id: String, vec: String,
+                      nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 5): IvfPqIndex = {
+    val ivf = buildIvfIndex(corpus, id, vec, nCells, iters)
+    val pq = buildPqIndex(corpus, id, vec, m, ksub, iters)
+    val out = composeIvfPq(ivf, pq)
+    ivf.release(); pq.release()
+    out
+  }
+
+  /** Probe IVF-PQ: the [[probeIvf]] cell pick (broadcast centroids,
+    * (ccos desc, cell asc) top-nprobe), then the [[probePq]] ADC scan
+    * restricted to the probed cells — a CO-LOCATED equi-join against
+    * the cell-partitioned codes, touching nprobe/nCells of the corpus
+    * and reading m bytes per touched row — bounded-heap candidate cut
+    * and exact-cosine re-rank. Deterministic end to end. */
+  def probeIvfPq(index: IvfPqIndex, corpus: DataFrame,
+                 queries: DataFrame, id: String, vec: String, k: Int,
+                 nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val cbLit = typedlit(index.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val lut = flatten(transform(sequence(lit(0), lit(index.m - 1)),
+      j => transform(element_at(cbLit, j + 1),
+        c => dot(slice(col("qv").cast("array<double>"),
+          j * lit(index.ds) + lit(1), lit(index.ds)), c))))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"))
+      .crossJoin(index.centroids)
+      .withColumn("ccos", Dedup.cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cell"), lut.as("lut"))
+    val scored = index.codes
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
+            (c, j) => element_at(col("lut"),
+              j * lit(index.ksub) + c + lit(1))),
+          lit(0.0), (acc, x) => acc + x).as("cos"))
+    val cand = topKByGroup(scored, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(id).as("query_id"),
+      col(vec).as("qv2")))
+    val exact = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosine(col("qv2"), col("cv")).as("cos"))
+    topKByGroup(exact, k)
+  }
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+
+  /** Process-level IVF-PQ cache, composed from the SHARED cached IVF
+    * and PQ component indexes (the cluster pass and the codebooks are
+    * each built once per corpus and reused by search, dedup, and this
+    * composition). */
+  def cachedIvfPqIndex(corpus: => DataFrame, cacheKey: String,
+                       id: String, vec: String, nCells: Int = 16,
+                       m: Int = 8, ksub: Int = 16): IvfPqIndex =
+    ivfPqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|$m|$ksub",
+      _ => composeIvfPq(
+        cachedIvfIndex(corpus, cacheKey, id, vec, nCells),
+        cachedPqIndex(corpus, cacheKey, id, vec, m, ksub)))
+
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
 

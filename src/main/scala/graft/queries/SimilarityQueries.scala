@@ -94,6 +94,21 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10, refine = 4)
     }),
 
+    // Composed IVF-PQ — the production ANN shape: coarse cells bound
+    // WHICH codes a probe touches (nprobe/nCells of the corpus), PQ
+    // bounds what each touch costs (8 LUT lookups over 8 bytes), then
+    // exact re-rank. Shares the cached IVF cells AND PQ codebooks with
+    // q_ann_ivf / q_ann_pq — each cluster pass is built once per
+    // corpus. Fully deterministic; the oracle replays cells + 8
+    // subspace chains + probe pick + in-cell ADC + re-rank.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.cachedIvfPqIndex(e, cacheKey = dir,
+        "vec_id", "embedding", nCells = 16, m = 8, ksub = 16)
+      Similarity.probeIvfPq(idx, e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 10, nprobe = 4, refine = 4)
+    }),
+
     // Semantic dedup (SemDeDup): k-means cells as the blocking key,
     // within-cell cosine ≥ 0.30 against any smaller id ⇒ duplicate.
     // Shares the cached IVF index with q_ann_ivf / q_ann_knn — the
@@ -180,9 +195,77 @@ object SimilarityQueries {
        | FROM s) WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB replay of q_ann_ivfpq: the q_ann_ivf coarse chain
+    * (unprefixed pts/c5/a6) + the 8 pqOracle subspace chains, neighbor
+    * codes joined with their coarse cell, the probeIvf cell pick, ADC
+    * restricted to probed cells, exact-cosine re-rank. */
+  private def ivfPqOracle(nCells: Int, m: Int, ksub: Int, ds: Int,
+                          iters: Int, nprobe: Int, kCand: Int,
+                          k: Int): String = {
+    def mat(s: String) = s.replace(" AS (", " AS MATERIALIZED (")
+    val cellChain = mat(MLQueries.kmeansCtePrefix(nCells, iters, 64))
+    val subChains = (0 until m).map { j =>
+      mat(MLQueries.kmeansCtePrefix(ksub, iters, ds, prefix = s"s${j}_",
+        xExpr = s"list_slice(embedding, ${j * ds + 1}, ${(j + 1) * ds})"))
+    }.mkString(",\n")
+    val nbrJoins = (0 until m).map { j =>
+      val a = s"s${j}_a${iters + 1}"
+      val c = s"s${j}_c$iters"
+      val link = if (j == 0) s"$a a$j"
+      else s"JOIN $a a$j ON a$j.vec_id = a0.vec_id"
+      s"$link JOIN $c b$j ON b$j.cell = a$j.cell"
+    }.mkString("\n  ")
+    val rCols = (0 until m).map(j => s"b$j.c AS r$j").mkString(", ")
+    val terms = (0 until m).map { j =>
+      dotSql(s"list_slice(p.qv, ${j * ds + 1}, ${(j + 1) * ds})", s"n.r$j")
+    }.mkString("\n  + ")
+    s"""WITH $cellChain,
+       |$subChains,
+       |nbr AS MATERIALIZED (
+       | SELECT a0.vec_id AS neighbor_id, g.cell AS cell, $rCols
+       | FROM $nbrJoins
+       |  JOIN a${iters + 1} g ON g.vec_id = a0.vec_id),
+       |cells AS (SELECT cell, c FROM c$iters),
+       |q AS (SELECT vec_id AS query_id,
+       |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 16),
+       |probes AS (
+       | SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, cells.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |    ORDER BY ${cosSql("q.qv", "cells.c")} DESC, cells.cell ASC)
+       |    AS prank
+       |  FROM q, cells) t WHERE prank <= $nprobe),
+       |adc AS (
+       | SELECT p.query_id, n.neighbor_id,
+       |  $terms AS adc
+       | FROM nbr n JOIN probes p
+       |  ON p.cell = n.cell AND n.neighbor_id <> p.query_id),
+       |cand AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc DESC, neighbor_id ASC) AS rnk
+       |  FROM adc) t WHERE rnk <= $kCand),
+       |s AS (
+       | SELECT c.query_id, c.neighbor_id,
+       |  ${cosSql("q2.embedding", "e.embedding")} AS cos
+       | FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings q2 ON q2.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       | SELECT query_id, neighbor_id, cos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       | FROM s) WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ann_pq" ->
       pqOracle(m = 8, ksub = 16, ds = 8, iters = 5, kCand = 40, k = 10),
+
+    "q_ann_ivfpq" ->
+      ivfPqOracle(nCells = 16, m = 8, ksub = 16, ds = 8, iters = 5,
+        nprobe = 4, kCand = 40, k = 10),
 
     "q_quantize" ->
       """WITH pts AS (

@@ -89,6 +89,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("probeIvfPq with all cells probed equals the flat PQ probe") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 4)
+    val flat = Similarity.buildPqIndex(e, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val expected = Similarity.probePq(flat, e, q, "vec_id", "embedding",
+      k = 5, refine = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted
+    flat.release()
+    val composed = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+      nCells = 4, m = 4, ksub = 8)
+    // nprobe = nCells ⇒ every cell probed ⇒ same ADC candidate set
+    val got = Similarity.probeIvfPq(composed, e, q, "vec_id", "embedding",
+      k = 5, nprobe = 4, refine = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted
+    composed.release()
+    assert(got.sameElements(expected))
+  }
+
   test("IVF index round-trips through parquet: saved index probes identically") {
     // The 100 TB contract: build once, write the index, probe many
     // times from storage. assigned is partitioned by cell on disk so a
