@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Multimodal
-import graft.streaming.{Sessionize, StreamCms, StreamDedup, StreamSketch,
-  WindowAgg}
+import graft.streaming.{Sessionize, StreamCms, StreamDedup, StreamDrift,
+  StreamSketch, WindowAgg}
 
 /** Sessionization (oracle-matched gaps-and-islands) and multimodal
   * plumbing queries (rows-only: the stub decoder is not
@@ -68,6 +68,16 @@ object StreamTextQueries {
     "q_hll_stream" -> ((s, dir) =>
       StreamSketch.approxDistinct(Tables.load(s, dir, "events"),
         col("event_type"), col("user_id"), groupOut = "event_type")),
+
+    // Per-day drift monitor: each day's value histogram scored (PSI)
+    // against a uniform reference — the windowed batch twin of
+    // streaming.StreamDrift.psiPerWindowStreaming (state-path parity
+    // pinned by StreamingSpec); decimal-staged term sum, 6 dp.
+    "q_drift_window" -> ((s, dir) =>
+      StreamDrift.psiPerWindow(Tables.load(s, dir, "events"),
+        timestamp_micros(expr("ts DIV 1000")), col("value"),
+        lo = 0.0, hi = 100.0, bins = 10,
+        ref = Seq.fill(10)(0.1), windowDur = "1 day")),
 
     // Streaming count-min (flatMapGroupsWithState, 8 KiB of counters
     // per group) run in batch mode: bucket derivation and min-estimate
@@ -211,6 +221,37 @@ object StreamTextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_mm_phash" -> phashOracle,
+
+    // Mirrors StreamDrift.psiPerWindow: same floor/clamp bin, the bin
+    // grid completed per day, ε-clamped proportions against the
+    // CAST(0.1 AS DOUBLE) uniform reference, (p−r)·ln(p/r) terms,
+    // DECIMAL(38,18)-staged sum, 6 dp + signed-zero canonicalization.
+    "q_drift_window" ->
+      """WITH binned AS (
+        | SELECT date_trunc('day', ts) AS w,
+        |  LEAST(GREATEST(CAST(FLOOR((value - CAST(0.0 AS DOUBLE))
+        |    / CAST(10.0 AS DOUBLE)) AS BIGINT), 0), 9) AS bin
+        | FROM events),
+        |g AS (SELECT w, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT w, SUM(n) AS tot FROM g GROUP BY 1),
+        |grid AS (
+        | SELECT t.w, b.bin, COALESCE(g.n, 0) AS n, t.tot
+        | FROM tot t CROSS JOIN range(0, 10) b(bin)
+        |  LEFT JOIN g ON g.w = t.w AND g.bin = b.bin),
+        |terms AS (
+        | SELECT w, tot,
+        |  (CASE WHEN n = 0 THEN 1e-6
+        |    ELSE CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) END
+        |   - CAST(0.1 AS DOUBLE))
+        |  * ln((CASE WHEN n = 0 THEN 1e-6
+        |     ELSE CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) END)
+        |    / CAST(0.1 AS DOUBLE)) AS term
+        | FROM grid)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w,
+        | CAST(MAX(tot) AS BIGINT) AS n,
+        | round(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6)
+        |  + 0.0 AS psi
+        |FROM terms GROUP BY w""".stripMargin,
     "q_hll_stream" -> graft.operators.Sketch.estimateSql(
       "events", "user_id", "event_type", "n_approx"),
 

@@ -356,6 +356,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-window PSI equals the batch twin after the last trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDrift
+    def t(day: Int, h: Int) =
+      new java.sql.Timestamp(
+        java.time.Instant.parse(f"2024-01-0$day%dT$h%02d:00:00Z")
+          .toEpochMilli)
+    val rows = Seq(
+      (t(1, 1), 5.0), (t(1, 2), 15.0), (t(1, 3), 15.0), (t(1, 4), 35.0),
+      (t(2, 1), 5.0), (t(2, 2), 5.0), (t(2, 3), 95.0))
+    val ref = Seq.fill(10)(0.1)
+    val batch = StreamDrift.psiPerWindow(rows.toDF("ts", "v"),
+        col("ts"), col("v"), 0.0, 100.0, 10, ref, "1 day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(batch.size == 2)
+
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamDrift.psiPerWindowStreaming(
+        input.toDS().toDF("ts", "v"), "ts", col("v"),
+        0.0, 100.0, 10, ref, "1 day")
+      .toDF().writeStream.format("memory")
+      .queryName("sdrift").outputMode("update").start()
+    try {
+      rows.grouped(3).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      // final emission per window (counts grow monotonically, so the
+      // max-n row is the last) == the batch answer
+      val last = spark.table("sdrift")
+        .groupBy(col("w"))
+        .agg(max_by(struct(col("n"), col("psi")), col("n")).as("s"))
+        .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("w"),
+          col("s.n").as("n"), col("s.psi").as("psi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(last.keySet == batch.keySet)
+      last.foreach { case (k, psi) =>
+        assert(math.abs(psi - batch(k)) < 1e-9,
+          s"window $k: stream $psi vs batch ${batch(k)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming HLL converges to the batch sketch estimate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
