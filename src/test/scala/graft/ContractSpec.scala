@@ -19,7 +19,7 @@ class ContractSpec extends SparkSpec {
       graft.queries.LinalgQueries.queries, graft.queries.SearchQueries.queries,
       graft.queries.CorpusQueries.queries, graft.queries.SketchQueries.queries,
       graft.queries.LayoutQueries.queries, graft.queries.GraphQueries.queries,
-      graft.queries.ProfileQueries.queries)
+      graft.queries.ProfileQueries.queries, graft.queries.EncodeQueries.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
