@@ -35,6 +35,27 @@ object SourceQueries {
           sum(col("o_orderkey")).as("key_sum"))
     }),
 
+    // Malformed-row ingest: 3 planted broken lines among the real
+    // delimited dump. PERMISSIVE read captures them in `_corrupt`
+    // instead of failing the job; the good/bad split is one scan-stage
+    // null test. (Any cast failure quarantines the row while parsed
+    // fields survive alongside — SourceSpec pins the semantics; the
+    // planted lines all break the key column so the bad-side checksum
+    // is NULL.)
+    "q_csv_badrows" -> ((s, dir) => {
+      val path = tmp(dir, "badcsv")
+      TextIO.writeDelimited(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        path)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "part-planted-bad.csv"),
+        "oops 101\nxyz 102\nbad 103"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      TextIO.readDelimitedPermissive(s, path, ordersKeys)
+        .groupBy(col("_corrupt").isNull.as("is_good"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
     // JSON-lines sink → source → aggregate. Strings/longs round-trip
     // exactly through JSON; schema declared on read (no inference).
     "q_json_roundtrip" -> ((s, dir) => {
@@ -197,6 +218,15 @@ object SourceQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Good side = the orders table itself (the roundtrip invariant
+    // q_txt_roundtrip already pins); bad side = the 3 planted lines
+    // whose unparseable first column leaves a NULL key_sum.
+    "q_csv_badrows" ->
+      """SELECT TRUE AS is_good, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders
+        |UNION ALL
+        |SELECT FALSE, CAST(3 AS BIGINT), CAST(NULL AS BIGINT)""".stripMargin,
 
     "q_json_roundtrip" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,

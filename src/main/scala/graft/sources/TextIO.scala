@@ -27,6 +27,25 @@ object TextIO {
                      delimiter: String = " "): Unit =
     df.write.mode("overwrite").option("delimiter", delimiter).csv(path)
 
+  /** Delimited read that SURVIVES malformed rows instead of failing
+    * the job — the ingest posture for crawled/third-party text at
+    * 100 TB, where some fraction of lines is always broken. PERMISSIVE
+    * mode: a row whose tokens don't parse into the declared schema
+    * gets nulls for the bad fields and its raw line captured in the
+    * `_corrupt` column (good rows carry `_corrupt` = null); downstream
+    * splits the frame with one `_corrupt IS NULL` filter riding the
+    * scan — no second pass, no job restart, and the bad lines remain
+    * inspectable/quarantinable data rather than an exception trace. */
+  def readDelimitedPermissive(spark: SparkSession, path: String,
+                              schema: StructType,
+                              delimiter: String = " "): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
   /** Columnar sink — parity with `DataSink(arr, HDF5, ...)`'s parallel
     * collective write (reference src/cgen-hpat-pattern-match.jl:1201-1269);
     * on Spark the scale path is parquet, one columnar file per partition. */

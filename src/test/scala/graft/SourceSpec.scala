@@ -189,4 +189,38 @@ class SourceSpec extends SparkSpec {
     // the default single-schema read stays the cheap path (no merge)
     assert(TextIO.readColumnar(spark, v1).columns.toSet == Set("id", "a"))
   }
+
+  test("permissive delimited read quarantines malformed rows, keeps partials") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.write(dir.resolve("data.csv"),
+      Seq(
+        "1 10",        // clean
+        "oops 20",     // first column unparseable → corrupt, 20 retained
+        "3 thirty",    // second column unparseable → corrupt, 3 retained
+        "4 40"         // clean
+      ).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val got = TextIO.readDelimitedPermissive(spark, dir.toString, schema)
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.isNullAt(2)))
+      .toSet
+    // any cast failure quarantines the ROW (raw line in _corrupt) while
+    // the fields that did parse survive as data alongside it
+    assert(got == Set(
+      (Some(1L), Some(10L), true),
+      (None, Some(20L), false),
+      (Some(3L), None, false),
+      (Some(4L), Some(40L), true)))
+    // Corruptness is judged on the PARSED columns only: under column
+    // pruning (here the scan reads just `a` + `_corrupt`), a row whose
+    // failure lies in an unreferenced column is NOT corrupt. Queries
+    // over the corrupt flag must therefore reference every column the
+    // quarantine should cover (q_csv_badrows plants its failures in
+    // the referenced key column for exactly this reason).
+    val bad = TextIO.readDelimitedPermissive(spark, dir.toString, schema)
+      .filter(col("_corrupt").isNotNull).select("a", "_corrupt").collect()
+    assert(bad.map(_.getString(1)).toSet == Set("oops 20"))
+  }
 }
