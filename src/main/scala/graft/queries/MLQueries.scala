@@ -93,6 +93,44 @@ object MLQueries {
           (lit(4.0) * col("n_inside") / lit(n.toDouble)).as("pi_est"))
     }),
 
+    // Black-Scholes (examples/blackscholes.jl): the reference's
+    // element-wise parfor + allreduce benchmark, generated data. erf
+    // is not built into either engine, so cndf uses the
+    // Abramowitz–Stegun 7.1.26 rational approximation with the SAME
+    // nesting on both sides; row-independent constants (den, exp of
+    // -rate·time, (rate+powterm)·time) are folded to Scala doubles and
+    // interpolated into BOTH plans, leaving log10 + two exp calls as
+    // the only per-row libm exposure (≤1 ulp each, invisible under the
+    // decimal-staged sum's 6 dp cut).
+    "q_blackscholes" -> ((s, dir) => {
+      val n = 100000L
+      def erfAs(x: org.apache.spark.sql.Column) = {
+        val ax = abs(x)
+        val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+        val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+          t * (lit(1.421413741) + t * (lit(-1.453152027) +
+            t * lit(1.061405429)))))
+        signum(x) * (lit(1.0) - poly * exp(-(x * x)))
+      }
+      def cndf(x: org.apache.spark.sql.Column) =
+        lit(0.5) + lit(0.5) * erfAs(lit(0.707106781) * x)
+      val den = 0.2 * math.sqrt(0.5)           // vol · sqrt(time)
+      val num = (0.5 + 0.5 * 0.2 * 0.2) * 0.5  // (rate + powterm) · time
+      val fvF = math.exp(-(0.5 * 0.5))         // exp(−rate · time)
+      val iD = (col("id") + 1).cast("double")
+      val strike = lit(40.0) + iD / lit(n.toDouble)
+      val d1 = (lit(num) + log10(lit(42.0) / strike)) / lit(den)
+      val d2 = d1 - lit(den)
+      val fv = strike * lit(fvF)
+      val call = lit(42.0) * cndf(d1) - fv * cndf(d2)
+      val put = call - fv + lit(42.0)
+      s.range(n)
+        .select(put.as("put"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("put").cast("decimal(38,18)")).cast("double"), 6)
+            + lit(0.0)).as("put_sum"))
+    }),
+
     // Iterative logistic regression (reference flagship loop shape):
     // binary label = (label % 2), 5 gradient-descent iterations.
     // Weights rounded to 6dp for the oracle compare: the gradient sums
@@ -235,6 +273,46 @@ object MLQueries {
         | ROUND(ss / n - (s / n) * (s / n), 6) + 0.0 AS variance
         |FROM st, tot""".stripMargin,
     "q_ml_logreg" -> logregOracle(iters = 5, dim = 64, lr = 0.5),
+
+    "q_blackscholes" -> {
+      def D(x: Double) = s"CAST($x AS DOUBLE)"
+      val den = 0.2 * math.sqrt(0.5)
+      val num = (0.5 + 0.5 * 0.2 * 0.2) * 0.5
+      val fvF = math.exp(-(0.5 * 0.5))
+      def poly(t: String) =
+        s"$t * (${D(0.254829592)} + $t * (${D(-0.284496736)} + $t * " +
+          s"(${D(1.421413741)} + $t * (${D(-1.453152027)} + $t * " +
+          s"${D(1.061405429)}))))"
+      s"""WITH r AS (SELECT CAST(i + 1 AS DOUBLE) AS i
+         |  FROM range(0, 100000) t(i)),
+         |b AS (SELECT ${D(40.0)} + i / ${D(100000.0)} AS strike FROM r),
+         |d AS (SELECT strike,
+         |  (${D(num)} + log10(${D(42.0)} / strike)) / ${D(den)} AS d1
+         | FROM b),
+         |e AS (SELECT strike, d1, d1 - ${D(den)} AS d2 FROM d),
+         |x AS (SELECT strike,
+         |  ${D(0.707106781)} * d1 AS x1,
+         |  ${D(0.707106781)} * d2 AS x2 FROM e),
+         |tt AS (SELECT strike, x1, x2,
+         |  ${D(1.0)} / (${D(1.0)} + ${D(0.3275911)} * abs(x1)) AS t1,
+         |  ${D(1.0)} / (${D(1.0)} + ${D(0.3275911)} * abs(x2)) AS t2
+         | FROM x),
+         |er AS (SELECT strike,
+         |  sign(x1) * (${D(1.0)} - (${poly("t1")}) * exp(-(x1 * x1))) AS e1,
+         |  sign(x2) * (${D(1.0)} - (${poly("t2")}) * exp(-(x2 * x2))) AS e2
+         | FROM tt),
+         |p AS (SELECT strike,
+         |  ${D(0.5)} + ${D(0.5)} * e1 AS n1,
+         |  ${D(0.5)} + ${D(0.5)} * e2 AS n2 FROM er),
+         |pv AS (SELECT
+         |  ${D(42.0)} * n1 - (strike * ${D(fvF)}) * n2
+         |   - strike * ${D(fvF)} + ${D(42.0)} AS put
+         | FROM p)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         | round(CAST(SUM(CAST(put AS DECIMAL(38,18))) AS DOUBLE), 6)
+         |  + 0.0 AS put_sum
+         |FROM pv""".stripMargin
+    },
 
     "q_pi_mc" ->
       """WITH p AS (
