@@ -51,7 +51,14 @@ object SourceQueries {
         java.nio.file.Paths.get(path, "part-planted-bad.csv"),
         "oops 101\nxyz 102\nbad 103"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      TextIO.readDelimitedPermissive(s, path, ordersKeys)
+      // Materialize the parse once (the production ingest pattern —
+      // and required: Spark rejects a query over a raw CSV scan whose
+      // referenced columns prune down to ONLY the corrupt column,
+      // which a count() over this aggregate would).
+      val parsed = tmp(dir, "badcsv_parsed")
+      TextIO.writeColumnar(
+        TextIO.readDelimitedPermissive(s, path, ordersKeys), parsed)
+      TextIO.readColumnar(s, parsed)
         .groupBy(col("_corrupt").isNull.as("is_good"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
     }),
