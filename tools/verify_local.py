@@ -53,7 +53,12 @@ def main():
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    import time
+    t_start = time.time()
     for name in names:
+        # stream progress: the sf0.1 audits run for an hour+ in the
+        # O(n^2) dedup oracles — a silent batch printer is unmonitorable
+        print(f"... {name} (t+{time.time() - t_start:.0f}s)", flush=True)
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             results[name] = "EMPTY-SPARK-OUTPUT"
