@@ -108,6 +108,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("PQ index round-trips through parquet: saved codes probe identically") {
+    // Same 100 TB contract as the IVF round-trip: train codebooks and
+    // encode once, persist the m-byte codes, probe from storage. The
+    // codebooks are KiB-scale driver state — stored as one parquet row
+    // of nested arrays.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 4)
+    val built = Similarity.buildPqIndex(e, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val fresh = Similarity.probePq(built, e, q, "vec_id", "embedding",
+      k = 5, refine = 3).collect().map(_.toSeq).toSet
+
+    built.codes.write.parquet(s"$dir/codes")
+    import spark.implicits._
+    Seq(built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      .toDF("cb").write.parquet(s"$dir/codebooks")
+    val (m, ksub, ds) = (built.m, built.ksub, built.ds)
+    built.release()
+
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .head().getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+      .map(_.map(_.toArray).toArray).toArray
+    val loaded = Similarity.PqIndex(
+      spark.read.parquet(s"$dir/codes"), cb, m, ksub, ds)
+    val reloaded = Similarity.probePq(loaded, e, q, "vec_id", "embedding",
+      k = 5, refine = 3).collect().map(_.toSeq).toSet
+    assert(reloaded == fresh)
+  }
+
   test("IVF index round-trips through parquet: saved index probes identically") {
     // The 100 TB contract: build once, write the index, probe many
     // times from storage. assigned is partitioned by cell on disk so a
