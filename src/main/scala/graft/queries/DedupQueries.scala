@@ -129,9 +129,29 @@ object DedupQueries {
   private val shingleSet =
     s"""list_distinct(list_transform(range(1, len($toks) - 1),
        | i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
-  private val jac =
-    """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      | / len(list_distinct(list_concat(a.s, b.s)))""".stripMargin
+  /** Exact sparse Jaccard-pair CTEs over a `(doc_id, s)` shingle-SET
+    * CTE: shingles exploded and self-joined on the shingle (a pair
+    * sharing none has J = 0 and can never reach the threshold), the
+    * intersection count from one group-by, J = c/(na + nb − c). Same
+    * integers and the same final double division as a list-based
+    * intersect/union form — bit-identical pairs — but without materializing
+    * |docs|² rows of shingle LISTS, which made the sf0.1 audit's
+    * DuckDB side pathological (an hour+ per dedup oracle). Emits
+    * `prs(id_a, id_b, jaccard)`. */
+  private def sparseJacCtes(shCte: String, threshold: Double): String =
+    s"""ln AS (SELECT doc_id, len(s) AS n FROM $shCte),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM $shCte),
+       |ix AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2),
+       |prs AS (
+       | SELECT id_a, id_b,
+       |  CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+       | FROM ix JOIN ln na ON na.doc_id = ix.id_a
+       |  JOIN ln nb ON nb.doc_id = ix.id_b
+       | WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= $threshold)"""
+      .stripMargin
   // Bit-exact cosine mirror of Dedup.cosine: double products, strict
   // left-to-right reduction, dot/sqrt(na)/sqrt(nb).
   private def cosSql(a: String, b: String): String = {
@@ -148,32 +168,32 @@ object DedupQueries {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
-         |FROM sh a, sh b
-         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
+      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents),
+         |${sparseJacCtes("sh", 0.8)}
+         |SELECT id_a, id_b, jaccard FROM prs""".stripMargin,
 
     "q_dedup_cross" ->
       s"""WITH sh AS (SELECT doc_id, source, $shingleSet AS s FROM documents),
-         |sa AS (SELECT doc_id, s FROM sh WHERE source IN
+         |ina AS (SELECT doc_id FROM sh WHERE source IN
          |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')),
-         |sb AS (SELECT doc_id, s FROM sh WHERE source NOT IN
-         |  ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9'))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
-         |FROM sa a, sb b
-         |WHERE $jac >= 0.8""".stripMargin,
+         |${sparseJacCtes("sh", 0.8)}
+         |SELECT p.id_a, p.id_b, p.jaccard FROM prs p
+         | JOIN ina ON ina.doc_id = p.id_a
+         |WHERE p.id_b NOT IN (SELECT doc_id FROM ina)
+         |UNION ALL
+         |SELECT p.id_b, p.id_a, p.jaccard FROM prs p
+         | JOIN ina ON ina.doc_id = p.id_b
+         |WHERE p.id_a NOT IN (SELECT doc_id FROM ina)""".stripMargin,
 
     "q_dedup_ngram" ->
-      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jaccard
-         |FROM sh a, sh b
-         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
+      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents),
+         |${sparseJacCtes("sh", 0.8)}
+         |SELECT id_a, id_b, jaccard FROM prs""".stripMargin,
 
     "q_dedup_winnow" ->
-      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM sh a, sh b
-         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin,
+      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents),
+         |${sparseJacCtes("sh", 0.8)}
+         |SELECT id_a, id_b FROM prs""".stripMargin,
 
     "q_dedup_embed" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -182,15 +202,12 @@ object DedupQueries {
          | ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
 
-    // Recursive transitive closure over the same brute-force J≥0.8
-    // pair set; MIN(reachable id) = the propagation fixpoint.
+    // Recursive transitive closure over the same exact J≥0.8 pair set;
+    // MIN(reachable id) = the propagation fixpoint.
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE sh AS (
          | SELECT doc_id, $shingleSet AS s FROM documents),
-         |prs AS (
-         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         | FROM sh a, sh b
-         | WHERE a.doc_id < b.doc_id AND $jac >= 0.8),
+         |${sparseJacCtes("sh", 0.8)},
          |edges AS (
          | SELECT id_a AS u, id_b AS v FROM prs
          | UNION ALL SELECT id_b, id_a FROM prs),
