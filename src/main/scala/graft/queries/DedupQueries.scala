@@ -126,7 +126,7 @@ object DedupQueries {
   private val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   // DuckDB 3-shingle set; range() is end-exclusive so this yields the
   // same n-2 shingles as Spark's sequence(0, n-3).
-  private val shingleSet =
+  private[queries] val shingleSet =
     s"""list_distinct(list_transform(range(1, len($toks) - 1),
        | i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
   /** Exact sparse Jaccard-pair CTEs over a `(doc_id, s)` shingle-SET
@@ -138,7 +138,7 @@ object DedupQueries {
     * |docs|² rows of shingle LISTS, which made the sf0.1 audit's
     * DuckDB side pathological (an hour+ per dedup oracle). Emits
     * `prs(id_a, id_b, jaccard)`. */
-  private def sparseJacCtes(shCte: String, threshold: Double): String =
+  private[queries] def sparseJacCtes(shCte: String, threshold: Double): String =
     s"""ln AS (SELECT doc_id, len(s) AS n FROM $shCte),
        |ex AS (SELECT doc_id, unnest(s) AS g FROM $shCte),
        |ix AS (

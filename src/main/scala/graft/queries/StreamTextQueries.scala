@@ -276,22 +276,15 @@ object StreamTextQueries {
          |GROUP BY 1, 2""".stripMargin
     },
 
-    // Brute-force exact-Jaccard J≥0.8 pairs — valid for the est≥0.8
-    // signature cut because the fixture similarity distribution is
-    // bimodal (see the query comment).
-    "q_neardup_stream" -> {
-      val toks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
-      val shingleSet =
-        s"""list_distinct(list_transform(range(1, len($toks) - 1),
-           | i -> array_to_string(list_slice($toks, i, i + 2), ' ')))""".stripMargin
-      val jac =
-        """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          | / len(list_distinct(list_concat(a.s, b.s)))""".stripMargin
-      s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM sh a, sh b
-         |WHERE a.doc_id < b.doc_id AND $jac >= 0.8""".stripMargin
-    },
+    // Exact-Jaccard J≥0.8 pairs (the DedupQueries sparse formulation —
+    // the list-based all-pairs form was pathological at sf0.1) — valid
+    // for the est≥0.8 signature cut because the fixture similarity
+    // distribution is bimodal (see the query comment).
+    "q_neardup_stream" ->
+      s"""WITH sh AS (SELECT doc_id, ${DedupQueries.shingleSet} AS s
+         |  FROM documents),
+         |${DedupQueries.sparseJacCtes("sh", 0.8)}
+         |SELECT id_a, id_b FROM prs""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT g, item, est FROM (
