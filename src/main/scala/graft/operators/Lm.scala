@@ -56,6 +56,31 @@ object Lm {
           .as("surprisal"))
   }
 
+  /** Per-document Shannon entropy (nats) of the token distribution —
+    * the diversity/repetition quality signal (templated or looping
+    * text scores low; Gopher-style filters gate on it). Computed as
+    * `H = ln n − (Σ c·ln c)/n` so there is exactly ONE division: the
+    * per-token terms `c·ln c` are integers-through-libm doubles summed
+    * order-free as DECIMAL(38,18), making the 6 dp score
+    * engine-portable. Shape: one (id, token) partial-aggregated count,
+    * one per-doc aggregate — linear in corpus tokens, nothing
+    * pairwise. Empty/whitespace-only docs are absent. */
+  def tokenEntropy(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(col(id), explode(Text.tokens(col(text))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(id), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__term",
+        (col("__c").cast("double") * log(col("__c").cast("double")))
+          .cast("decimal(38,18)"))
+      .groupBy(col(id))
+      .agg(sum(col("__c")).as("n_tokens"), sum(col("__term")).as("__s"))
+      .select(col(id), col("n_tokens"),
+        (round(log(col("n_tokens").cast("double"))
+          - col("__s").cast("double") / col("n_tokens").cast("double"), 6)
+          + lit(0.0)).as("entropy"))
+
   /** Model-based quality gate (the fasttext-shaped classifier filter):
     * train a logistic model on hashed-token-bucket features against a
     * caller-supplied weak label (a heuristic rule, a curated sample, a

@@ -195,6 +195,13 @@ object TextQueries {
       graft.operators.Lm.bigramSurprisal(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // Token-distribution Shannon entropy per doc — the diversity/
+    // repetition signal (H = ln n − (Σ c·ln c)/n, one division,
+    // decimal-staged term sum, 6dp).
+    "q_entropy" -> ((s, dir) =>
+      graft.operators.Lm.tokenEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
     // The composed training-data pipeline — the end-to-end shape the
     // individual operators exist for: language-ID gate (predicted ==
     // labeled), quality gate, exact near-dup removal (content-
@@ -373,6 +380,25 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips
          |FROM documents""".stripMargin
     },
+
+    // Mirrors Lm.tokenEntropy: same tokenization, c·ln c terms staged
+    // through DECIMAL(38,18) (order-free), one division, 6dp + signed
+    // zero canonicalization.
+    "q_entropy" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, unnest($toks) AS t FROM documents),
+         |c AS (
+         | SELECT doc_id, t, COUNT(*) AS c FROM tk
+         | WHERE t <> '' GROUP BY 1, 2),
+         |s AS (
+         | SELECT doc_id, SUM(c) AS n,
+         |  SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |    AS DECIMAL(38,18))) AS st
+         | FROM c GROUP BY 1)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         | round(ln(CAST(n AS DOUBLE))
+         |  - CAST(st AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS entropy
+         |FROM s""".stripMargin,
 
     // Same bigram split as Spark's shinglesOfTokens(·, 2); surprisal
     // terms decimal-staged before the order-free sum; ROUND + 0.0

@@ -160,4 +160,28 @@ class TextSpec extends SparkSpec {
     // identical docs score identically (featurization is content-pure)
     assert(out(1L)._1 == out(2L)._1)
   }
+
+  test("tokenEntropy: hand-computed goldens, bounds, degenerate doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a a b"),       // H = ln 3 − (2·ln 2)/3
+      (2L, "a b c"),       // uniform: H = ln 3
+      (3L, "x x x x"),     // single type: H = 0
+      (4L, "   ")          // whitespace-only: absent
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Lm.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(!got.contains(4L))
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 -
+      (math.log(3.0) - 2.0 * math.log(2.0) / 3.0)) < 1e-6)
+    assert(math.abs(got(2L)._2 - math.log(3.0)) < 1e-6)
+    assert(got(3L) == (4L, 0.0))
+    // entropy is bounded by ln(n_tokens)
+    got.values.foreach { case (n, h) =>
+      assert(h >= 0.0 && h <= math.log(n.toDouble) + 1e-9)
+    }
+  }
 }
