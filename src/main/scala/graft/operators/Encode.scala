@@ -102,8 +102,12 @@ object Encode {
     val n = stats.getLong(2).toDouble
     val mean = stats.getSeq[Double](0).map(_ / n)
     val ex2 = stats.getSeq[Double](1).map(_ / n)
+    // Clamp: E[x²] − mean² can be a tiny negative for a constant /
+    // near-constant dimension (catastrophic cancellation of the rounded
+    // doubles); without it sqrt yields NaN instead of the documented
+    // zero-variance → 0 behavior.
     val std = mean.indices.map(i =>
-      math.sqrt(ex2(i) - mean(i) * mean(i)))
+      math.sqrt(math.max(0.0, ex2(i) - mean(i) * mean(i))))
     val mLit = typedlit(mean)
     val sLit = typedlit(std)
     df.withColumn(out,

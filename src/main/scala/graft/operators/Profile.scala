@@ -129,21 +129,33 @@ object Profile {
       sum(viol.cast("long")).as(s"__v_$i")
     } :+ count(lit(1)).as("__tot")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = checks.zipWithIndex.map { case ((n, _), i) =>
-      s"'${n.replace("'", "''")}', __v_$i"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${checks.size}, $stackExpr) AS (check_name, violations)",
-      "__tot AS total")
+    // Unpivot via the Column API, not selectExpr: check names are user
+    // data, and interpolating them into SQL text is an injection
+    // surface (Spark also concatenates adjacent string literals, so
+    // even ''-doubled apostrophes get silently mangled).
+    val entries = checks.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("check_name"), col(s"__v_$i").as("violations"))
+    }
+    one.select(explode(array(entries: _*)).as("__c"),
+        col("__tot").as("total"))
+      .select(col("__c.check_name"), col("__c.violations"), col("total"))
   }
 
   /** Key-uniqueness check: violations = excess rows beyond one per
     * distinct key (0 ⇔ the key is unique). One exact count-distinct
-    * aggregate — the shuffle carries keys once, never rows. */
+    * aggregate — the shuffle carries keys once, never rows.
+    *
+    * Null contract (matches SQL `COUNT(*) − COUNT(DISTINCT key)`): a
+    * row whose key columns are ALL null contributes no distinct value,
+    * i.e. every such row is a violation — a nullable "key" cannot
+    * identify it. Without the null-out below, countDistinct over the
+    * struct would count the all-null tuple as one legitimate key and
+    * silently diverge from the SQL mirror. */
   def dqUnique(df: DataFrame, keys: Seq[String],
                name: String): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
-    df.select(struct(keys.map(col): _*).as("__k"))
+    val anyNonNull = keys.map(col(_).isNotNull).reduce(_ || _)
+    df.select(when(anyNonNull, struct(keys.map(col): _*)).as("__k"))
       .agg((count(lit(1)) - countDistinct(col("__k"))).as("violations"),
         count(lit(1)).as("total"))
       .select(lit(name).as("check_name"), col("violations"), col("total"))
@@ -152,13 +164,20 @@ object Profile {
   /** Referential-integrity check: violations = child rows whose
     * non-null key has no match in the parent (orphans), via one
     * left-anti join against the parent's distinct keys — Catalyst
-    * broadcasts the key set when the parent is dimension-sized. */
+    * broadcasts the key set when the parent is dimension-sized.
+    *
+    * Null contract: null CHILD keys are not orphans (filtered below),
+    * and null PARENT keys are ignored (explicit filter — an equi-join
+    * never matches on null anyway, but a SQL `NOT IN` mirror returns
+    * zero rows the moment the parent contains one null, so the filter
+    * keeps both sides on the same documented semantics). */
   def dqReferential(child: DataFrame, childKey: Column,
                     parent: DataFrame, parentKey: Column,
                     name: String): DataFrame = {
     val orphans = child.select(childKey.as("__k"))
       .filter(col("__k").isNotNull)
-      .join(parent.select(parentKey.as("__k")).distinct(),
+      .join(parent.select(parentKey.as("__k"))
+          .filter(col("__k").isNotNull).distinct(),
         Seq("__k"), "left_anti")
       .agg(count(lit(1)).as("violations"))
     val tot = child.agg(count(lit(1)).as("total"))

@@ -35,13 +35,18 @@ object EncodeQueries {
     // Per-dimension standardization of the embedding corpus: exact
     // decimal sufficient stats (one pass), literal-baked projection.
     // 6dp cut + signed-zero canonicalization, the decimal-sum oracle
-    // convention.
+    // convention. The scaled array is serialized to a CSV string of
+    // DECIMAL(18,6)-formatted elements: the driver's comparator sorts
+    // result columns with pandas, which cannot hash ARRAY cells (r4
+    // verdict item 1); decimal formatting pads trailing zeros
+    // identically on both engines.
     "q_scale" -> ((s, dir) =>
       Encode.standardScale(Tables.load(s, dir, "embeddings"),
         "embedding", "scaled")
         .select(col("vec_id"),
-          transform(col("scaled"),
-            v => round(v, 6) + lit(0.0)).as("scaled")))
+          concat_ws(",", transform(col("scaled"),
+            v => (round(v, 6) + lit(0.0))
+              .cast("decimal(18,6)").cast("string"))).as("scaled")))
   )
 
   /** md5 6-hex-char prefix as an integer — the DuckDB mirror of
@@ -96,12 +101,14 @@ object EncodeQueries {
         |  CAST(SUM(CAST(list_extract(x, dim) * list_extract(x, dim)
         |    AS DECIMAL(27,18))) AS DOUBLE) / (SELECT n FROM n) AS ex2
         | FROM pts, range(1, 65) r(dim) GROUP BY dim),
-        |sd AS (SELECT dim, mean, sqrt(ex2 - mean * mean) AS std FROM st)
-        |SELECT vec_id, list(val ORDER BY dim) AS scaled FROM (
+        |sd AS (SELECT dim, mean,
+        |  sqrt(GREATEST(ex2 - mean * mean, 0)) AS std FROM st)
+        |SELECT vec_id,
+        | array_to_string(list(val ORDER BY dim), ',') AS scaled FROM (
         | SELECT p.vec_id, s.dim,
-        |  CASE WHEN s.std = 0 THEN 0.0
+        |  CAST(CAST(CASE WHEN s.std = 0 THEN 0.0
         |   ELSE round((list_extract(p.x, s.dim) - s.mean) / s.std, 6) + 0.0
-        |   END AS val
+        |   END AS DECIMAL(18,6)) AS VARCHAR) AS val
         | FROM pts p CROSS JOIN sd s) t
         |GROUP BY vec_id""".stripMargin
   )

@@ -66,9 +66,15 @@ object SimilarityQueries {
     }),
 
     // Symmetric int8 quantization of the corpus (the 4× ANN memory
-    // lever) — pure IEEE arithmetic, exact oracle.
+    // lever) — pure IEEE arithmetic, exact oracle. The code array is
+    // serialized to a CSV string for the registry output: the driver's
+    // comparator sorts result columns with pandas, which cannot hash
+    // ARRAY cells (r4 verdict item 1).
     "q_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")),
+      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",",
+            transform(col("qvec"), _.cast("string"))).as("qvec"))),
 
     // Top-10 by quantized integer dot product — all-integer scoring,
     // so the oracle compare needs no float discipline at all.
@@ -277,9 +283,10 @@ object SimilarityQueries {
         |  list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
         | FROM pts)
         |SELECT vec_id, scale,
-        | CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
-        |  ELSE list_transform(x, v -> CAST(floor(v / scale + 0.5) AS INT))
-        |  END AS qvec
+        | array_to_string(list_transform(
+        |  CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+        |   ELSE list_transform(x, v -> CAST(floor(v / scale + 0.5) AS INT))
+        |   END, v -> CAST(v AS VARCHAR)), ',') AS qvec
         |FROM sc""".stripMargin,
 
     "q_ann_quant" ->

@@ -49,7 +49,12 @@ object StreamDrift {
       val p = if (counts(i) == 0L) 1e-6 else counts(i).toDouble / tot
       val r = ref(i)
       val term = (p - r) * math.log(p / r)
-      acc = acc.add(new java.math.BigDecimal(term)
+      // valueOf (shortest decimal repr), NOT new BigDecimal (exact
+      // binary expansion): Spark's double → DECIMAL(38,18) cast goes
+      // through BigDecimal.valueOf, and the two can differ in the 18th
+      // digit — enough to flake the stream≡batch bit-parity at a 6 dp
+      // rounding boundary.
+      acc = acc.add(java.math.BigDecimal.valueOf(term)
         .setScale(18, java.math.RoundingMode.HALF_UP))
       i += 1
     }
