@@ -288,19 +288,11 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, d) => acc + d)
 
-  /** SimHash near-dup: candidates share at least one equal 16-bit chunk
-    * (pigeonhole: hamming ≤ chunks-1 guarantees this), verified with
-    * exact hamming ≤ `maxHamming`. Returns (id_a, id_b, hamming). */
-  def simhashDedup(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // Native fused kernel: tokenize → SimHashChunks in the scan stage;
-    // cached so both self-join legs reuse it.
-    val withSig = df.select(col(id), col(text))
-      .repartition(par)
-      .select(col(id), graft.functions.SketchFunctions
-        .simhashChunks(Text.tokens(col(text)), chunks).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Shared SimHash candidate/verify tail: pigeonhole banding on equal
+    * chunks, exact hamming ≤ `maxHamming` verification over a cached
+    * (id, sig) table. */
+  private def simhashPairs(withSig: DataFrame, id: String,
+                           maxHamming: Int): DataFrame = {
     val buckets = withSig.select(col(id), col("sig"),
       posexplode(col("sig")).as(Seq("chunk", "cval")))
     val pairs = buckets.as("a")
@@ -314,6 +306,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
     materializeAndRelease(pairs, withSig)
+  }
+
+  /** SimHash near-dup: candidates share at least one equal 16-bit chunk
+    * (pigeonhole: hamming ≤ chunks-1 guarantees this), verified with
+    * exact hamming ≤ `maxHamming`. Returns (id_a, id_b, hamming). */
+  def simhashDedup(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Native fused kernel: tokenize → SimHashChunks in the scan stage;
+    // cached so both self-join legs reuse it.
+    val withSig = df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id), graft.functions.SketchFunctions
+        .simhashChunks(Text.tokens(col(text)), chunks).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashPairs(withSig, id, maxHamming)
+  }
+
+  /** md5-derived SimHash twin of [[simhashDedup]], built so an ANSI-SQL
+    * engine can replay the signatures end-to-end (xxhash64 has no SQL
+    * mirror): bit i (0-based, LSB-first) of a token's 64-bit hash is
+    * bit (i % 4) of hex digit (i / 4 + 1) of md5(token) — every step is
+    * exact string/integer arithmetic. Banding, hamming verification,
+    * and output shape are identical to the production variant; prefer
+    * that one at scale (one native hash call vs 16 substring parses per
+    * token). Docs that tokenize to nothing are excluded on both sides:
+    * an all-zero vote vector would stamp every empty doc with the same
+    * all-ones signature and pair them quadratically. */
+  def simhashDedupMd5(df: DataFrame, id: String, text: String,
+                      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Staged projections (interpreted HOF lambdas have no CSE): tokens,
+    // then one md5 per token, then the 64-bit vote fold over the
+    // materialized hex strings.
+    val toks = df
+      .select(col(id),
+        filter(Text.tokens(col(text)), t => t =!= "").as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .repartition(par)
+    val hashes = toks.select(col(id),
+      transform(col("__toks"), t => md5(t)).as("__h"))
+    val votes = hashes.select(col(id),
+      aggregate(col("__h"), array_repeat(lit(0), 64),
+        (acc, h) => zip_with(acc,
+          array((0 until 64).map { i =>
+            val nib = conv(h.substr(lit(i / 4 + 1), lit(1)), 16, 10)
+              .cast("int")
+            when(shiftright(nib, i % 4).bitwiseAND(lit(1)) === 1, 1)
+              .otherwise(-1)
+          }: _*),
+          (a, b) => a + b)).as("__v"))
+    val withSig = votes
+      .select(col(id), votesToChunks(col("__v"), chunks).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashPairs(withSig, id, maxHamming)
   }
 
   // ------------------------------------------------------------ winnowing

@@ -56,6 +56,14 @@ object DedupQueries {
       Dedup.simhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
 
+    // md5-kernel SimHash twin: same banding/hamming logic as
+    // q_dedup_simhash but with a token hash DuckDB can replay — this is
+    // the hard-oracle coverage for Dedup.simhashPairs (the xxhash64
+    // production variant above stays rows-only).
+    "q_dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashDedupMd5(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)),
+
     // Winnowing (rolling-hash) fingerprint candidates + exact Jaccard
     // verification — same candidates-then-verify architecture as
     // minhash, so the brute-force J≥0.8 oracle holds whenever the
@@ -194,6 +202,44 @@ object DedupQueries {
       s"""WITH sh AS (SELECT doc_id, $shingleSet AS s FROM documents),
          |${sparseJacCtes("sh", 0.8)}
          |SELECT id_a, id_b FROM prs""".stripMargin,
+
+    // Full signature replay: per token, 64 bit-votes from md5 hex
+    // digits (bit i of the hash = bit (i % 4) of hex digit i // 4);
+    // vote sums sign into 4 × 16-bit chunks, pigeonhole banding on
+    // chunk equality, exact hamming verify — the same pipeline the
+    // Spark operator stages.
+    "q_dedup_simhash_md5" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        | FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS h FROM toks WHERE t <> ''),
+        |votes AS (
+        | SELECT doc_id, b.bit,
+        |  SUM(CASE WHEN
+        |    ((strpos('0123456789abcdef',
+        |       substring(h, CAST(b.bit // 4 + 1 AS INT), 1)) - 1)
+        |     >> (b.bit % 4)) & 1 = 1
+        |   THEN 1 ELSE -1 END) AS v
+        | FROM th CROSS JOIN range(0, 64) b(bit)
+        | GROUP BY doc_id, b.bit),
+        |chunks AS (
+        | SELECT doc_id, bit // 16 AS chunk,
+        |  CAST(SUM(CASE WHEN v >= 0
+        |   THEN (1 << CAST(bit % 16 AS INT)) ELSE 0 END) AS INT) AS cval
+        | FROM votes GROUP BY doc_id, bit // 16),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM chunks a JOIN chunks b
+        |  ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id),
+        |ham AS (
+        | SELECT c.id_a, c.id_b,
+        |  CAST(SUM(bit_count(xor(ca.cval, cb.cval))) AS INT) AS hamming
+        | FROM cand c
+        |  JOIN chunks ca ON ca.doc_id = c.id_a
+        |  JOIN chunks cb ON cb.doc_id = c.id_b AND cb.chunk = ca.chunk
+        | GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
     "q_dedup_embed" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
