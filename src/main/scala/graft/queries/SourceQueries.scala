@@ -134,9 +134,10 @@ object SourceQueries {
     // HDF5 container round-trip (DataSource/DataSink HDF5, reference
     // cgen-hpat-pattern-match.jl:849-1048/1201-1269): nation through
     // the DataSourceV2 sink (one 1-D dataset per column) and back,
-    // then a join-shaped aggregate. The chunk codec is the declared
-    // in-memory stub; the V2 read path (block partitioning, dataset
-    // pruning) is exactly what a libhdf5 backend would execute.
+    // then a join-shaped aggregate. The bytes are the real HDF5 binary
+    // layout (Hdf5Codec: superblock v0 + contiguous datasets); block
+    // partitions read disjoint byte ranges, pruned at dataset
+    // granularity.
     "q_hdf5_roundtrip" -> ((s, dir) => {
       val fmt = "graft.sources.hdf5"
       val path = s"mem:${tmp(dir, "h5")}"

@@ -34,45 +34,55 @@ import org.apache.spark.unsafe.types.UTF8String
   *    partition order (the collective-write equivalent; a native impl
   *    would instead pass block offsets down and write in place).
   *
-  * The byte-level HDF5 chunk codec is STUBBED: no HDF5 native library
-  * exists in this environment, so datasets live in the in-memory
-  * [[Hdf5Store]] keyed by path (same declared-stub pattern as the
-  * multimodal codec — swapping a real libhdf5 JNI reader in replaces
-  * only [[Hdf5Store]]'s array access; every Spark-facing interface,
-  * pruning path, and partition plan stays identical).
+  * The byte-level codec is [[Hdf5Codec]] — a pure-JVM implementation
+  * of the public HDF5 binary layout (superblock v0, v1 object headers,
+  * contiguous 1-D datasets). Real bytes on disk, openable by standard
+  * HDF5 tooling; the contiguous layout makes each block partition's
+  * read a single seek + contiguous byte range of exactly its rows.
   *
   * Usage: `spark.read.format("graft.sources.hdf5").option("path", p)` /
   * `df.write.format("graft.sources.hdf5").option("path", p)`.
   */
 object Hdf5Store {
-  /** path → ordered (column → (type, values)). The STUB storage layer:
-    * a real implementation maps these to libhdf5 dataset reads. */
-  private val store =
-    new TrieMap[String, Seq[(String, (DataType, IndexedSeq[Any]))]]()
   /** datasets opened since last `resetOpened` — lets specs assert that
     * pruned columns are never read. */
   val opened = new TrieMap[String, Unit]()
 
+  /** Logical path → file. `mem:`-prefixed paths (spec fixtures and the
+    * registry's scratch containers) land in a tmpdir sandbox; anything
+    * else is a filesystem path as given. */
+  def resolve(path: String): java.io.File =
+    if (path.startsWith("mem:")) {
+      val safe = path.drop(4).replaceAll("[^A-Za-z0-9._-]", "_")
+      new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), "graft-hdf5"),
+        s"${safe}_${Integer.toHexString(path.hashCode)}.h5")
+    } else new java.io.File(path)
+
   def put(path: String,
-          cols: Seq[(String, (DataType, IndexedSeq[Any]))]): Unit = {
-    val lens = cols.map(_._2._2.size).distinct
-    require(lens.size <= 1, s"ragged column datasets: $lens")
-    store.put(path, cols)
+          cols: Seq[(String, (DataType, IndexedSeq[Any]))]): Unit =
+    Hdf5Codec.write(resolve(path), cols)
+  def get(path: String): Option[Seq[(String, (DataType, IndexedSeq[Any]))]] = {
+    val f = resolve(path)
+    if (Hdf5Codec.exists(f)) Some(Hdf5Codec.readAll(f)) else None
   }
-  def get(path: String): Option[Seq[(String, (DataType, IndexedSeq[Any]))]] =
-    store.get(path)
-  def drop(path: String): Unit = store.remove(path)
-  def read(path: String, column: String): (DataType, IndexedSeq[Any]) = {
+  def schema(path: String): Option[StructType] = {
+    val f = resolve(path)
+    if (Hdf5Codec.exists(f))
+      Some(StructType(Hdf5Codec.meta(f).datasets.map(d =>
+        StructField(d.name, d.dtype, nullable = false))))
+    else None
+  }
+  def drop(path: String): Unit = { resolve(path).delete(); () }
+  def readRange(path: String, column: String,
+                start: Long, end: Long): IndexedSeq[Any] = {
     opened.put(s"$path/$column", ())
-    store.getOrElse(path, throw new IllegalArgumentException(
-      s"no HDF5 container at $path (in-memory stub store; a native " +
-        "libhdf5 reader replaces Hdf5Store)"))
-      .find(_._1 == column)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no dataset /$column in $path"))._2
+    Hdf5Codec.readRange(resolve(path), column, start, end)
   }
-  def rowCount(path: String): Long =
-    store.get(path).flatMap(_.headOption.map(_._2._2.size.toLong)).getOrElse(0L)
+  def rowCount(path: String): Long = {
+    val f = resolve(path)
+    if (Hdf5Codec.exists(f)) Hdf5Codec.meta(f).rows else 0L
+  }
   def resetOpened(): Unit = opened.clear()
 }
 
@@ -86,11 +96,8 @@ class DefaultSource extends TableProvider
     p
   }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Hdf5Store.get(path(options)) match {
-      case Some(cols) =>
-        StructType(cols.map { case (n, (t, _)) => StructField(n, t) })
-      case None => new StructType() // write to a fresh path: schema from DF
-    }
+    Hdf5Store.schema(path(options))
+      .getOrElse(new StructType()) // write to a fresh path: schema from DF
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new Hdf5Table(properties.get("path"), schema)
@@ -147,17 +154,21 @@ class Hdf5ReaderFactory(required: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[Hdf5Partition]
     new PartitionReader[InternalRow] {
-      // open exactly the pruned datasets, once per partition
+      // Open exactly the pruned datasets, and of each, exactly this
+      // block's byte range — contiguous layout makes the block read a
+      // single seek per (partition, column).
       private val cols: Array[IndexedSeq[Any]] =
-        required.fields.map(f => Hdf5Store.read(p.path, f.name)._2)
-      private var i = p.start
+        required.fields.map(f =>
+          Hdf5Store.readRange(p.path, f.name, p.start, p.end))
+      private val n = (p.end - p.start).toInt
+      private var i = 0
       private var row: InternalRow = _
       override def next(): Boolean = {
-        if (i >= p.end) return false
+        if (i >= n) return false
         val vals = new Array[Any](cols.length)
         var c = 0
         while (c < cols.length) {
-          vals(c) = cols(c)(i.toInt) match {
+          vals(c) = cols(c)(i) match {
             case s: String => UTF8String.fromString(s)
             case v => v
           }
