@@ -1,24 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, processed in partition-sized batches.
+/** Multimodal column operators: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by scan-stage kernels.
   *
-  * The Spark-side architecture is real and tested — schema, partitioning,
-  * batch iteration shape (`mapPartitions` over rows, the JVM analog of
-  * arrow-batched `mapInPandas`), explode plumbing for frame sampling —
-  * while the actual codec calls are STUBBED with deterministic fakes
-  * (`fakeDecode`): image/audio libraries are not available in this
-  * environment. Swapping a real decoder in changes only the function
-  * body marked STUB below; every schema and plan shape stays identical.
+  * The image path is REAL end to end: payloads are encoded PNG bytes,
+  * decoded with the JDK's `javax.imageio` ([[MediaCodec]]) inside the
+  * consuming projection — features, perceptual hashes, and resizes all
+  * compute over actual decoded pixels. Because PNG is lossless and the
+  * fixture pixel field is a closed-form integer function, the DuckDB
+  * oracles replay the full encode → decode → arithmetic chain exactly.
   *
-  * Scale notes: media bytes are the dominant payload — all transforms
-  * here are narrow (no shuffle); feature extraction prunes the bytes
-  * column as early as possible so downstream stages shuffle only
-  * fixed-size feature vectors, never blobs.
+  * Scale notes: media bytes are the dominant payload — every transform
+  * here is narrow (no shuffle); the bytes column is consumed and
+  * dropped inside a single projection, so blobs never cross a stage
+  * boundary and downstream stages shuffle only fixed-size vectors or
+  * 8-byte hashes.
   */
 object Multimodal {
 
@@ -35,8 +35,9 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))))))
 
-  /** Wrap any (id, string-payload) table as a media table — the fixture
-    * adapter (documents.text stands in for an encoded payload). */
+  /** Wrap any (id, string-payload) table as a media table — the
+    * byte-payload adapter for modality-agnostic plumbing (frame
+    * slicing operates on raw bytes whatever the codec). */
   def asMedia(df: DataFrame, id: String, payload: String,
               modality: String): DataFrame =
     df.select(
@@ -50,50 +51,128 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (length(col(payload)) % 16 + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** STUB decoder: deterministic fake "pixel decode" — a keyed rolling
-    * hash of the payload bytes expanded to `dim` floats in [-1, 1).
-    * A real implementation would decode the image/audio codec here;
-    * everything around it (batching, schema, pruning) is production
-    * shape. */
-  private[operators] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // ??? real codec goes here — STUB
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((h >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f
-      j += 1
+  // ----------------------------------------------------- image fixtures
+
+  /** Closed-form fixture pixel field — deterministic integer
+    * arithmetic, so an ANSI-SQL oracle regenerates the exact pixels the
+    * PNG round-trip must preserve. */
+  private[graft] def synthPixel(seed: Long, x: Int, y: Int, c: Int): Int =
+    ((seed * 7919L + x * 104729L + y * 1299709L + c * 15485863L) % 256L).toInt
+
+  private[graft] def synthDims(seed: Long): (Int, Int) =
+    ((seed % 24 + 9).toInt, (seed % 16 + 9).toInt)
+
+  /** Render the fixture field for `seed` as real encoded PNG bytes. */
+  private[graft] def synthPng(seed: Long): Array[Byte] = {
+    val (w, h) = synthDims(seed)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          rgb((y * w + x) * 3 + c) = synthPixel(seed, x, y, c).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
     }
-    out
+    MediaCodec.encodePng(w, h, rgb)
   }
 
-  /** Feature extraction: bytes → fixed-`dim` float vector. A typed
-    * Scala UDF inside one narrow projection: the plan stays in Tungsten
-    * (no `DeserializeToObject`/RDD round-trip — the kernel is invoked
-    * from generated code on UnsafeRow data). The bytes column is
-    * dropped in the same projection, so the blob never crosses a stage
+  /** Media table of real PNG images, one per row of `df`: pixel content
+    * is keyed by `id % 100000` (so a re-ingest under a shifted id — the
+    * re-crawl scenario — carries byte-identical image content). The
+    * encode happens in the scan stage; each partition encodes only its
+    * own rows. */
+  def syntheticImages(df: DataFrame, id: String): DataFrame = {
+    val mk = udf((mid: Long) => synthPng(mid % 100000L))
+    val seed = col(id).cast("long") % 100000L
+    df.select(
+      col(id).cast("long").as("media_id"),
+      lit("image").as("modality"),
+      mk(col(id).cast("long")).as("bytes"),
+      struct(
+        (seed % 24 + 9).cast("int").as("width"),
+        (seed % 16 + 9).cast("int").as("height"),
+        lit(3).as("channels"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(1).as("n_frames")).as("meta"))
+  }
+
+  // ---------------------------------------------------------- operators
+
+  /** Feature extraction over REAL decoded pixels: the payload is
+    * decoded with `javax.imageio`, and feature j is the exact integer
+    * sum of every channel byte whose flat index ≡ j (mod `dim`) — a
+    * fixed-`dim` projection of the pixel stream (sums are order-free
+    * and integral, so cross-engine comparison needs no float
+    * discipline). One narrow projection: the kernel is a typed Scala
+    * UDF invoked from generated code on UnsafeRow data (no
+    * `DeserializeToObject`/RDD round-trip), and the bytes column is
+    * dropped in the same projection — the blob never crosses a stage
     * boundary. */
   def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
-    val decode = udf((bytes: Array[Byte]) => fakeDecode(bytes, dim))
+    val decode = udf((bytes: Array[Byte]) => {
+      val (_, _, rgb) = MediaCodec.decodeRgb(bytes)
+      val out = new Array[Long](dim)
+      var k = 0
+      while (k < rgb.length) {
+        out(k % dim) += (rgb(k) & 0xFF).toLong
+        k += 1
+      }
+      out
+    })
     media.select(col("media_id"), col("modality"),
       decode(col("bytes")).as("feature"))
   }
 
-  /** Resize: metadata-level transform (STUB payload op — a real impl
-    * re-encodes pixels; the fake truncates bytes to at most w·h·channels
-    * so payload size tracks the declared shape). Narrow, one
-    * projection. */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val target = w * h * 3
-    media.withColumn("meta",
-      struct(lit(w).as("width"), lit(h).as("height"),
-        col("meta.channels").as("channels"),
-        col("meta.sample_rate").as("sample_rate"),
-        col("meta.n_frames").as("n_frames")))
-      .withColumn("bytes",
-        col("bytes").substr(lit(1), least(length(col("bytes")), lit(target))))
+  /** Real image resize by exact block-average pooling: source pixel
+    * (x, y) pools into target cell (x·W ÷ w, y·H ÷ h) (integer
+    * division), each channel averaged with floor division — then
+    * re-encoded as PNG. Integer-exact, so the SQL oracle replays the
+    * pooled pixels. Downscale only (W ≤ w, H ≤ h). Narrow: decode,
+    * pool, and re-encode live in one projection. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val pool = udf((bytes: Array[Byte]) => {
+      val (w, h, rgb) = MediaCodec.decodeRgb(bytes)
+      require(targetW <= w && targetH <= h,
+        s"resize is downscale-only: ${w}x$h -> ${targetW}x$targetH")
+      val sums = new Array[Long](targetW * targetH * 3)
+      val cnts = new Array[Long](targetW * targetH)
+      var y = 0
+      while (y < h) {
+        val ty = y * targetH / h
+        var x = 0
+        while (x < w) {
+          val cell = ty * targetW + x * targetW / w
+          cnts(cell) += 1
+          var c = 0
+          while (c < 3) {
+            sums(cell * 3 + c) += (rgb((y * w + x) * 3 + c) & 0xFF).toLong
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Byte](targetW * targetH * 3)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (sums(i) / cnts(i / 3)).toByte
+        i += 1
+      }
+      MediaCodec.encodePng(targetW, targetH, out)
+    })
+    media
+      .withColumn("bytes", pool(col("bytes")))
+      .withColumn("meta",
+        struct(lit(targetW).as("width"), lit(targetH).as("height"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_frames").as("n_frames")))
   }
 
   /** Frame sampling for video-like payloads: split bytes into
@@ -117,36 +196,43 @@ object Multimodal {
 
   /** Byte-slice helper: frame i of (integer) length `len` from a binary
     * column — all-int arithmetic, so chunk boundaries are exact. */
-  private def substring_index_bytes(bytes: org.apache.spark.sql.Column,
-                                    i: org.apache.spark.sql.Column,
-                                    len: org.apache.spark.sql.Column) =
+  private def substring_index_bytes(bytes: Column, i: Column, len: Column) =
     bytes.substr(i * len + 1, len)
 
-  /** Perceptual hash over the (stub-)decoded signal: 64 samples from
-    * the same keyed-LCG decode as [[fakeDecode]], one bit per sample —
-    * set iff the sample exceeds the mean (the classic pHash/blockhash
-    * shape: decode → fixed projection → threshold against the global
-    * mean). Deterministic mod-2⁶⁴ arithmetic throughout, so the DuckDB
-    * oracle reproduces every bit (LCG states in closed form with baked
-    * per-step constants). A real implementation swaps the decode for
-    * pixels + DCT; the threshold/bit packing and everything downstream
-    * is production shape. */
+  /** Perceptual hash (average hash) over REAL decoded pixels: decode,
+    * grayscale each pixel as the channel sum r+g+b, pool into the 8×8
+    * grid (source (x, y) → cell (x·8 ÷ w, y·8 ÷ h)), and set bit
+    * j = row·8 + col iff that cell's mean exceeds the global mean. The
+    * mean comparison is exact integer cross-multiplication
+    * (cellSum·totalCount > totalSum·cellCount), so every bit is
+    * deterministic and SQL-replayable — no float thresholds. */
   private[graft] def phash64(bytes: Array[Byte]): Long = {
-    var h = 1125899906842597L // ??? real codec goes here — STUB
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    val v = new Array[Float](64)
+    val (w, h, rgb) = MediaCodec.decodeRgb(bytes)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val k = (y * w + x) * 3
+        val s = (rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)
+        val j = by * 8 + x * 8 / w
+        sums(j) += s
+        cnts(j) += 1
+        total += s
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var out = 0L
     var j = 0
     while (j < 64) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      v(j) = ((h >>> 40).toInt.toFloat / (1 << 23).toFloat) - 1.0f
+      if (sums(j) * n > total * cnts(j)) out |= (1L << j)
       j += 1
     }
-    var s = 0.0
-    j = 0; while (j < 64) { s += v(j); j += 1 }
-    val m = s / 64.0
-    var out = 0L
-    j = 0; while (j < 64) { if (v(j) > m) out |= (1L << j); j += 1 }
     out
   }
 
@@ -173,8 +259,9 @@ object Multimodal {
 
   /** The banding/verify stage of [[phashDedup]] over precomputed
     * (media_id, h) hashes — split out so the pigeonhole-recall
-    * guarantee is testable with crafted hashes (the stub decoder has
-    * full avalanche, so organic near-but-unequal pairs can't occur). */
+    * guarantee is testable with crafted hashes (the fixture pixel field
+    * has full avalanche, so organic near-but-unequal pairs can't
+    * occur). */
   private[graft] def hashPairs(hashes: DataFrame,
                                maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 3,

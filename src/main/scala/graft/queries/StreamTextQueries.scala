@@ -108,33 +108,48 @@ object StreamTextQueries {
         col("o_orderpriority"), col("o_totalprice"), binWidth = 1000.0,
         groupOut = "o_orderpriority")),
 
-    // Multimodal: wrap documents as media, resize, extract features
-    // (stub decode, real batching/pruning plumbing).
+    // Multimodal: REAL image path — one PNG per document (closed-form
+    // pixel field), decoded with javax.imageio in the feature kernel.
+    // The oracle regenerates the pixels and replays the residue-class
+    // sums, so a wrong byte anywhere in encode → decode → arithmetic
+    // hash-mismatches.
     "q_mm_features" -> ((s, dir) => {
-      val media = Multimodal.asMedia(Tables.load(s, dir, "documents"),
-        "doc_id", "text", "image")
-      Multimodal.extractFeatures(Multimodal.resize(media, 64, 64), dim = 16)
+      val media = Multimodal.syntheticImages(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractFeatures(media, dim = 16)
         .select(col("media_id"), size(col("feature")).as("dim"),
-          element_at(col("feature"), 1).as("f0"))
+          element_at(col("feature"), 1).as("f0"),
+          aggregate(col("feature"), lit(0L), (a, x) => a + x).as("fsum"))
     }),
 
-    // Multimodal: perceptual-hash image near-dup — identical-hash
-    // collapse + 4x16 banding over distinct hashes, hamming <= 3
-    // verify. Oracle rebuilds every hash bit in HUGEINT (closed-form
-    // LCG with baked per-step constants) and brute-forces the pairs,
-    // which also proves the banding's pigeonhole completeness.
-    // The fixture corpus has no duplicate payloads, so re-ingest docs
-    // 0..24 under shifted ids (the re-crawl scenario) — their pHashes
+    // Multimodal: real resize (decode → exact block-average pool →
+    // re-encode PNG) verified through a second decode — the oracle
+    // replays the pooled pixels with integer floor division.
+    "q_mm_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticImages(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.extractFeatures(Multimodal.resize(media, 8, 8), dim = 4)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).as("f0"),
+          aggregate(col("feature"), lit(0L), (a, x) => a + x).as("psum"))
+    }),
+
+    // Multimodal: perceptual-hash image near-dup — average-hash bits
+    // over real decoded pixels (integer cross-multiplied mean
+    // comparison), identical-hash collapse + 4x16 banding, hamming <= 3
+    // verify. Oracle rebuilds every hash bit from the regenerated
+    // pixels and brute-forces the pairs, which also proves the
+    // banding's pigeonhole completeness. Image content keys on
+    // doc_id % 100000, so re-ingesting docs 0..24 under shifted ids
+    // (the re-crawl scenario) yields byte-identical PNGs whose pHashes
     // must collapse onto the originals.
     "q_mm_phash" -> ((s, dir) => {
-      val base = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"))
       val recrawl = base.filter(col("doc_id") < 25)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-      val media = Multimodal.asMedia(base.unionByName(recrawl),
-        "doc_id", "text", "image")
-      Multimodal.phashDedup(Multimodal.resize(media, 64, 64),
-        maxHamming = 3)
+        .select((col("doc_id") + 100000L).as("doc_id"))
+      val media = Multimodal.syntheticImages(
+        base.unionByName(recrawl), "doc_id")
+      Multimodal.phashDedup(media, maxHamming = 3)
     }),
 
     // Multimodal: frame sampling (every 2nd frame), frames per media.
@@ -150,62 +165,58 @@ object StreamTextQueries {
     })
   )
 
-  /** DuckDB mirror of [[Multimodal.phash64]] + phashDedup. LCG states
-    * in closed form: state n = A^n·h0 + C·(A^(n-1)+…+1) (mod 2^64),
-    * with A^n split into baked 32-bit limbs so the modular product of
-    * two 64-bit values never overflows signed int128. The final SELECT
-    * brute-forces all distinct-hash pairs — ground truth that also
-    * certifies the Spark side's banding recall. */
+  /** Regenerate the synthetic-image pixel grid for a source relation
+    * with a `media_id` column — the DuckDB mirror of
+    * [[Multimodal.synthPng]]'s closed-form field, one row per
+    * (media, x, y, channel). The fixed 32×24 grid is filtered by each
+    * image's (w, h); pixel values are exact BIGINT arithmetic. */
+  private def pixelCtes(srcCte: String): String =
+    s"""geo AS (
+       | SELECT media_id, media_id % 100000 AS seed,
+       |  (media_id % 100000) % 24 + 9 AS w,
+       |  (media_id % 100000) % 16 + 9 AS h
+       | FROM $srcCte),
+       |px AS (
+       | SELECT media_id, w, h, x.x AS x, y.y AS y, c.c AS c,
+       |  (seed * 7919 + x.x * 104729 + y.y * 1299709
+       |    + c.c * 15485863) % 256 AS v
+       | FROM geo CROSS JOIN range(0, 32) x(x)
+       |  CROSS JOIN range(0, 24) y(y) CROSS JOIN range(0, 3) c(c)
+       | WHERE x.x < w AND y.y < h)""".stripMargin
+
+  /** DuckDB mirror of [[Multimodal.phash64]] + phashDedup over the
+    * regenerated pixels: channel-sum grayscale, 8×8 block pooling,
+    * integer cross-multiplied mean bits, then a brute-force over all
+    * distinct-hash pairs — ground truth that also certifies the Spark
+    * side's banding recall. */
   private def phashOracle: String = {
-    val MOD = BigInt(1) << 64
-    val A = BigInt("6364136223846793005")
-    val C = BigInt("1442695040888963407")
-    var an = BigInt(1); var sn = BigInt(0)
-    val (m0s, m1s, adds) = (1 to 64).map { _ =>
-      an = an * A % MOD; sn = (sn * A + 1) % MOD
-      ((an % (BigInt(1) << 32)).toString, (an >> 32).toString,
-        (C * sn % MOD).toString)
-    }.unzip3
-    val m0 = m0s.mkString("[", ",", "]")
-    val m1 = m1s.mkString("[", ",", "]")
-    val ad = adds.mkString("[", ",", "]")
     val pow2 = (0 to 63).map(j => (BigInt(1) << j).toString)
       .mkString("[", ",", "]")
-    val W = "18446744073709551616::HUGEINT"   // 2^64
-    val H = "4294967296::HUGEINT"             // 2^32
-    val mul = s"(($m0)[j+1] * (h % $H) + ((($m1)[j+1] * (h % $H)" +
-      s" + ($m0)[j+1] * (h // $H)) % $H) * $H) % $W"
     s"""WITH src AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id AS media_id FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
-       |m AS (
-       |  SELECT doc_id AS media_id,
-       |    substr(text, 1, least(length(text), 12288)) AS payload
-       |  FROM src),
-       |h0 AS (
-       |  SELECT media_id, list_reduce(
-       |    list_prepend(CAST(1125899906842597 AS HUGEINT),
-       |      list_transform(range(1, length(payload) + 1),
-       |        i -> CAST(ord(substr(payload, i, 1)) AS HUGEINT))),
-       |    (acc, b) -> (31 * acc + b) % $W) AS h
-       |  FROM m),
-       |v AS (
-       |  SELECT media_id, list_transform(range(0, 64), j ->
-       |    CAST((($mul + ($ad)[j+1]) % $W) // 1099511627776::HUGEINT
-       |      AS DOUBLE) / 8388608.0 - 1.0) AS vs
-       |  FROM h0),
-       |ph AS (
-       |  SELECT media_id, vs,
-       |    list_reduce(vs, (a, b) -> a + b) / 64.0 AS mn FROM v),
+       |  SELECT doc_id + 100000 FROM documents WHERE doc_id < 25),
+       |${pixelCtes("src")},
+       |ps AS (
+       |  SELECT media_id, w, h, x, y, SUM(v) AS s
+       |  FROM px GROUP BY 1, 2, 3, 4, 5),
+       |cells AS (
+       |  SELECT media_id, ((y * 8) // h) * 8 + (x * 8) // w AS j,
+       |   SUM(s) AS cs, COUNT(*) AS cc
+       |  FROM ps GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT media_id, SUM(cs) AS ts, SUM(cc) AS n
+       |  FROM cells GROUP BY 1),
        |hb AS (
-       |  SELECT media_id, list_sum(list_transform(range(0, 64), j ->
-       |    CASE WHEN vs[j+1] > mn THEN ($pow2)[j+1]::HUGEINT
-       |         ELSE 0::HUGEINT END)) AS hu
-       |  FROM ph),
+       |  SELECT c.media_id,
+       |   SUM(CASE WHEN c.cs * t.n > t.ts * c.cc
+       |    THEN ($pow2)[CAST(c.j + 1 AS INT)]::HUGEINT
+       |    ELSE 0::HUGEINT END) AS hu
+       |  FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
        |hs AS (
        |  SELECT media_id, CAST(CASE WHEN hu >= 9223372036854775808
-       |    THEN hu - $W ELSE hu END AS BIGINT) AS h FROM hb),
+       |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+       |    AS BIGINT) AS h FROM hb),
        |g AS (SELECT h, MIN(media_id) AS rep FROM hs GROUP BY 1),
        |ident AS (
        |  SELECT g.rep AS id_a, hs.media_id AS id_b, 0 AS dist
@@ -318,34 +329,37 @@ object StreamTextQueries {
       """SELECT user_id AS k, MIN(epoch_ns(ts) // 1000) AS first_ts
         |FROM events GROUP BY user_id""".stripMargin,
 
-    // The STUB decode is deterministic mod-2^64 arithmetic, so it is
-    // fully mirrorable in HUGEINT: resize truncates the payload to
-    // 64*64*3 bytes; the byte fold is (31h + b) mod 2^64 seeded at
-    // 1125899906842597 (fixture text is ASCII, so ord(char) == byte and
-    // Java's signed bytes are 0..127); f0 takes ONE LCG step, then
-    // (h >>> 40)/2^23 - 1 — a <=24-significant-bit value, exact in
-    // float and double alike, so computing in double and casting to
-    // REAL is bit-identical to Spark's float op sequence.
+    // Regenerated-pixel replay of the REAL decode path: feature j is
+    // the exact integer sum of channel bytes at flat index ≡ j (mod
+    // 16); PNG is lossless, so the decoded bytes must equal the
+    // closed-form field bit for bit.
     "q_mm_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |    substr(text, 1, least(length(text), 12288)) AS payload
-        |  FROM documents),
-        |h0 AS (
-        |  SELECT media_id, list_reduce(
-        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |      list_transform(range(1, length(payload) + 1),
-        |        i -> CAST(ord(substr(payload, i, 1)) AS HUGEINT))),
-        |    (acc, b) -> (31 * acc + b) % 18446744073709551616::HUGEINT) AS h
-        |  FROM m),
-        |h1 AS (
-        |  SELECT media_id,
-        |    (h * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
-        |      % 18446744073709551616::HUGEINT AS h
-        |  FROM h0)
-        |SELECT media_id, CAST(16 AS INT) AS dim,
-        |  CAST((h // 1099511627776::HUGEINT) / 8388608.0 - 1.0 AS REAL) AS f0
-        |FROM h1""".stripMargin,
+      s"""WITH src AS (SELECT doc_id AS media_id FROM documents),
+         |${pixelCtes("src")},
+         |f AS (
+         |  SELECT media_id, ((y * w + x) * 3 + c) % 16 AS j,
+         |   SUM(v) AS fv
+         |  FROM px GROUP BY 1, 2)
+         |SELECT media_id, CAST(16 AS INT) AS dim,
+         |  CAST(MAX(CASE WHEN j = 0 THEN fv END) AS BIGINT) AS f0,
+         |  CAST(SUM(fv) AS BIGINT) AS fsum
+         |FROM f GROUP BY media_id""".stripMargin,
+
+    // Pooled-pixel replay of the real resize: target cell (x·8 ÷ w,
+    // y·8 ÷ h), channel mean with floor division, then the dim-4
+    // residue-class feature sums over the pooled 8×8×3 stream.
+    "q_mm_resize" ->
+      s"""WITH src AS (SELECT doc_id AS media_id FROM documents),
+         |${pixelCtes("src")},
+         |pool AS (
+         |  SELECT media_id, (y * 8) // h AS j, (x * 8) // w AS i, c,
+         |   SUM(v) // COUNT(*) AS pv
+         |  FROM px GROUP BY 1, 2, 3, 4)
+         |SELECT media_id,
+         |  CAST(SUM(CASE WHEN ((j * 8 + i) * 3 + c) % 4 = 0
+         |   THEN pv ELSE 0 END) AS BIGINT) AS f0,
+         |  CAST(SUM(pv) AS BIGINT) AS psum
+         |FROM pool GROUP BY media_id""".stripMargin,
 
     // asMedia: n_frames = length % 16 + 1; sampleFrames: frameLen =
     // greatest(length // n_frames, 1), frame i = substr(i*fl+1, fl),

@@ -1,17 +1,26 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{MediaCodec, Multimodal}
 
-/** Plumbing tests for multimodal columns (decode is a deterministic
-  * stub; schema/batching/explode shapes are the product). */
+/** Multimodal columns: REAL image codec (javax.imageio PNG) for
+  * features / resize / perceptual hash; byte-payload plumbing for
+  * frame slicing. */
 class MultimodalSpec extends SparkSpec {
 
+  // byte-payload fixture (frame plumbing is codec-agnostic)
   private lazy val media = {
     import spark.implicits._
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
       (2L, "shorter payload")).toDF("doc_id", "text")
     Multimodal.asMedia(df, "doc_id", "text", "image")
+  }
+
+  // real-PNG fixture
+  private lazy val images = {
+    import spark.implicits._
+    Multimodal.syntheticImages(
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
   }
 
   test("asMedia produces the typed media schema") {
@@ -21,31 +30,67 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 2)
   }
 
-  test("extractFeatures is deterministic, fixed-dim, and drops bytes") {
-    val feats = Multimodal.extractFeatures(media, dim = 8)
+  test("MediaCodec: PNG encode/decode round-trips pixels losslessly") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = MediaCodec.encodePng(4, 3, rgb)
+    // real PNG container: 8-byte signature
+    assert(png.take(8).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte))
+    val (w, h, back) = MediaCodec.decodeRgb(png)
+    assert(w == 4 && h == 3)
+    assert(back.toSeq == rgb.toSeq)
+  }
+
+  test("syntheticImages: payload decodes to the closed-form pixel field") {
+    val rows = images.orderBy("media_id").collect()
+    val bytes = rows(0).getAs[Array[Byte]]("bytes")
+    val (w, h, rgb) = MediaCodec.decodeRgb(bytes)
+    val (ew, eh) = Multimodal.synthDims(1L)
+    assert((w, h) == (ew, eh))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((rgb((y * w + x) * 3 + c) & 0xFF) ==
+        Multimodal.synthPixel(1L, x, y, c))
+    // meta matches actual encoded dimensions
+    assert(rows(0).getStruct(3).getInt(0) == w)
+    assert(rows(0).getStruct(3).getInt(1) == h)
+  }
+
+  test("extractFeatures: exact residue-class sums over decoded pixels") {
+    val feats = Multimodal.extractFeatures(images, dim = 8)
     assert(!feats.columns.contains("bytes"))
-    val a = feats.orderBy("media_id").collect().map(_.getSeq[Float](2))
-    val b = Multimodal.extractFeatures(media, dim = 8)
-      .orderBy("media_id").collect().map(_.getSeq[Float](2))
-    assert(a.forall(_.length == 8))
-    assert(a.map(_.toList).toSeq == b.map(_.toList).toSeq)
-    assert(a(0) != a(1)) // different payloads → different features
+    val got = feats.orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2))
+    assert(got.forall(_._2.length == 8))
+    // hand-computed expectation from the pixel field
+    val (w, h) = Multimodal.synthDims(2L)
+    val exp = new Array[Long](8)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      exp(((y * w + x) * 3 + c) % 8) += Multimodal.synthPixel(2L, x, y, c)
+    assert(got.find(_._1 == 2L).get._2 == exp.toSeq)
   }
 
   test("extractFeatures stays in Tungsten (no RDD/object round-trip)") {
-    val plan = Multimodal.extractFeatures(media, dim = 8)
+    val plan = Multimodal.extractFeatures(images, dim = 8)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("DeserializeToObject"), plan)
     assert(!plan.contains("ExistingRDD"), plan)
     assert(!plan.contains("MapPartitions"), plan)
   }
 
-  test("resize truncates payload to the declared shape bound") {
-    val r = Multimodal.resize(media, 2, 3) // target 2*3*3 = 18 bytes
-    val rows = r.orderBy("media_id").collect()
-    assert(rows(0).getAs[Array[Byte]]("bytes").length == 18)
-    assert(rows(1).getAs[Array[Byte]]("bytes").length == 15) // shorter kept
-    assert(rows.forall(_.getStruct(3).getInt(0) == 2))
+  test("resize: exact block-average pooling, re-encoded as real PNG") {
+    import spark.implicits._
+    // 2x2 -> 1x1: the single output pixel is the floor-average
+    val rgb = Array[Byte](10, 20, 30, 11, 21, 31, 13, 23, 33, 14, 24, 35)
+    val src = Seq((1L, MediaCodec.encodePng(2, 2, rgb))).toDF("media_id", "bytes")
+      .select(col("media_id"), lit("image").as("modality"), col("bytes"),
+        struct(lit(2).as("width"), lit(2).as("height"),
+          lit(3).as("channels"), lit(null).cast("int").as("sample_rate"),
+          lit(1).as("n_frames")).as("meta"))
+    val out = Multimodal.resize(src, 1, 1).collect()(0)
+    val (w, h, pooled) = MediaCodec.decodeRgb(out.getAs[Array[Byte]]("bytes"))
+    assert(w == 1 && h == 1)
+    assert(pooled.toSeq == Seq[Byte](12, 22, 32)) // floor((10+11+13+14)/4)…
+    assert(out.getStruct(3).getInt(0) == 1 && out.getStruct(3).getInt(1) == 1)
   }
 
   test("sampleFrames emits every stride-th chunk") {
@@ -70,11 +115,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.mkString == "abcdefghijklmnopqrstuvwxyz0123456789".take(35))
   }
 
-  test("phash64 is deterministic and content-sensitive") {
-    val a = Multimodal.phash64("an image payload".getBytes("UTF-8"))
-    val b = Multimodal.phash64("an image payload".getBytes("UTF-8"))
-    val c = Multimodal.phash64("another payload!".getBytes("UTF-8"))
+  test("phash64: deterministic aHash over real decoded pixels") {
+    val a = Multimodal.phash64(Multimodal.synthPng(7L))
+    val b = Multimodal.phash64(Multimodal.synthPng(7L))
+    val c = Multimodal.phash64(Multimodal.synthPng(8L))
     assert(a == b && a != c)
+    // hand-check one bit: cell mean vs global mean, cross-multiplied
+    val (w, h) = Multimodal.synthDims(7L)
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (0 until 3).map(Multimodal.synthPixel(7L, x, y, _)).sum
+      val j = (y * 8 / h) * 8 + x * 8 / w
+      sums(j) += s; cnts(j) += 1; total += s
+    }
+    val expBit0 = sums(0) * (w.toLong * h) > total * cnts(0)
+    assert(((a & 1L) == 1L) == expBit0)
   }
 
   test("hashPairs: identical collapse is linear, banding finds <=3-bit flips") {
@@ -89,5 +145,14 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.hashPairs(hashes, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 3)))
+  }
+
+  test("re-crawl ids share image content: phashDedup collapses them") {
+    import spark.implicits._
+    val ids = Seq(3L, 4L, 100003L).toDF("doc_id") // 100003 % 100000 == 3
+    val got = Multimodal.phashDedup(
+      Multimodal.syntheticImages(ids, "doc_id"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((3L, 100003L, 0)))
   }
 }
