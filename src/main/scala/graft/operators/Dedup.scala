@@ -518,14 +518,16 @@ object Dedup {
     * also the canonical keeper — the end of the dedup story:
     * pairs → clusters → one survivor per cluster).
     *
-    * Min-label propagation with POINTER DOUBLING: each round a node
-    * takes the min over (its label, its neighbors' labels, its label's
-    * label). The label-of-label hop halves the distance to the
-    * component minimum every round, so convergence is O(log diameter)
-    * rounds — near-dup clusters are shallow anyway (2-3 rounds), but
-    * general graphs (chains, percolation-threshold components as in
-    * `q_components`) would pay O(diameter) without it. Per round: two
-    * joins + one aggregate shuffle, plus an O(1) changed-count to the
+    * Zero-shuffle partition-local union-find contraction first
+    * ([[contractPartitions]]), then min-label propagation with POINTER
+    * DOUBLING over the contracted star graph: each round a node takes
+    * the min over (its label, its star-neighbors' labels, its label's
+    * label — the doubling edges ride in the same join). Convergence is
+    * O(log partition-hop-diameter) rounds — the contraction collapses
+    * everything a task can see locally, so the loop only reconciles
+    * across partitions (the sf0.1 percolation graph needed 12 rounds
+    * of the uncontracted r4 loop, 4 of this one). Per round: ONE
+    * join + one aggregate shuffle, plus an O(1) changed-count to the
     * driver (the allreduce-loop shape the iterative ML kernels use).
     *
     * Each round's label table is an EAGER `localCheckpoint`: without
@@ -548,13 +550,64 @@ object Dedup {
     * accretes every round's O(|nodes|) blocks in executor memory,
     * evicting useful cache and inflating GC (observed: first bench
     * rep 2.5× slower than steady state purely from leaked rounds). */
+  /** Partition-local union-find contraction: one NARROW pass over the
+    * edge partitions (zero shuffle) that collapses every connected set
+    * visible inside a partition to its minimum member, emitting one
+    * (node → local root) star edge per node per partition. The star
+    * graph has exactly the original graph's components (each
+    * partition's stars preserve its subgraph's connectivity; nodes
+    * straddling partitions link their stars), but its diameter is the
+    * partition-hop count, not the raw graph diameter — at 100 TB this
+    * is the difference between rounds ~ log(component span across
+    * tasks) and rounds ~ log(graph diameter), and the contraction
+    * itself costs no shuffle at all. Roots are minima under the same
+    * ordering as Spark's `min` (ids are Comparable: numeric/string). */
+  private def contractPartitions(edges: DataFrame): DataFrame = {
+    val uType = edges.schema("u").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", uType, nullable = false),
+      org.apache.spark.sql.types.StructField("lbl", uType, nullable = false)))
+    val rows = edges.toDF("u", "v").rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def cmp(a: Any, b: Any): Int =
+        a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def find(x: Any): Any = {
+        var r = x
+        var p = parent.get(r)
+        while (p != null && p != r) { r = p; p = parent.get(r) }
+        // path compression
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (cmp(ra, rb) <= 0) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val keys = parent.keySet().toArray
+      keys.iterator.map(k => org.apache.spark.sql.Row(k, find(k)))
+    }
+    edges.sparkSession.createDataFrame(rows, schema)
+  }
+
   def nearDupClusters(nodes: DataFrame, pairs: DataFrame,
                       id: String = "id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sc = nodes.sparkSession.sparkContext
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    val rawEdges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist(MEMORY_AND_DISK)
+    // The loop iterates over the CONTRACTED star graph (same
+    // components, partition-hop diameter); both directions so roots
+    // hear their members' labels and members their roots'.
+    val star = contractPartitions(rawEdges).persist(MEMORY_AND_DISK)
+    val edges = star.select(col("u"), col("lbl").as("v"))
+      .union(star.select(col("lbl").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
     // Track each round's checkpoint blocks (rdd ids that appear across
     // the localCheckpoint call) so the PREVIOUS round can be freed the
     // moment the next round is materialized.
@@ -566,31 +619,38 @@ object Dedup {
     def free(ids: Set[Int]): Unit =
       sc.getPersistentRDDs.filter(kv => ids.contains(kv._1))
         .values.foreach(_.unpersist(false))
-    var (labels, labelIds) =
-      checkpointTracked(nodes.select(col(id).as("u"), col(id).as("lbl")))
+    // Initial labels fold the contraction in: min over (identity,
+    // local star roots) — most components are already fully labeled
+    // here and the loop only reconciles across partitions.
+    var (labels, labelIds) = checkpointTracked(
+      nodes.select(col(id).as("u"), col(id).as("lbl"))
+        .union(star)
+        .groupBy("u").agg(min("lbl").as("lbl")))
     var changed = 1L
     var round = 0
     while (changed > 0) {
       round += 1
-      val viaEdge = labels.join(edges, "u")
+      // Pointer doubling rides IN the propagate join (the r4 plan used
+      // a dedicated labels⋈labels join — one extra shuffle per round):
+      // each (u, lbl) contributes edges lbl→u (members hear their
+      // root's current label: u gets lbl(lbl(u))) and u→lbl (roots
+      // hear their members' labels), unioned into the same edge join.
+      // Round 1 skips them — labels are still the contraction output,
+      // whose star edges are already in `edges`.
+      val propEdges =
+        if (round == 1) edges
+        else edges
+          .union(labels.select(col("lbl").as("u"), col("u").as("v")))
+          .union(labels.select(col("u"), col("lbl").as("v")))
+          .filter(col("u") =!= col("v"))
+      val viaEdge = labels.join(propEdges, "u")
         .select(col("v").as("u"), col("lbl"))
-      // Pointer doubling: u -> lbl(lbl(u)). Round 1 skips it — the
-      // label table is still the identity, so the hop composes to the
-      // identity and the join would be pure overhead. (A deeper
-      // u -> lbl³(u) variant was tried and benched WORSE: the chained
-      // label-table joins serialize two extra shuffles per round, which
-      // costs more than the rounds they save.)
-      val hops =
-        if (round == 1) Nil
-        else Seq(labels.toDF("u0", "l0")
-          .join(labels.toDF("l0", "l1"), "l0")
-          .select(col("u0").as("u"), col("l1").as("lbl")))
       // Carry the previous label through the aggregate: min(lbl) is the
       // new label, and since labels itself feeds the union, max-over-
       // nothing never happens; `old` arrives via a left join that reuses
       // the aggregate's partitioning. One checkpointed job per round.
       val (next, nextIds) = checkpointTracked(
-        hops.foldLeft(labels.union(viaEdge))(_ union _)
+        labels.union(viaEdge)
           .groupBy("u").agg(min("lbl").as("lbl"))
           .join(labels.select(col("u"), col("lbl").as("__old")),
             Seq("u"), "left"))
@@ -603,7 +663,7 @@ object Dedup {
       labels = next.select(col("u"), col("lbl"))
       labelIds = nextIds
     }
-    edges.unpersist(false)
+    star.unpersist(false)
     val out = labels.select(col("u").as(id), col("lbl").as("cluster"))
     // Caller gets a plan over the final checkpoint; those blocks stay
     // (freeing them would hollow out the result) — they are one
