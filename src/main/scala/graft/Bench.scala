@@ -26,6 +26,46 @@ import org.apache.spark.sql.SparkSession
   *    agree).
   */
 object Bench {
+
+  /** Hard budget for the stdout summary line: the driver's tail
+    * capture is ~2000 chars and the line shares it with sbt's trailing
+    * "[success]" output — r3's artifacts were lost to an overgrown
+    * line. BenchLineSpec pins this invariant as the registry grows. */
+  val LineBudget = 1700
+
+  private def f(v: Double): String = "%.3f".format(v)
+
+  /** Build the one-line stdout summary: queries in DESCENDING median
+    * order (the expensive ones carry the perf signal) until the
+    * serialized line reaches [[LineBudget]], the cheap remainder
+    * folded into `omitted`; `value` is the total over ALL queries.
+    * Pure so the budget invariant is spec-testable at any registry
+    * size. */
+  private[graft] def summaryLine(medians: Map[String, Double],
+                                 errors: Seq[String],
+                                 sfDir: String): String = {
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val byCost = medians.toSeq.sortBy { case (k, v) => (-v, k) }
+    val entries = byCost.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val fixedLen = (s"""{"metric":"total","value":${f(total)},""" +
+      s""""unit":"sec","queries":{},""" +
+      s""""omitted":{"n":99999,"sec":99999.999},""" +
+      s""""errors":$errs,"sf":"$sfDir"}""").length
+    var used = fixedLen
+    var nIncl = 0
+    while (nIncl < entries.size &&
+      used + entries(nIncl).length + 1 <= LineBudget) {
+      used += entries(nIncl).length + 1; nIncl += 1
+    }
+    val qs = entries.take(nIncl).mkString("{", ",", "}")
+    val omittedSec = byCost.drop(nIncl).map(_._2).sum
+    val omitted =
+      s"""{"n":${entries.size - nIncl},"sec":${f(omittedSec)}}"""
+    s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s""""queries":$qs,"omitted":$omitted,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,13 +106,11 @@ object Bench {
       val s = xs.sorted; val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    def f(v: Double): String = "%.3f".format(v)
     val medians = reps.map { case (k, v) => k -> median(v) }
     val rs = reps.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":[" + v.map(f).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
     val mediansJson = medians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val repsJson =
@@ -87,31 +125,7 @@ object Bench {
       repsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] reps file write failed: ${e.getMessage}") }
-    // The stdout line must land entirely inside the driver's tail
-    // capture (~2000 chars, shared with sbt's trailing "[success] ..."
-    // line). With 100+ registry queries, per-query medians no longer
-    // fit, so: include queries individually in DESCENDING median order
-    // (the expensive ones carry the perf signal) until the serialized
-    // line reaches the budget, then fold the cheap remainder into an
-    // "omitted" summary. `value` stays the total over ALL queries; the
-    // complete per-query medians + reps are in bench_reps.json.
-    val budget = 1700
-    val byCost = medians.toSeq.sortBy { case (k, v) => (-v, k) }
-    val entries = byCost.map { case (k, v) => "\"" + k + "\":" + f(v) }
-    val fixedLen = (s"""{"metric":"total","value":${f(total)},""" +
-      s""""unit":"sec","queries":{},""" +
-      s""""omitted":{"n":999,"sec":999.999},""" +
-      s""""errors":$errs,"sf":"$sfDir"}""").length
-    var used = fixedLen
-    var nIncl = 0
-    while (nIncl < entries.size && used + entries(nIncl).length + 1 <= budget) {
-      used += entries(nIncl).length + 1; nIncl += 1
-    }
-    val qs = entries.take(nIncl).mkString("{", ",", "}")
-    val omittedSec = byCost.drop(nIncl).map(_._2).sum
-    val omitted =
-      s"""{"n":${entries.size - nIncl},"sec":${f(omittedSec)}}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"errors":$errs,"sf":"$sfDir"}""")
+    println(summaryLine(medians, errors.toSeq, sfDir))
     System.out.flush()
     spark.stop()
   }
