@@ -159,6 +159,27 @@ object SourceQueries {
     // other 23 days' files are never listed into tasks. The 100 TB
     // pattern: layout chosen once at write, amortized over every later
     // query.
+    // HDF5 MATRIX round-trip (reference 2-D read,
+    // cgen-hpat-pattern-match.jl:1066-1194): the embedding corpus as a
+    // rank-2 f32 dataset (row-major n×64, block partitions read row
+    // slabs) plus rank-1 key/label datasets, written and read back
+    // through the DataSourceV2 path. Output certifies EVERY element at
+    // 6 dp (decimal-formatted CSV per vector) against the parquet
+    // source — the oracle never sees the HDF5 file, so equality proves
+    // the byte round-trip.
+    "q_hdf5_matrix" -> ((s, dir) => {
+      val fmt = "graft.sources.hdf5"
+      val path = s"mem:${tmp(dir, "h5mat")}"
+      Tables.load(s, dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .write.format(fmt).option("path", path).mode("overwrite").save()
+      s.read.format(fmt).option("path", path).load()
+        .select(col("vec_id"), col("label"),
+          concat_ws(",", transform(col("embedding"),
+            v => (round(v.cast("double"), 6) + lit(0.0))
+              .cast("decimal(18,6)").cast("string"))).as("vec"))
+    }),
+
     "q_partition_prune" -> ((s, dir) => {
       val path = tmp(dir, "bydate")
       TextIO.writePartitionedColumnar(
@@ -277,6 +298,16 @@ object SourceQueries {
         | CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
         | MAX(n_name) AS max_name
         |FROM nation GROUP BY 1""".stripMargin,
+
+    // The parquet source IS the oracle: the Spark side reads the HDF5
+    // bytes it wrote, so a hash match certifies the rank-2 round-trip
+    // element for element.
+    "q_hdf5_matrix" ->
+      """SELECT vec_id, label,
+        | array_to_string(list_transform(embedding,
+        |  v -> CAST(CAST(round(CAST(v AS DOUBLE), 6) + 0.0
+        |   AS DECIMAL(18,6)) AS VARCHAR)), ',') AS vec
+        |FROM embeddings""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT event_type,

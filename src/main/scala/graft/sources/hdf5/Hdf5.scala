@@ -70,7 +70,7 @@ object Hdf5Store {
     val f = resolve(path)
     if (Hdf5Codec.exists(f))
       Some(StructType(Hdf5Codec.meta(f).datasets.map(d =>
-        StructField(d.name, d.dtype, nullable = false))))
+        StructField(d.name, d.sparkType, nullable = false))))
     else None
   }
   def drop(path: String): Unit = { resolve(path).delete(); () }
@@ -170,6 +170,8 @@ class Hdf5ReaderFactory(required: StructType)
         while (c < cols.length) {
           vals(c) = cols(c)(i) match {
             case s: String => UTF8String.fromString(s)
+            case a: Array[_] => // rank-2 dataset row
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)
             case v => v
           }
           c += 1
@@ -236,6 +238,10 @@ class Hdf5WriterFactory(schema: StructType) extends DataWriterFactory {
               case FloatType   => record.getFloat(c)
               case StringType  => record.getUTF8String(c).toString
               case BooleanType => record.getBoolean(c)
+              case ArrayType(DoubleType, _) => record.getArray(c).toDoubleArray()
+              case ArrayType(FloatType, _)  => record.getArray(c).toFloatArray()
+              case ArrayType(LongType, _)   => record.getArray(c).toLongArray()
+              case ArrayType(IntegerType, _) => record.getArray(c).toIntArray()
               case t => throw new UnsupportedOperationException(
                 s"hdf5 sink: unsupported column type $t")
             })

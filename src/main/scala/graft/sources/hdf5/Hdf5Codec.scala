@@ -45,10 +45,16 @@ object Hdf5Codec {
   private val LeafK = 32 // symbols per SNOD ≤ 2·LeafK
   private val InternalK = 16 // B-tree fan-out ≤ 2·InternalK
 
-  /** One dataset's file metadata after a parse. */
+  /** One dataset's file metadata after a parse. `cols` = 1 for rank-1
+    * datasets; rank-2 (matrix) datasets are row-major n×cols and read
+    * back as one array-typed value per row. */
   final case class DatasetMeta(name: String, dtype: DataType,
                                elemSize: Int, rows: Long,
-                               dataAddr: Long, dataSize: Long)
+                               dataAddr: Long, dataSize: Long,
+                               cols: Long = 1L) {
+    def sparkType: DataType =
+      if (cols > 1) ArrayType(dtype, containsNull = false) else dtype
+  }
   final case class FileMeta(datasets: Seq[DatasetMeta]) {
     def apply(name: String): DatasetMeta =
       datasets.find(_.name == name).getOrElse(throw new IllegalArgumentException(
@@ -92,11 +98,28 @@ object Hdf5Codec {
     val heapDataSize = heapPos
 
     // --- per-dataset encoded pieces (datatype message body + data bytes)
+    // Rank-2 (matrix) datasets arrive as ArrayType columns: row-major
+    // n×cols of the element type (the reference's HDF5 matrix read is
+    // the same layout, 1-D block partitioned on the first dim).
+    val ncols: Seq[Long] = sorted.map {
+      case (n, (ArrayType(_, _), vs)) =>
+        val widths = vs.map {
+          case a: Array[_] => a.length
+          case s: scala.collection.Seq[_] => s.size
+          case other => throw new IllegalArgumentException(
+            s"/$n: array column values must be Seq/Array, got ${other.getClass}")
+        }.distinct
+        require(widths.size == 1 && widths.head > 0,
+          s"/$n: rank-2 dataset needs uniform non-empty row width, got $widths")
+        widths.head.toLong
+      case _ => 1L
+    }
     val dtypeBodies = sorted.map { case (n, (t, vs)) => datatypeBody(n, t, vs) }
     val elemSizes = dtypeBodies.map(_._2)
+    val dsBodyLens = ncols.map(c => if (c > 1) 24 else 16)
     val ohSizes = sorted.indices.map { i =>
-      // dataspace(8+16) + datatype(8+body) + fill(8+8) + layout(8+24)
-      24 + (8 + dtypeBodies(i)._1.length) + 16 + 32
+      // dataspace(8+body) + datatype(8+body) + fill(8+8) + layout(8+24)
+      (8 + dsBodyLens(i)) + (8 + dtypeBodies(i)._1.length) + 16 + 32
     }
 
     // --- file layout (sequential address assignment)
@@ -113,7 +136,7 @@ object Hdf5Codec {
     for (i <- sorted.indices) {
       pos = align8(pos)
       dataAddrs(i) = pos
-      dataSizes(i) = nRows.toLong * elemSizes(i)
+      dataSizes(i) = nRows.toLong * ncols(i) * elemSizes(i)
       pos += dataSizes(i)
     }
     val eof = pos
@@ -179,11 +202,13 @@ object Hdf5Codec {
     for (i <- sorted.indices) {
       buf.put(1.toByte).put(0.toByte).putShort(4.toShort)
       buf.putInt(1).putInt(ohSizes(i)).putInt(0)
-      // dataspace v1: rank-1 simple, no max-dims flag (max = current)
-      buf.putShort(0x0001.toShort).putShort(16.toShort).putInt(0)
-      buf.put(1.toByte).put(1.toByte).put(0.toByte)
+      // dataspace v1: simple, rank 1 or 2, no max-dims flag (max = current)
+      val rank = if (ncols(i) > 1) 2 else 1
+      buf.putShort(0x0001.toShort).putShort(dsBodyLens(i).toShort).putInt(0)
+      buf.put(1.toByte).put(rank.toByte).put(0.toByte)
       buf.put(new Array[Byte](5))
       buf.putLong(nRows.toLong)
+      if (rank == 2) buf.putLong(ncols(i))
       // datatype
       val body = dtypeBodies(i)._1
       buf.putShort(0x0003.toShort).putShort(body.length.toShort).putInt(0)
@@ -199,24 +224,34 @@ object Hdf5Codec {
       buf.put(new Array[Byte](6))
     }
 
-    // --- raw data, little-endian contiguous
+    // --- raw data, little-endian contiguous (rank-2 rows back to back)
     for (i <- sorted.indices) {
       while (buf.position() < dataAddrs(i)) buf.put(0.toByte)
       val (_, (t, vs)) = sorted(i)
       val esz = elemSizes(i)
-      t match {
-        case LongType    => vs.foreach(v => buf.putLong(v.asInstanceOf[Long]))
-        case IntegerType => vs.foreach(v => buf.putInt(v.asInstanceOf[Int]))
-        case DoubleType  => vs.foreach(v => buf.putDouble(v.asInstanceOf[Double]))
-        case FloatType   => vs.foreach(v => buf.putFloat(v.asInstanceOf[Float]))
+      def putElem(elem: DataType): Any => Unit = elem match {
+        case LongType    => v => buf.putLong(v.asInstanceOf[Long])
+        case IntegerType => v => buf.putInt(v.asInstanceOf[Int])
+        case DoubleType  => v => buf.putDouble(v.asInstanceOf[Double])
+        case FloatType   => v => buf.putFloat(v.asInstanceOf[Float])
         case BooleanType =>
-          vs.foreach(v => buf.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte))
-        case StringType => vs.foreach { v =>
+          v => buf.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+        case StringType => v => {
           val b = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
           buf.put(b).put(new Array[Byte](esz - b.length))
         }
-        case t => throw new UnsupportedOperationException(
-          s"hdf5 sink: unsupported column type $t")
+        case other => throw new UnsupportedOperationException(
+          s"hdf5 sink: unsupported column type $other")
+      }
+      t match {
+        case ArrayType(elem, _) =>
+          val put = putElem(elem)
+          vs.foreach {
+            case a: Array[_] => a.foreach(put)
+            case s: scala.collection.Seq[_] => s.foreach(put)
+            case other => throw new IllegalArgumentException(s"$other")
+          }
+        case scalar => vs.foreach(putElem(scalar))
       }
     }
 
@@ -255,6 +290,12 @@ object Hdf5Codec {
       b.array()
     }
     t match {
+      // rank-2 dataset: datatype message carries the ELEMENT type
+      // (matrix shape lives in the dataspace message)
+      case ArrayType(elem, _) =>
+        require(elem != StringType,
+          "hdf5 sink: rank-2 string datasets not supported")
+        datatypeBody(name, elem, IndexedSeq.empty)
       case LongType    => (fixed(8, signed = true), 8)
       case IntegerType => (fixed(4, signed = true), 4)
       case BooleanType => (fixed(1, signed = false), 1)
@@ -305,24 +346,27 @@ object Hdf5Codec {
   def exists(file: File): Boolean = file.isFile
 
   /** Read rows [start, end) of `column` — one seek + one contiguous
-    * read of exactly (end−start)·elemSize bytes. */
+    * read of exactly (end−start)·cols·elemSize bytes. Rank-2 datasets
+    * yield one primitive array per row (a contiguous row slab, the
+    * reference's 1-D block matrix read). */
   def readRange(file: File, column: String, start: Long, end: Long): IndexedSeq[Any] = {
     val dm = meta(file)(column)
     require(start >= 0 && end <= dm.rows && start <= end,
       s"range [$start,$end) outside dataset /$column of ${dm.rows} rows")
     val n = math.toIntExact(end - start)
-    val bytes = new Array[Byte](n * dm.elemSize)
+    val rowBytes = dm.cols * dm.elemSize
+    val bytes = new Array[Byte](math.toIntExact(n * rowBytes))
     val raf = new RandomAccessFile(file, "r")
-    try { raf.seek(dm.dataAddr + start * dm.elemSize); raf.readFully(bytes) }
+    try { raf.seek(dm.dataAddr + start * rowBytes); raf.readFully(bytes) }
     finally raf.close()
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    dm.dtype match {
-      case LongType    => IndexedSeq.fill[Any](n)(b.getLong)
-      case IntegerType => IndexedSeq.fill[Any](n)(b.getInt)
-      case DoubleType  => IndexedSeq.fill[Any](n)(b.getDouble)
-      case FloatType   => IndexedSeq.fill[Any](n)(b.getFloat)
-      case BooleanType => IndexedSeq.fill[Any](n)(b.get != 0)
-      case StringType  => IndexedSeq.fill[Any](n) {
+    def scalars(count: Int): IndexedSeq[Any] = dm.dtype match {
+      case LongType    => IndexedSeq.fill[Any](count)(b.getLong)
+      case IntegerType => IndexedSeq.fill[Any](count)(b.getInt)
+      case DoubleType  => IndexedSeq.fill[Any](count)(b.getDouble)
+      case FloatType   => IndexedSeq.fill[Any](count)(b.getFloat)
+      case BooleanType => IndexedSeq.fill[Any](count)(b.get != 0)
+      case StringType  => IndexedSeq.fill[Any](count) {
         val s = new Array[Byte](dm.elemSize); b.get(s)
         var e = s.length
         while (e > 0 && s(e - 1) == 0) e -= 1
@@ -330,12 +374,24 @@ object Hdf5Codec {
       }
       case other => throw new UnsupportedOperationException(s"hdf5: $other")
     }
+    if (dm.cols == 1L) scalars(n)
+    else {
+      val w = math.toIntExact(dm.cols)
+      IndexedSeq.fill[Any](n)(dm.dtype match {
+        case LongType    => Array.fill(w)(b.getLong)
+        case IntegerType => Array.fill(w)(b.getInt)
+        case DoubleType  => Array.fill(w)(b.getDouble)
+        case FloatType   => Array.fill(w)(b.getFloat)
+        case other => throw new UnsupportedOperationException(
+          s"hdf5: rank-2 $other")
+      })
+    }
   }
 
   def readAll(file: File): Seq[(String, (DataType, IndexedSeq[Any]))] = {
     val fm = meta(file)
     fm.datasets.map(d =>
-      d.name -> (d.dtype -> readRange(file, d.name, 0L, d.rows)))
+      d.name -> (d.sparkType -> readRange(file, d.name, 0L, d.rows)))
   }
 
   private def parse(file: File): FileMeta = {
@@ -418,6 +474,7 @@ object Hdf5Codec {
 
       val datasets = entries.map { case (name, ohAddr) =>
         var rows = -1L
+        var ncols = 1L
         var dtype: DataType = null
         var esz = 0
         var dataAddr = Undef
@@ -427,11 +484,13 @@ object Hdf5Codec {
             case 0x0001 => // dataspace (v1 or v2)
               val v = body.get()
               val rank = body.get() & 0xFF
-              require(rank <= 1, s"/$name: only scalar/1-D datasets supported, rank=$rank")
+              require(rank <= 2,
+                s"/$name: only rank ≤ 2 datasets supported, rank=$rank")
               body.get() // flags
               if (v == 1) body.position(body.position() + 5)
               else body.get() // v2: type byte
               rows = if (rank == 0) 1L else body.getLong
+              if (rank == 2) ncols = body.getLong
             case 0x0003 => // datatype
               val cv = body.get() & 0xFF
               val cls = cv & 0x0F
@@ -471,7 +530,7 @@ object Hdf5Codec {
         }
         require(rows >= 0 && dtype != null && dataAddr != Undef,
           s"/$name: incomplete object header (rows=$rows dtype=$dtype)")
-        DatasetMeta(name, dtype, esz, rows, dataAddr, dataSize)
+        DatasetMeta(name, dtype, esz, rows, dataAddr, dataSize, ncols)
       }
       FileMeta(datasets.toSeq)
     } finally raf.close()

@@ -119,6 +119,29 @@ class Hdf5Spec extends SparkSpec {
     f.delete()
   }
 
+  test("rank-2 (matrix) datasets: row-major contiguous, slab range reads") {
+    import org.apache.spark.sql.types._
+    val f = java.io.File.createTempFile("graft_mat", ".h5")
+    val m = IndexedSeq[Any](Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0),
+      Array(7.0, 8.0, 9.0))
+    Hdf5Codec.write(f, Seq(
+      "id" -> (LongType -> IndexedSeq[Any](1L, 2L, 3L)),
+      "m" -> (ArrayType(DoubleType, containsNull = false) -> m)))
+    val back = Hdf5Codec.readAll(f)
+    assert(back.find(_._1 == "m").get._2._1 ==
+      ArrayType(DoubleType, containsNull = false))
+    val rows = back.find(_._1 == "m").get._2._2
+      .map(_.asInstanceOf[Array[Double]].toSeq)
+    assert(rows == m.map(_.asInstanceOf[Array[Double]].toSeq))
+    // a row-slab range read is the contiguous byte range of its rows
+    val slab = Hdf5Codec.readRange(f, "m", 1L, 3L)
+      .map(_.asInstanceOf[Array[Double]].toSeq)
+    assert(slab == Seq(Seq(4.0, 5.0, 6.0), Seq(7.0, 8.0, 9.0)))
+    // the scalar dataset beside it still reads rank-1
+    assert(Hdf5Codec.readRange(f, "id", 0L, 3L) == IndexedSeq(1L, 2L, 3L))
+    f.delete()
+  }
+
   test("codec rejects nulls and ragged columns with clear errors") {
     import org.apache.spark.sql.types._
     val f = java.io.File.createTempFile("graft_bad", ".h5")
