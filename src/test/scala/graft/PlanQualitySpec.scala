@@ -106,6 +106,36 @@ class PlanQualitySpec extends SparkSpec {
       s"events must not shuffle into the stats join:\n$plan")
   }
 
+  test("no query plans an unpartitioned window over unaggregated rows") {
+    // A Window with an empty partitionSpec funnels its whole input into
+    // ONE task — the single shape guaranteed to melt at 100 TB. The
+    // sweep covers EVERY registry query. An unpartitioned window is
+    // tolerated only when its input is already an Aggregate subtree
+    // (dictionary/histogram-sized by construction: label dictionaries,
+    // bin grids, per-group stats), or the query is in the documented
+    // whitelist below.
+    // Currently empty: every registry query's global windows sit over
+    // aggregates (label dictionaries, bin grids). Add a name here ONLY
+    // with a doc comment proving the windowed input is bounded.
+    val whitelist: Set[String] = Set()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !whitelist.contains(name) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty =>
+            val aggBelow = w.child.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }
+            if (aggBelow.isEmpty) Some(name) else None
+        }.flatten
+        bad.headOption
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over raw rows in: $offenders")
+  }
+
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
