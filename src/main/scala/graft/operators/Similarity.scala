@@ -243,6 +243,131 @@ object Similarity {
     topKByGroup(scored, k)
   }
 
+  /** Corpus-adaptive IVF sizing: cells of ~64 vectors
+    * (`max(16, ceil(n/64))`). With FIXED nCells a growing corpus grows
+    * every cell, so each probe's candidate list — and a full kNN-graph
+    * build's total work — grows linearly per query (quadratic overall;
+    * the r5 sf1 audit measured exactly that: 39.5× at 10× data).
+    * Cells sized to the corpus keep per-probe candidates constant. */
+  def cellsFor(n: Long): Int =
+    math.max(16L, math.ceil(n / 64.0).toLong).toInt
+
+  /** Super-cell count for the two-level probe pick: ⌈√nCells⌉ (floor
+    * 4). With nCells ∝ corpus, a FLAT probe pick scores every centroid
+    * per query — O(n) again. Grouping cells under √nCells super-cells
+    * bounds the pick at O(√nCells) centroid scores per query. */
+  def supersFor(nCells: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+
+  /** A two-level IVF index: the flat cell index plus a coarse layer of
+    * super-cells over the CENTROIDS (built with the same deterministic
+    * Lloyd kernel, so the whole hierarchy is oracle-replayable).
+    * `superMatrix(s)` is super-centroid `s`; `cellToSuper(c)` is cell
+    * `c`'s super assignment under the same NearestCell tie-break the
+    * corpus assignment uses. Both layers are KiB–MiB-scale driver
+    * arrays up to ~10⁵ cells (≈ 10⁷-vector corpora per executor-group);
+    * beyond that the cell layer itself becomes a broadcast table and
+    * the pick a broadcast join + bounded-heap aggregate. */
+  final case class HierIvfIndex(base: IvfIndex,
+                                superMatrix: Array[Array[Double]],
+                                cellToSuper: Array[Int]) {
+    def release(): Unit = base.release()
+  }
+
+  /** Build a corpus-adaptively-sized two-level IVF index: nCells =
+    * [[cellsFor]](count), then the centroid table itself is clustered
+    * into [[supersFor]](nCells) super-cells with the SAME
+    * [[graft.operators.ML.kmeansLloyd]] kernel (seeds = first cells by
+    * id, exact-decimal updates — deterministic, so a SQL oracle replays
+    * both levels). The one extra `count()` is the price of sizing; the
+    * super layer costs one k-means over nCells ROWS (not the corpus). */
+  def buildHierIvfIndex(corpus: DataFrame, id: String,
+                        vec: String): HierIvfIndex = {
+    val n = corpus.count()
+    val nCells = cellsFor(n)
+    val base = buildIvfIndex(corpus, id, vec, nCells)
+    val nSuper = supersFor(nCells)
+    val supResult = graft.operators.ML
+      .kmeansLloyd(base.centroids, "centroid", "cell", k = nSuper, iters = 5)
+    val superMatrix = supResult.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .sortBy(_._1).map(_._2)
+    supResult.unpersist(false)
+    // Cell → super through the same codegen'd NearestCell kernel the
+    // corpus assignment uses: identical distance fold + tie-break, so
+    // the SQL mirror of one is the mirror of both.
+    val c2s = base.centroids.select(col("cell"),
+        graft.functions.VectorFunctions
+          .nearestCell(col("centroid"), superMatrix).as("sup"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    HierIvfIndex(base, superMatrix, Array.tabulate(nCells)(c2s))
+  }
+
+  /** [[knnJoinIvf]] with the two-level probe pick — the kNN-graph shape
+    * sized for a corpus where nCells ∝ n: per query, score the
+    * √nCells super-centroids (narrow, literal matrix), open the `nsp`
+    * best supers, score only THEIR member cells (literal super→cells
+    * map), probe the `nprobe` best. Per-query cost is
+    * O(√nCells + nsp·√nCells + nprobe·64) — constant-ish in corpus
+    * size — versus the flat pick's O(nCells). When `nsp ≥ nSuper`
+    * every super opens and results equal [[knnJoinIvf]] exactly (the
+    * spec law). Shuffle shape is unchanged: probes by cell, then the
+    * bounded-heap top-k. */
+  def knnJoinHier(index: HierIvfIndex, queries: DataFrame,
+                  id: String, vec: String, k: Int,
+                  nprobe: Int = 4, nsp: Int = 4): DataFrame = {
+    val nSuper = index.superMatrix.length
+    val supLit = typedlit(index.superMatrix.map(_.toSeq).toSeq)
+    val bySuper: Map[Int, Seq[(Int, Seq[Double])]] =
+      index.base.matrix.zipWithIndex.toSeq
+        .map { case (c, i) => (index.cellToSuper(i), (i, c.toSeq)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cellMapLit = typedlit(bySuper)
+    val noCells = typedlit(Seq.empty[(Int, Seq[Double])])
+    val superScores = transform(
+      sequence(lit(0), lit(nSuper - 1)),
+      sp => struct(
+        Dedup.cosine(col("qv"), element_at(supLit, sp + 1)).as("scos"),
+        sp.as("sup")))
+    val topSupers = slice(array_sort(superScores,
+      (l, r) => when(l("scos") > r("scos"), lit(-1))
+        .when(r("scos") > l("scos"), lit(1))
+        .otherwise(l("sup") - r("sup"))), 1, nsp)
+    // An empty super (possible: kmeansLloyd keeps empty clusters'
+    // centroids) contributes no candidate cells.
+    val candCells = flatten(transform(topSupers,
+      s => coalesce(element_at(cellMapLit, s("sup")), noCells)))
+    val cellScores = transform(candCells,
+      cc => struct(
+        Dedup.cosine(col("qv"), cc("_2")).as("ccos"),
+        cc("_1").as("cell")))
+    val topCells = slice(array_sort(cellScores,
+      (l, r) => when(l("ccos") > r("ccos"), lit(-1))
+        .when(r("ccos") > l("ccos"), lit(1))
+        .otherwise(l("cell") - r("cell"))), 1, nprobe)
+    val probes = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("pc", explode(topCells))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
+    val scored = index.base.assigned
+      .join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    topKByGroup(scored, k)
+  }
+
+  private val hierCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HierIvfIndex]()
+
+  /** Process-level cache of [[buildHierIvfIndex]] (the registry/bench
+    * path — the count + both cluster levels are bought once per
+    * corpus). */
+  def cachedHierIvfIndex(corpus: => DataFrame, cacheKey: String,
+                         id: String, vec: String): HierIvfIndex =
+    hierCache.computeIfAbsent(s"$cacheKey|$id|$vec|hier",
+      _ => buildHierIvfIndex(corpus, id, vec))
+
   /** One-shot convenience: build + probe + release. Prefer
     * [[buildIvfIndex]]/[[probeIvf]] whenever more than one probe batch
     * hits the same corpus — rebuilding the index per query inverts

@@ -168,7 +168,22 @@ object MLQueries {
     * the IVF oracle (whose index build IS this k-means). */
   private[queries] def kmeansCtePrefix(k: Int, iters: Int, dim: Int,
                                        prefix: String = "",
-                                       xExpr: String = "embedding"): String = {
+                                       xExpr: String = "embedding"): String =
+    kmeansCteGeneric(k.toString, iters, dim, prefix, xExpr)
+
+  /** [[kmeansCtePrefix]] generalized over the SOURCE relation and a
+    * dynamic cluster count: `kExpr` may be any scalar SQL expression
+    * (e.g. `greatest(16, CAST(ceil((SELECT count(*) …)/64.0) AS INT))`
+    * — the corpus-adaptive IVF sizing rule), and `table`/`idCol` name
+    * the input relation (a prior CTE works: the two-level IVF oracle
+    * chains a second k-means over the FIRST chain's centroid CTE).
+    * The id column is aliased to `vec_id` inside the chain so the
+    * generated steps are relation-agnostic. */
+  private[queries] def kmeansCteGeneric(kExpr: String, iters: Int, dim: Int,
+                                        prefix: String = "",
+                                        xExpr: String = "embedding",
+                                        table: String = "embeddings",
+                                        idCol: String = "vec_id"): String = {
     def dist(x: String, c: String) =
       s"""list_reduce(list_transform(list_zip($x, $c),
          | p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
@@ -195,11 +210,11 @@ object MLQueries {
          | SELECT cell, c FROM ${prefix}c${i - 1}
          | WHERE cell NOT IN (SELECT cell FROM ${prefix}a$i))""".stripMargin
     val steps = (1 to iters).flatMap(i => Seq(assign(i), update(i)))
-    s"""${prefix}pts AS (SELECT vec_id, $xExpr AS x FROM embeddings),
+    s"""${prefix}pts AS (SELECT $idCol AS vec_id, $xExpr AS x FROM $table),
        |${prefix}c0 AS (
-       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY $idCol) - 1 AS INT) AS cell,
        |  list_transform($xExpr, v -> CAST(v AS DOUBLE)) AS c
-       | FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k) t),
+       | FROM (SELECT * FROM $table ORDER BY $idCol LIMIT $kExpr) t),
        |${steps.mkString(",\n")},
        |${assign(iters + 1)}""".stripMargin
   }

@@ -53,16 +53,23 @@ object SimilarityQueries {
 
     // kNN-graph construction: EVERY corpus vector is a query (top-10
     // neighbors each) through the shuffle-join KNN path — queries are
-    // never broadcast (narrow nprobe cell pick, probes shuffled by
-    // cell against the cell-partitioned index). Same index instance as
-    // q_ann_ivf; identical probe/tie-break semantics, so the oracle is
-    // the q_ann_ivf replay with the query filter removed.
+    // never broadcast (narrow cell pick, probes shuffled by cell
+    // against the cell-partitioned index). Unlike the probe-set
+    // queries (q_ann_ivf etc., whose cost is bounded by their 16
+    // queries), this workload sizes its OWN index: nCells =
+    // cellsFor(n) ∝ corpus so per-probe candidates stay constant, and
+    // the probe pick is two-level (√nCells super-cells) so picking
+    // doesn't become the new O(nCells) per-query term — the r5 sf1
+    // audit measured the fixed-16-cell variant at 39.5× for 10× data;
+    // this shape is ~linear. At sf0.01 (500 vectors) the sizing rule
+    // yields the same 16 cells and nsp=4 opens all 4 supers, so
+    // results there equal the flat pick exactly (SimilaritySpec law).
     "q_ann_knn" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Similarity.cachedIvfIndex(e, cacheKey = dir,
-        "vec_id", "embedding", nCells = 16)
-      Similarity.knnJoinIvf(idx, e, "vec_id", "embedding",
-        k = 10, nprobe = 4)
+      val idx = Similarity.cachedHierIvfIndex(e, cacheKey = dir,
+        "vec_id", "embedding")
+      Similarity.knnJoinHier(idx, e, "vec_id", "embedding",
+        k = 10, nprobe = 4, nsp = 4)
     }),
 
     // Symmetric int8 quantization of the corpus (the 4× ANN memory
@@ -341,21 +348,48 @@ object SimilarityQueries {
          |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
          | FROM s) WHERE rank <= 5""".stripMargin,
 
-    // q_ann_ivf's replay with every vector as a query (knnJoinIvf and
-    // probeIvf share probe pick, scoring, and tie-break semantics).
-    "q_ann_knn" ->
-      s"""WITH ${MLQueries.kmeansCtePrefix(k = 16, iters = 5, dim = 64)},
-         |cells AS (SELECT cell, c FROM c5),
+    // knnJoinHier replay — the corpus-adaptive two-level index. Chain 1
+    // = the proven k-means CTE chain over the corpus, but with the
+    // DYNAMIC cellsFor(n) cluster count (a LIMIT subquery mirroring
+    // `max(16, ceil(n/64))`); chain 2 (sup_) = the SAME chain run over
+    // chain 1's centroid CTE c5 with supersFor(nCells) clusters;
+    // cell→super is chain 2's final assignment sup_a6. Per query:
+    // top-4 supers by (scos DESC, super ASC), then top-4 cells among
+    // the PICKED supers' member cells, then in-cell scoring with
+    // q_ann_brute's tie-breaks — each step the exact mirror of the
+    // knnJoinHier array-sort comparators.
+    "q_ann_knn" -> {
+      val nCellsExpr =
+        "greatest(16, CAST(ceil((SELECT count(*) FROM embeddings) / 64.0) AS INT))"
+      val nSuperExpr =
+        s"greatest(4, CAST(ceil(sqrt($nCellsExpr)) AS INT))"
+      def mat(s: String) = s.replace(" AS (", " AS MATERIALIZED (")
+      val chain1 = mat(MLQueries.kmeansCteGeneric(nCellsExpr,
+        iters = 5, dim = 64))
+      val chain2 = mat(MLQueries.kmeansCteGeneric(nSuperExpr,
+        iters = 5, dim = 64, prefix = "sup_", xExpr = "c",
+        table = "c5", idCol = "cell"))
+      s"""WITH $chain1,
+         |$chain2,
+         |cellsup AS (SELECT vec_id AS cell, cell AS sup FROM sup_a6),
          |q AS (SELECT vec_id AS query_id,
          |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
          |  FROM embeddings),
+         |spick AS (
+         | SELECT query_id, qv, sup FROM (
+         |  SELECT q.query_id, q.qv, s.cell AS sup,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "s.c")} DESC, s.cell ASC)
+         |    AS srank
+         |  FROM q, sup_c5 s) t WHERE srank <= 4),
          |probes AS (
          | SELECT query_id, qv, cell FROM (
-         |  SELECT q.query_id, q.qv, cells.cell,
-         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |    ORDER BY ${cosSql("q.qv", "cells.c")} DESC, cells.cell ASC)
+         |  SELECT sp.query_id, sp.qv, c.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY sp.query_id
+         |    ORDER BY ${cosSql("sp.qv", "c.c")} DESC, c.cell ASC)
          |    AS prank
-         |  FROM q, cells) t WHERE prank <= 4),
+         |  FROM spick sp JOIN cellsup cs ON cs.sup = sp.sup
+         |   JOIN c5 c ON c.cell = cs.cell) t WHERE prank <= 4),
          |s AS (
          | SELECT p.query_id, a.vec_id AS neighbor_id,
          |  ${cosSql("p.qv", "a.x")} AS cos
@@ -365,7 +399,8 @@ object SimilarityQueries {
          | SELECT query_id, neighbor_id, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
-         | FROM s) WHERE rank <= 10""".stripMargin,
+         | FROM s) WHERE rank <= 10""".stripMargin
+    },
 
     // Mirror of cachedIvfIndex(nCells=16, 5 Lloyd iters) + probeIvf
     // (nprobe=4, k=10): the index build reuses the exact k-means CTE

@@ -182,6 +182,39 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("knnJoinHier with every super open equals the flat knnJoinIvf") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val hier = Similarity.buildHierIvfIndex(e, "vec_id", "embedding")
+    try {
+      val nSuper = hier.superMatrix.length
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSet
+      // nsp >= nSuper opens every super, so the candidate cell set is
+      // ALL cells and the two-level pick degenerates to the flat pick.
+      val viaHier = canon(Similarity.knnJoinHier(hier, e,
+        "vec_id", "embedding", k = 5, nprobe = 3, nsp = nSuper))
+      val viaFlat = canon(Similarity.knnJoinIvf(hier.base, e,
+        "vec_id", "embedding", k = 5, nprobe = 3))
+      assert(viaHier == viaFlat)
+      assert(viaHier.nonEmpty)
+      // every cell is assigned to an in-range super
+      assert(hier.cellToSuper.forall(s => s >= 0 && s < nSuper))
+      assert(hier.cellToSuper.length == hier.base.matrix.length)
+    } finally hier.release()
+  }
+
+  test("adaptive sizing rules: cellsFor / supersFor") {
+    assert(Similarity.cellsFor(500) == 16)    // sf0.01 — unchanged vs r4
+    assert(Similarity.cellsFor(2000) == 32)   // sf0.1
+    assert(Similarity.cellsFor(20000) == 313) // sf1 audit scale
+    assert(Similarity.cellsFor(0) == 16)
+    assert(Similarity.supersFor(16) == 4)
+    assert(Similarity.supersFor(32) == 6)
+    assert(Similarity.supersFor(313) == 18)
+  }
+
   test("quantizeInt8 bounds values at ±127 and reconstructs within scale/2") {
     import spark.implicits._
     val df = Seq(
