@@ -357,6 +357,32 @@ object Similarity {
     topKByGroup(scored, k)
   }
 
+  /** Append a delta corpus to a built IVF index WITHOUT re-clustering:
+    * the delta is assigned under the EXISTING centroids with the same
+    * codegen'd NearestCell kernel (identical tie-break), repartitioned
+    * by cell, and unioned into the index as a second segment. This is
+    * the 100 TB index-maintenance pattern — the expensive cluster pass
+    * is amortized over the index lifetime, and a nightly ingest pays
+    * one narrow assignment pass plus a delta-sized shuffle (the main
+    * segment's bytes never move). Centroid drift is the price: deltas
+    * are served from the nearest OLD cell until the next rebuild, which
+    * is exactly the FAISS/segment-merge contract. Probing is unchanged
+    * ([[probeIvf]]/[[knnJoinIvf]] over the returned index): results
+    * equal an index whose assignment pass ran over old+delta under the
+    * old centroids (the oracle's formulation). */
+  def appendToIndex(index: IvfIndex, delta: DataFrame,
+                    id: String, vec: String): IvfIndex = {
+    val spark = delta.sparkSession
+    val newRows = delta.select(col(id), col(vec))
+      .withColumn("cell", graft.functions.VectorFunctions
+        .nearestCell(col(vec), index.matrix))
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+    val merged = index.assigned.union(newRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(merged, index.centroids, index.matrix)
+  }
+
   private val hierCache =
     new java.util.concurrent.ConcurrentHashMap[String, HierIvfIndex]()
 
@@ -445,6 +471,15 @@ object Similarity {
                      id: String, vec: String, nCells: Int = 16): IvfIndex =
     indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",
       _ => buildIvfIndex(corpus, id, vec, nCells))
+
+  /** Cache of build-on-historic + [[appendToIndex]](delta) — the
+    * registry/bench path for the incremental-maintenance query. */
+  def cachedAppendedIndex(corpus: => DataFrame, delta: => DataFrame,
+                          cacheKey: String, id: String, vec: String,
+                          nCells: Int = 16): IvfIndex =
+    indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|incr",
+      _ => appendToIndex(buildIvfIndex(corpus, id, vec, nCells),
+        delta, id, vec))
 
   /** A built product-quantization (PQ) index: every corpus vector is
     * stored as `m` sub-codebook indices (bytes, carried as ints) — the

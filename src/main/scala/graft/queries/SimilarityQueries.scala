@@ -41,6 +41,25 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10, nprobe = 4)
     }),
 
+    // Incremental index maintenance: the index is TRAINED on the 80%
+    // "historic" slice (vec_id % 5 <> 0) and the 20% delta is appended
+    // WITHOUT re-clustering — assigned under the frozen centroids, the
+    // segment-append pattern that amortizes the cluster pass across an
+    // index's lifetime at 100 TB (a nightly ingest pays one narrow
+    // assignment pass + a delta-sized shuffle; the main segment's
+    // bytes never move). Probes then serve old+new uniformly. The
+    // oracle trains the k-means chain on the SLICE and assigns the
+    // FULL corpus under those centroids — exactly what append did.
+    "q_ann_incr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.cachedAppendedIndex(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0),
+        cacheKey = dir, "vec_id", "embedding", nCells = 16)
+      Similarity.probeIvf(idx, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 10, nprobe = 4)
+    }),
+
     // Filtered vector search: top-5 neighbors restricted to the
     // query's own label (the block joins before any cosine — scoring
     // cost is the post-filter candidate count, with exact recall where
@@ -142,6 +161,14 @@ object SimilarityQueries {
          | (acc, v) -> acc + v)""".stripMargin
     s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
   }
+
+  /** Squared euclidean distance with the generator's exact op order —
+    * the SQL mirror of the NearestCell assignment kernel. */
+  private def sqDistSql(x: String, c: String): String =
+    s"""list_reduce(list_transform(list_zip($x, $c),
+       | p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       | (a, b) -> a + b)""".stripMargin
 
   /** Plain dot product with the per-element double cast — the SQL
     * mirror of the ADC LUT entry / term sum building block. */
@@ -431,6 +458,50 @@ object SimilarityQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
          | FROM s) WHERE rank <= 10""".stripMargin,
+
+    // Incremental-append replay: the k-means chain trains on the 80%
+    // slice (table = the train CTE), then ONE assignment pass of the
+    // FULL corpus under those frozen centroids (afull — the same
+    // ROW_NUMBER-over-squared-distance mirror of NearestCell the
+    // chain's own assignment steps use). Probe/score/tie-breaks are
+    // the q_ann_ivf replay over afull.
+    "q_ann_incr" -> {
+      val chain = MLQueries.kmeansCteGeneric("16", iters = 5, dim = 64,
+        table = "train")
+      s"""WITH train AS (
+         |  SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+         |$chain,
+         |allp AS (SELECT vec_id,
+         |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |afull AS (
+         | SELECT vec_id, x, cell FROM (
+         |  SELECT p.vec_id, p.x, c.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |     ORDER BY ${sqDistSql("p.x", "c.c")} ASC, c.cell ASC) AS rnk
+         |  FROM allp p, c5 c) t WHERE rnk = 1),
+         |cells AS (SELECT cell, c FROM c5),
+         |q AS (SELECT vec_id AS query_id,
+         |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 16),
+         |probes AS (
+         | SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, cells.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSql("q.qv", "cells.c")} DESC, cells.cell ASC)
+         |    AS prank
+         |  FROM q, cells) t WHERE prank <= 4),
+         |s AS (
+         | SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  ${cosSql("p.qv", "a.x")} AS cos
+         | FROM afull a JOIN probes p
+         |  ON a.cell = p.cell AND a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         | SELECT query_id, neighbor_id, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         | FROM s) WHERE rank <= 10""".stripMargin
+    },
 
     // SemDeDup replay: same k-means assignment chain (a6 = the corpus
     // assignment under the final centroids), then the within-cell

@@ -205,6 +205,29 @@ class SimilaritySpec extends SparkSpec {
     } finally hier.release()
   }
 
+  test("appendToIndex serves the delta under the frozen centroids") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val base = Similarity.buildIvfIndex(old, "vec_id", "embedding", nCells = 8)
+    val full = Similarity.appendToIndex(base, delta, "vec_id", "embedding")
+    try {
+      // centroids are untouched by the append
+      assert(full.matrix.zip(base.matrix)
+        .forall { case (a, b) => a.sameElements(b) })
+      // every corpus row is in exactly one segment of the union
+      assert(full.assigned.count() == e.count())
+      // delta assignment law: equals NearestCell under the frozen matrix
+      val expect = delta.select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .nearestCell(col("embedding"), base.matrix).as("cell"))
+      val got = full.assigned.filter(col("neighbor_id") % 5 === 0)
+        .select(col("neighbor_id").as("vec_id"), col("cell"))
+      assert(got.except(expect).count() == 0)
+      assert(expect.except(got).count() == 0)
+    } finally { full.release(); base.release() }
+  }
+
   test("adaptive sizing rules: cellsFor / supersFor") {
     assert(Similarity.cellsFor(500) == 16)    // sf0.01 — unchanged vs r4
     assert(Similarity.cellsFor(2000) == 32)   // sf0.1
