@@ -604,7 +604,26 @@ object Dedup {
     // The loop iterates over the CONTRACTED star graph (same
     // components, partition-hop diameter); both directions so roots
     // hear their members' labels and members their roots'.
-    val star = contractPartitions(rawEdges).persist(MEMORY_AND_DISK)
+    // After the zero-shuffle pass, TWO shuffled re-contractions:
+    // repartition the bidirectional star by endpoint and union-find
+    // again — every pair of roots sharing ANY co-located node merges,
+    // so each pass collapses the star like several min-label rounds at
+    // the cost of ONE node-sized shuffle + a narrow pass (no join, no
+    // aggregate, no checkpoint). This is what keeps the ROUND COUNT
+    // flat as the corpus grows: with 10× data a component's edges
+    // spread over 10× more partitions, and the r5 sf1 audit measured
+    // the single-contraction loop needing ~8 rounds (vs 4 at sf0.1);
+    // the re-contractions collapse that cross-partition spread before
+    // the first join runs.
+    val par = sc.defaultParallelism
+    var star0 = contractPartitions(rawEdges)
+    for (_ <- 1 to 2) {
+      val bidir = star0.toDF("u", "v")
+        .union(star0.select(col("lbl").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+      star0 = contractPartitions(bidir.repartition(par, col("u")))
+    }
+    val star = star0.persist(MEMORY_AND_DISK)
     val edges = star.select(col("u"), col("lbl").as("v"))
       .union(star.select(col("lbl").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
