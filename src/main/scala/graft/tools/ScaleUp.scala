@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize a k× scale-up of a fixture directory for
+  * scaling audits (`runMain graft.tools.ScaleUp <srcDir> <dstDir> <k>`).
+  * TPC-H-style: dimension tables region/nation stay fixed; every other
+  * table is replicated k times with its own keys and its foreign keys
+  * into scaled tables shifted by copy · 10⁸, so join selectivity,
+  * fan-out, and value distributions match the source exactly while row
+  * counts grow k×. Timing-only data — the correctness oracles never
+  * run against it. */
+object ScaleUp {
+
+  /** table → key columns to shift per copy (PKs + FKs into scaled
+    * tables; FKs into the fixed dims stay put). */
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil,
+    "nation" -> Nil,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val Off = 100000000L
+    shiftCols.foreach { case (table, keys) =>
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val scaled: DataFrame =
+        if (keys.isEmpty) base
+        else (0 until k).map { i =>
+          keys.foldLeft(base)((df, c) =>
+            df.withColumn(c, (col(c) + lit(i * Off)).cast(base.schema(c).dataType)))
+        }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table: ${base.count()} -> ${scaled.count()} rows")
+    }
+    spark.stop()
+  }
+}
