@@ -144,10 +144,11 @@ object TextQueries {
             .as("n_emails"),
           Text.piiCount(col("text"), Text.piiPatterns(1)._1).as("n_ips"))),
 
-    // BPE vocabulary learning: 8 merges over the corpus. Inherently
-    // iterative (each merge conditions on the previous), so no single
-    // SQL oracle exists → rows-only + BpeSpec goldens; the vocab-
-    // grouped shape makes each iteration corpus-size-independent.
+    // BPE vocabulary learning: 8 merges over the corpus. Iterative
+    // (each merge conditions on the previous), but k is a fixed
+    // artifact size, so the oracle UNROLLS the loop as 8 CTE layers
+    // (bpeLearnSql) — argmax + greedy merge replayed bit-for-bit; the
+    // vocab-grouped shape makes each iteration corpus-size-independent.
     "q_bpe_learn" -> ((s, dir) =>
       graft.operators.Bpe.learnMerges(
         Tables.load(s, dir, "documents"), "text", k = 8)),
@@ -241,6 +242,51 @@ object TextQueries {
     * match whole symbols, consecutive occurrences keep a delimiter
     * between matches, and left-to-right first-occurrence replace ==
     * the kernel's greedy scan. */
+  /** Full replay of [[graft.operators.Bpe.learnMerges]]: the iterative
+    * greedy argmax UNROLLED as k CTE layers. Layer i extracts adjacent
+    * symbol pairs from the double-space word encoding (`list_zip` of
+    * the symbol list with its own tail — overlapping pairs counted,
+    * exactly like the Scala 2-shingles), sums word frequencies per
+    * pair, picks the winner with the kernel's tie-break
+    * (weight DESC, "a b" string ASC), and applies it with the SAME
+    * double-space `replace` the proven q_bpe_encode oracle uses (=
+    * greedy leftmost non-overlapping, the MergeAdjacentPair law).
+    * Every CTE is MATERIALIZED: the v-chain is referenced twice per
+    * layer and DuckDB's inlining heuristic would re-expand it
+    * exponentially. */
+  private def bpeLearnSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         | SELECT z[1] AS a, z[2] AS b,
+         |  CAST(SUM(n) AS BIGINT) AS w
+         | FROM (SELECT regexp_split_to_array(trim(s), '\\s+') AS l, n
+         |       FROM v${i - 1}) t,
+         |  UNNEST(list_zip(t.l, list_slice(t.l, 2, len(t.l)))) AS u(z)
+         | WHERE z[2] IS NOT NULL
+         | GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         | SELECT a, b, w FROM p$i
+         | ORDER BY w DESC, a || ' ' || b ASC LIMIT 1),
+         |v$i AS MATERIALIZED (
+         | SELECT replace(s,
+         |   ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+         |   ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS s,
+         |  n FROM v${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS step, a AS "left", b AS "right",
+         | w AS weight FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT unnest($toks) AS w FROM documents),
+       |v0 AS MATERIALIZED (
+       | SELECT '  ' || array_to_string(regexp_split_to_array(w, ''), '  ')
+       |   || '  ' AS s,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       | FROM w0 WHERE len(w) > 0 GROUP BY 1),
+       |$steps
+       |$sel""".stripMargin
+  }
+
   private def bpeEncodeSql: String = {
     val chain = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
       s"s${i + 1} AS (SELECT replace(s, ' $a  $b ', ' $a$b ') AS s FROM s$i)"
@@ -476,6 +522,9 @@ object TextQueries {
          |FROM fl JOIN keep USING (doc_id) GROUP BY lang""".stripMargin
     },
 
-    "q_bpe_encode" -> bpeEncodeSql
+    "q_bpe_encode" -> bpeEncodeSql,
+
+    // The learn loop, fully replayed (8 unrolled argmax+apply layers).
+    "q_bpe_learn" -> bpeLearnSql(8)
   )
 }
