@@ -120,8 +120,11 @@ object Bench {
     // 2>&1 capture a multi-KB stderr line can interleave AFTER the
     // stdout summary and push it out of the driver's ~2000-char tail
     // window (exactly how the r3 bench line failed to parse).
+    // SPARK_GRAFT_REPS_FILE redirects the artifact — scaling audits at
+    // other SF dirs must not clobber the canonical sf0.1 file.
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_reps.json"),
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPS_FILE", "bench_reps.json")),
       repsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] reps file write failed: ${e.getMessage}") }

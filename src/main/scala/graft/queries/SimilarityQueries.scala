@@ -143,12 +143,15 @@ object SimilarityQueries {
 
     // Semantic dedup (SemDeDup): k-means cells as the blocking key,
     // within-cell cosine ≥ 0.30 against any smaller id ⇒ duplicate.
-    // Shares the cached IVF index with q_ann_ivf / q_ann_knn — the
-    // cluster pass is bought once and reused by search AND dedup.
+    // Shares the ADAPTIVE index with q_ann_knn (one cluster pass buys
+    // search AND dedup): cellsFor(n) cells keep each cell ~64 vectors
+    // regardless of corpus size, so the within-cell quadratic — the
+    // term that decides whether SemDeDup survives 100 TB — is bounded
+    // by construction, not by caller discipline.
     "q_semantic_dedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = Similarity.cachedIvfIndex(e, cacheKey = dir,
-        "vec_id", "embedding", nCells = 16)
+      val idx = Similarity.cachedHierIvfIndex(e, cacheKey = dir,
+        "vec_id", "embedding").base
       graft.operators.Dedup.semanticDedup(idx, "vec_id",
         threshold = 0.30)
     })
@@ -507,8 +510,16 @@ object SimilarityQueries {
     // assignment under the final centroids), then the within-cell
     // smaller-id cosine test. Cosine is the bit-exact cosSql mirror,
     // so the 0.30 threshold cut agrees exactly.
+    // r5: the cell chain uses the same DYNAMIC cellsFor(n) count as
+    // q_ann_knn (shared adaptive index), so the within-cell quadratic
+    // stays bounded BY CONSTRUCTION as the corpus grows — cells of
+    // ~64 vectors regardless of n. At sf0.01 the rule yields the same
+    // 16 cells as before.
     "q_semantic_dedup" ->
-      s"""WITH ${MLQueries.kmeansCtePrefix(k = 16, iters = 5, dim = 64)},
+      s"""WITH ${MLQueries.kmeansCteGeneric(
+             "greatest(16, CAST(ceil((SELECT count(*) FROM embeddings)" +
+               " / 64.0) AS INT))",
+             iters = 5, dim = 64)},
          |d AS (
          | SELECT DISTINCT b.vec_id AS id
          | FROM a6 a JOIN a6 b

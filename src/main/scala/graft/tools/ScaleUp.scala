@@ -27,16 +27,7 @@ object ScaleUp {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  def main(args: Array[String]): Unit = {
-    val Array(src, dst, kStr) = args
-    val k = kStr.toInt
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     val Off = 100000000L
     shiftCols.foreach { case (table, keys) =>
       val base = spark.read.parquet(s"$src/$table.parquet")
@@ -49,6 +40,18 @@ object ScaleUp {
       scaled.write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"[scaleup] $table: ${base.count()} -> ${scaled.count()} rows")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, kStr) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, kStr.toInt)
     spark.stop()
   }
 }
