@@ -76,7 +76,13 @@ object DedupQueries {
         n = 24, w = 8, minShared = 2)
         .select(col("id_a"), col("id_b"))),
 
-    // Embedding-cosine near-dup, blocked on the label column.
+    // Embedding-cosine near-dup, blocked on the label column. EXACT
+    // within each label block — which means candidate pairs (and the
+    // qualifying OUTPUT) grow quadratically when blocks grow linearly
+    // with the corpus (SURVEY §8.3 measured 100.4× candidates at 10×
+    // data; runtime grew only 24.7×). That is the contract's price,
+    // not a plan defect; when blocks scale with the corpus, the
+    // bounded path is q_semantic_dedup's adaptive cell blocking.
     "q_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.35)),

@@ -205,6 +205,33 @@ class SimilaritySpec extends SparkSpec {
     } finally hier.release()
   }
 
+  test("hierarchical pick keeps recall against brute force when nsp < nSuper") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val hier = Similarity.buildHierIvfIndex(e, "vec_id", "embedding")
+    try {
+      val nSuper = hier.superMatrix.length
+      assert(nSuper >= 2)
+      // Force a genuinely two-level pick: open only half the supers.
+      val nsp = math.max(1, nSuper / 2)
+      val got = Similarity.knnJoinHier(hier, e, "vec_id", "embedding",
+          k = 5, nprobe = 3, nsp = nsp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flat = Similarity.knnJoinIvf(hier.base, e, "vec_id", "embedding",
+          k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hierRecall = got.count(truth).toDouble / truth.size
+      val flatRecall = flat.count(truth).toDouble / truth.size
+      // The claim under test is RELATIVE: restricting the pick to half
+      // the super-cells must not crater recall vs the flat pick at the
+      // same nprobe (at this toy corpus size — ~3 vectors per cell —
+      // absolute recall floors are meaningless).
+      assert(hierRecall >= 0.7 * flatRecall,
+        s"hier recall $hierRecall < 0.7×flat $flatRecall (nsp=$nsp/$nSuper)")
+    } finally hier.release()
+  }
+
   test("appendToIndex serves the delta under the frozen centroids") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val old = e.filter(col("vec_id") % 5 =!= 0)
