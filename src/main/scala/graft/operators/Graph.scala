@@ -155,6 +155,50 @@ object Graph {
        |SELECT node, lbl AS component FROM r$rounds""".stripMargin
   }
 
+  /** Bounded-hop BFS distance from a source set — the k-hop
+    * reachability / contamination-spread primitive ("everything within
+    * k links of a flagged node": eval-set leakage through link
+    * structure, spam-neighborhood expansion, crawl frontier cuts).
+    *
+    * Frontier-style: round h joins ONLY the round-(h−1) frontier with
+    * the edge table (pre-partitioned by src once, the partitioning
+    * reused every round) and anti-joins the settled set, so per-round
+    * shuffle volume is frontier-sized — never graph-sized — and a
+    * node is expanded exactly once, at its minimal hop. Early-exits
+    * when the frontier empties (one O(1) driver count per round, the
+    * allreduce-loop shape). Each round's frontier is an eager
+    * `localCheckpoint`, so the settled set is a union of checkpointed
+    * leaves — plan depth grows with rounds but nothing recomputes.
+    * Returns (node, dist ≤ maxHops); unreachable nodes are absent.
+    * Pass symmetric edges for undirected semantics. */
+  def hopDistance(edges: DataFrame, sources: DataFrame,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = settled.select(col("node"))
+    var h = 0
+    var frontierSize = frontier.count()
+    while (h < maxHops && frontierSize > 0) {
+      h += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      settled = settled.union(next)
+      frontier = next.select(col("node"))
+    }
+    e.unpersist(false)
+    settled
+  }
+
   /** Weakly connected components of the undirected graph in `edges`
     * (direction ignored): every node labeled with its component's
     * minimum node id. First-class form of the label propagation

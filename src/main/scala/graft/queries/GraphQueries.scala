@@ -59,6 +59,26 @@ object GraphQueries {
           concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
         .distinct()
       Graph.connectedComponents(e0)
+    }),
+
+    // k-hop contamination spread over the same sparse order↔part
+    // graph: sources = parts with partkey % 500 == 0 ("flagged"),
+    // BFS out to 6 hops, symmetric edges. Frontier-only shuffles —
+    // each round moves the newly-discovered nodes, never the graph.
+    // Oracle: bounded recursive CTE (UNION-deduped, so rows are
+    // capped at nodes × hops, never path-enumerated) + MIN(dist).
+    "q_khop" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 48)
+      val e0 = li
+        .select(concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = li.filter(col("l_partkey") % 500 === 0)
+        .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+        .distinct()
+      Graph.hopDistance(edges, sources, maxHops = 6)
     })
   )
 
@@ -86,6 +106,31 @@ object GraphQueries {
         |SELECT b AS src, a AS dst FROM
         | (SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
         |  FROM lineitem WHERE l_quantity > 48)""".stripMargin),
+
+    // Bounded-depth BFS as a recursive CTE: UNION (not UNION ALL)
+    // dedupes (node, dist) rows per step, so the working set is capped
+    // at nodes × (hops+1) — never the path enumeration a closure
+    // would do — and MIN(dist) is exactly the frontier BFS's
+    // first-discovery distance.
+    "q_khop" ->
+      """WITH RECURSIVE eb AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM
+        |   (SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+        |    FROM lineitem WHERE l_quantity > 48)
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst FROM
+        |   (SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+        |    FROM lineitem WHERE l_quantity > 48)),
+        |walk(node, dist) AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS node, 0 AS dist
+        |  FROM lineitem
+        |  WHERE l_quantity > 48 AND l_partkey % 500 = 0
+        |  UNION
+        |  SELECT e.dst AS node, w.dist + 1 AS dist
+        |  FROM walk w JOIN eb e ON e.src = w.node
+        |  WHERE w.dist < 6)
+        |SELECT node, CAST(MIN(dist) AS INT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
 
     // Mirror of Graph.triangleCount on the co-purchase projection:
     // same (degree, id) orientation, wedge join, closure semi-join.

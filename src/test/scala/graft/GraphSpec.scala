@@ -16,6 +16,26 @@ class GraphSpec extends SparkSpec {
       .toDF("src", "dst")
   }
 
+  test("hopDistance: exact BFS distances, bound respected, early exit") {
+    import spark.implicits._
+    // path a—b—c—d—e plus an isolated pair x—y
+    val edges = Seq(("a","b"),("b","c"),("c","d"),("d","e"),("x","y"))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val src = Seq("a").toDF("node")
+    def run(k: Int) = Graph.hopDistance(edges, src, k)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // exact distances; unreachable (x, y) absent
+    assert(run(10) == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4))
+    // the hop bound truncates the frontier
+    assert(run(2) == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    assert(run(0) == Map("a" -> 0))
+    // two sources: every node takes its NEAREST source's distance
+    val two = Graph.hopDistance(edges, Seq("a", "e").toDF("node"), 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(two == Map("a" -> 0, "e" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+  }
+
   test("pageRank golden on the 3-node path (2 iterations)") {
     // deg a=1,b=2,c=1; r1 = (.575, 1.85, .575);
     // r2 = (.93625, 1.1275, .93625)
