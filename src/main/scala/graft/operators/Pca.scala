@@ -144,6 +144,61 @@ object Pca {
     PcaModel(means, vals.take(k), vecs.take(k))
   }
 
+  /** Oracle-replayable PC1 twin: `iters` power iterations on the
+    * (oracled) covariance, the same native-twin discipline as
+    * `q_ml_kmeans_native`/`q_ml_nb_native` — the Jacobi [[fit]] stays
+    * the production solve, this twin exists so the eigen path has a
+    * driver-green differential. Each iteration is one DataFrame
+    * aggregate (matvec: Σ_j cov_ij·v_j staged DECIMAL(27,18), order-
+    * free) with the current 64-vector broadcast as a literal — the
+    * one-allreduce-per-iteration topology of the logreg kernel — and
+    * the norm's squares are staged through the SAME
+    * `BigDecimal.valueOf(·).setScale(18, HALF_UP)` rounding Spark's
+    * double→decimal cast uses, so all `iters` steps are
+    * bit-reproducible and an unrolled SQL chain replays them.
+    * Deterministic regardless of convergence: the twin's contract is
+    * "same `iters` steps from the all-ones start", not "converged
+    * eigenpair". Returns (d, loading, lam): the iterated unit vector,
+    * sign-canonicalized (largest-|component| positive, ties to the
+    * lowest index), and its Rayleigh quotient vᵀCv. */
+  def powerIterationPc1(df: DataFrame, vec: String, dim: Int,
+                        iters: Int, bs: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val cov = covariance(df, vec, dim, bs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cov.count()
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def decSum(xs: Array[Double]): Double =
+      xs.foldLeft(JBD.ZERO)((acc, x) =>
+        acc.add(JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)))
+        .doubleValue()
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      val byI = cov.groupBy(col("i"))
+        .agg(sum((col("cov") * element_at(vLit, col("j") + 1))
+          .cast("decimal(27,18)")).cast("double").as("x"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val w = Array.tabulate(dim)(byI)
+      val norm = math.sqrt(decSum(w.map(x => x * x)))
+      v = w.map(_ / norm)
+    }
+    val vLit = array(v.map(lit): _*)
+    val lam = cov.agg(
+      sum((element_at(vLit, col("i") + 1) * col("cov")
+        * element_at(vLit, col("j") + 1))
+        .cast("decimal(27,18)")).cast("double"))
+      .head.getDouble(0)
+    cov.unpersist(false)
+    // canonical sign: largest-|component| positive (ties: lowest index)
+    val m = v.indices.maxBy(k => (math.abs(v(k)), -k))
+    val signed = if (v(m) < 0) v.map(x => -x) else v
+    spark.createDataFrame(
+      signed.zipWithIndex.map { case (x, d) => (d, x, lam) }.toSeq)
+      .toDF("d", "loading", "lam")
+      .select(col("d").cast("int").as("d"), col("loading"), col("lam"))
+  }
+
   /** Project each row onto the model's components: (id, pc1..pck) —
     * a narrow pass, each score a fixed-order codegen'd sum of
     * `(x_d − μ_d)·v_cd` terms with the model baked in as literals. */

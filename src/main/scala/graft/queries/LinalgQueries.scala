@@ -55,6 +55,20 @@ object LinalgQueries {
         .select(col("i"), col("j"),
           (round(col("cov"), 6) + lit(0.0)).as("cov"))),
 
+    // PC1 power-iteration twin of the Jacobi eigensolve — the
+    // native-twin discipline the kmeans/NB bridges use: the PRODUCTION
+    // path stays q_ml_pca's driver-local Jacobi; this query runs 8
+    // deterministic power steps on the oracled covariance so the eigen
+    // path has a driver-green differential too. 6dp cut: the engines'
+    // gram op orders differ at ~1e-15 and power iteration CONTRACTS,
+    // so the divergence stays ~7 orders below the cut.
+    "q_ml_pca_power" -> ((s, dir) =>
+      graft.operators.Pca.powerIterationPc1(
+        Tables.load(s, dir, "embeddings"), "embedding", dim, iters = 8)
+        .select(col("d"),
+          (round(col("loading"), 6) + lit(0.0)).as("loading"),
+          (round(col("lam"), 6) + lit(0.0)).as("lam"))),
+
     // PCA projection: top-2 principal scores per vector. The
     // eigenbasis is driver-local Jacobi on the 64×64 covariance
     // (sufficient-stats-then-local-solve, like q_ml_ols) — not
@@ -122,6 +136,57 @@ object LinalgQueries {
          |JOIN mu mi ON mi.i = g.i
          |JOIN mu mj ON mj.i = g.j
          |CROSS JOIN nn""".stripMargin,
+
+    // Mirror of powerIterationPc1: the UNROLLED 8-step chain over the
+    // unrounded covariance CTE (cov). Per step: matvec w = C·v with
+    // DECIMAL(27,18)-staged term sums (order-free, same as the Spark
+    // aggregate), norm via decimal-staged squares, then the IEEE
+    // division. Sign fix and Rayleigh quotient mirror the Scala tail.
+    // Every CTE MATERIALIZED: the v-chain is referenced repeatedly and
+    // inlining would re-expand it exponentially.
+    "q_ml_pca_power" -> {
+      val steps = (1 to 8).map { i =>
+        s"""w$i AS MATERIALIZED (
+           | SELECT c.i AS d,
+           |  CAST(SUM(CAST(c.cov * v.x AS DECIMAL(27,18))) AS DOUBLE) AS x
+           | FROM cov c JOIN v${i - 1} v ON v.d = c.j GROUP BY 1),
+           |n$i AS MATERIALIZED (
+           | SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(27,18)))
+           |   AS DOUBLE)) AS nrm FROM w$i),
+           |v$i AS MATERIALIZED (
+           | SELECT d, x / (SELECT nrm FROM n$i) AS x FROM w$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS MATERIALIZED (
+         | SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+         | FROM embeddings),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts),
+         |mu AS MATERIALIZED (
+         | SELECT CAST(d - 1 AS INT) AS i,
+         |  CAST(SUM(CAST(x[d] AS DECIMAL(27,18))) AS DOUBLE) / nn.n AS m
+         | FROM pts, range(1, ${dim + 1}) r(d), nn GROUP BY d, nn.n),
+         |g AS MATERIALIZED (
+         | SELECT CAST(di - 1 AS INT) AS i, CAST(dj - 1 AS INT) AS j,
+         |  CAST(SUM(CAST(x[di] * x[dj] AS DECIMAL(27,18))) AS DOUBLE) AS val
+         | FROM pts, range(1, ${dim + 1}) r1(di), range(1, ${dim + 1}) r2(dj)
+         | GROUP BY di, dj),
+         |cov AS MATERIALIZED (
+         | SELECT g.i, g.j, g.val / nn.n - mi.m * mj.m AS cov
+         | FROM g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
+         | CROSS JOIN nn),
+         |v0 AS (SELECT CAST(d - 1 AS INT) AS d, 1.0 AS x
+         |  FROM range(1, ${dim + 1}) r(d)),
+         |$steps,
+         |sgn AS (SELECT CASE WHEN (SELECT x FROM v8
+         |   ORDER BY abs(x) DESC, d ASC LIMIT 1) < 0
+         |  THEN -1.0 ELSE 1.0 END AS s),
+         |lam AS (SELECT CAST(SUM(CAST(a.x * c.cov * b.x
+         |   AS DECIMAL(27,18))) AS DOUBLE) AS l
+         | FROM cov c JOIN v8 a ON a.d = c.i JOIN v8 b ON b.d = c.j)
+         |SELECT v.d, ROUND(v.x * s.s, 6) + 0.0 AS loading,
+         | ROUND(l.l, 6) + 0.0 AS lam
+         |FROM v8 v, sgn s, lam l""".stripMargin
+    },
 
     // Mirror of multiplyBlocked's op order: within an inner block the
     // kernel folds the $bs products in ascending k with a 0.0 seed

@@ -50,6 +50,41 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("power-iteration twin: converges on a dominant axis; bounded on the fixture") {
+    import spark.implicits._
+    // planted spectrum: a strongly dominant direction (λ1 >> λ2), so 8
+    // steps converge hard — the (λ2/λ1)^k rate is what power iteration
+    // guarantees; the near-flat random-embedding spectrum is NOT a
+    // convergence case and the fixture assertions below are the
+    // variational bounds instead.
+    val planted = (0 until 40).map { i =>
+      val t = (i - 19.5) / 4.0
+      (i.toLong, Seq(10.0 * t, math.sin(i.toDouble), math.cos(3.0 * i)))
+    }.toDF("id", "embedding")
+    val pm = Pca.fit(planted, "embedding", dim = 3, k = 1, bs = 3)
+    val prow = Pca.powerIterationPc1(planted, "embedding", dim = 3, iters = 8, bs = 3)
+      .collect().sortBy(_.getInt(0))
+    val pv = prow.map(_.getDouble(1))
+    val pdot = pv.zip(pm.components(0)).map { case (a, b) => a * b }.sum
+    assert(pdot > 0.999, s"planted PC1 alignment $pdot")
+    assert(math.abs(prow.head.getDouble(2) - pm.eigenvalues(0))
+      < 1e-6 * (1 + pm.eigenvalues(0)))
+
+    // fixture (flat spectrum): unit norm, and the Rayleigh quotient is
+    // sandwiched by the variational bounds λ_min ≤ vᵀCv ≤ λ_max and
+    // must already beat the all-ones start's quotient (each step is
+    // non-decreasing in exact arithmetic).
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val m = Pca.fit(e, "embedding", dim = 64, k = 64)
+    val rows = Pca.powerIterationPc1(e, "embedding", dim = 64, iters = 8)
+      .collect().sortBy(_.getInt(0))
+    val v = rows.map(_.getDouble(1))
+    val lam = rows.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(lam <= m.eigenvalues(0) * (1 + 1e-9), s"λ $lam > λ1")
+    assert(lam >= m.eigenvalues.last - 1e-9, s"λ $lam < λmin")
+  }
+
   test("projected scores are centered with variance == eigenvalues") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val m = Pca.fit(e, "embedding", dim = 64, k = 2)
