@@ -106,6 +106,25 @@ class PlanQualitySpec extends SparkSpec {
       s"events must not shuffle into the stats join:\n$plan")
   }
 
+  test("kNN-graph build is window-free with bounded exchanges") {
+    // knnJoinHier's whole point: the probe pick is a NARROW array-sort
+    // pass (no Window partitionBy(query) exchange) and the per-query
+    // top-k is the bounded-heap aggregate (partial+final exchange pair),
+    // so the only data movements are probes-by-cell and heap entries.
+    val df = SparkEntry.queries("q_ann_knn")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"kNN-graph plan contains Window: $windows")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 3,
+      s"kNN-graph plan has ${exchanges.size} exchanges (expect <= 3: " +
+        "probes-by-cell join + the top-k aggregate pair)")
+  }
+
   test("no query plans an unpartitioned window over unaggregated rows") {
     // A Window with an empty partitionSpec funnels its whole input into
     // ONE task — the single shape guaranteed to melt at 100 TB. The
