@@ -35,6 +35,19 @@ object Bench {
 
   private def f(v: Double): String = "%.3f".format(v)
 
+  /** JSON string escaping for the error list. Entries today are
+    * registry query names (always safe), but the summary line is the
+    * round's artifact-loss protection — a future entry carrying an
+    * exception message with a quote/backslash/control char must not be
+    * able to make the line unparseable. */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
   /** Build the one-line stdout summary: queries in DESCENDING median
     * order (the expensive ones carry the perf signal) until the
     * serialized line reaches [[LineBudget]], the cheap remainder
@@ -44,7 +57,8 @@ object Bench {
   private[graft] def summaryLine(medians: Map[String, Double],
                                  errors: Seq[String],
                                  sfDir: String): String = {
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = errors.map(e => "\"" + jsonEscape(e) + "\"")
+      .mkString("[", ",", "]")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     val byCost = medians.toSeq.sortBy { case (k, v) => (-v, k) }
     val entries = byCost.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -110,7 +124,8 @@ object Bench {
     val rs = reps.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":[" + v.map(f).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = errors.map(e => "\"" + jsonEscape(e) + "\"")
+      .mkString("[", ",", "]")
     val mediansJson = medians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val repsJson =

@@ -171,6 +171,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
       if (acc < bd) { bd = acc; best = j }
       j += 1
     }
+    DistanceEvalCounter.add(cents.length.toLong)
     best
   }
 
@@ -197,6 +198,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
          |  }
          |  if ($acc < $bd) { $bd = $acc; $best = $j; }
          |}
+         |graft.functions.DistanceEvalCounter.add((long) $m.length);
          |${ev.value} = $best;
        """.stripMargin
     })
@@ -204,6 +206,158 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
 
   override protected def withNewChildInternal(c: Expression): NearestCell =
     copy(child = c)
+}
+
+/** Two-level nearest-cell assignment — the O(√k)-per-row kernel that
+  * makes the corpus-adaptive IVF build scale-safe. Instead of scanning
+  * all k cell centroids ([[NearestCell]] — Θ(n·k) over a corpus whose
+  * index sizes k ∝ n), each row:
+  *   1. scans the `supers` matrix (√k-ish rows), restricted to supers
+  *      that have at least one member cell, picking the nearest
+  *      (ties → smaller super index);
+  *   2. scans only that super's member cells (`members(s)` — ascending
+  *      global cell ids into `cells`), picking the nearest
+  *      (ties → smaller cell id).
+  * Same fused squared-euclidean loop, same index-order accumulation
+  * and strict-< tie-keep as [[NearestCell]], so every pick is
+  * bit-deterministic and mirrored by a two-stage ROW_NUMBER in the
+  * DuckDB oracles. The assignment is hierarchical-approximate by
+  * design (the globally nearest cell can live under a different
+  * super) — exactly the FAISS residual-free coarse-assignment
+  * contract; both engines replay the same approximation.
+  *
+  * All three matrices ride in the codegen references array: generated
+  * source is identical across Lloyd iterations (one Janino compile per
+  * build). Per-row work is tallied in [[DistanceEvalCounter]]. */
+case class NearestCellHier(child: Expression,
+                           supers: Array[Array[Double]],
+                           cells: Array[Array[Double]],
+                           members: Array[Array[Int]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+      if supers.nonEmpty && cells.nonEmpty && members.length == supers.length &&
+        members.exists(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double> input, non-empty super/cell " +
+        "matrices, and a members table with at least one populated super")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_cell_hier"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var bestS = -1
+    var bd = Double.PositiveInfinity
+    var work = 0L
+    var s = 0
+    while (s < supers.length) {
+      if (members(s).length > 0) {
+        val c = supers(s)
+        val n = math.min(x.numElements(), c.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val d = x.getDouble(i) - c(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bd) { bd = acc; bestS = s }
+        work += 1
+      }
+      s += 1
+    }
+    val mem = members(bestS)
+    var best = -1
+    bd = Double.PositiveInfinity
+    var j = 0
+    while (j < mem.length) {
+      val c = cells(mem(j))
+      val n = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bd) { bd = acc; best = mem(j) }
+      j += 1
+    }
+    DistanceEvalCounter.add(work + mem.length)
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sm = ctx.addReferenceObj("supers", supers, "double[][]")
+    val cm = ctx.addReferenceObj("cells", cells, "double[][]")
+    val mm = ctx.addReferenceObj("members", members, "int[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bd")
+      val bestS = ctx.freshName("bestS")
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      val mem = ctx.freshName("mem")
+      val work = ctx.freshName("work")
+      s"""
+         |int $bestS = -1; double $bd = Double.POSITIVE_INFINITY;
+         |long $work = 0L;
+         |for (int $s = 0; $s < $sm.length; $s++) {
+         |  if ($mm[$s].length == 0) continue;
+         |  double[] $c = $sm[$s];
+         |  int $n = java.lang.Math.min($a.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $c[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bd) { $bd = $acc; $bestS = $s; }
+         |  $work++;
+         |}
+         |int[] $mem = $mm[$bestS];
+         |int $best = -1; $bd = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $mem.length; $j++) {
+         |  double[] $c = $cm[$mem[$j]];
+         |  int $n = java.lang.Math.min($a.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $c[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bd) { $bd = $acc; $best = $mem[$j]; }
+         |}
+         |graft.functions.DistanceEvalCounter.add($work + (long) $mem.length);
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellHier =
+    copy(child = c)
+}
+
+/** Process-wide tally of centroid distance evaluations performed by the
+  * assignment kernels ([[NearestCell]], [[NearestCellHier]]) — one unit
+  * per (row, centroid) pair scanned. This is the instrument behind the
+  * index-build scaling law (SimilaritySpec): wall time at toy corpus
+  * sizes is dominated by fixed overheads and cannot distinguish an
+  * O(n·√k) build from an O(n·k) one, but the distance-eval count can.
+  * A `LongAdder` keeps the per-row cost to one striped add (~ns against
+  * the 64-dim flop loop it counts). Local-mode exact; in a cluster it
+  * tallies per-executor (diagnostic only — never read by a query). */
+object DistanceEvalCounter {
+  private val n = new java.util.concurrent.atomic.LongAdder
+  def add(k: Long): Unit = n.add(k)
+  def get: Long = n.sum()
+  def reset(): Unit = n.reset()
 }
 
 /** Flattened `bs×bs` outer-product block (bi, bj) of one dense
@@ -356,6 +510,13 @@ object VectorFunctions {
   def nearestCell(a: Column, cents: Array[Array[Double]]): Column =
     Bridge.column(NearestCell(
       Bridge.expression(a.cast("array<double>")), cents))
+
+  /** Column-API entry for [[NearestCellHier]]. */
+  def nearestCellHier(a: Column, supers: Array[Array[Double]],
+                      cells: Array[Array[Double]],
+                      members: Array[Array[Int]]): Column =
+    Bridge.column(NearestCellHier(
+      Bridge.expression(a.cast("array<double>")), supers, cells, members))
 
   /** Column-API entry for [[OuterBlock]]. */
   def outerBlock(x: Column, bi: Int, bj: Int, bs: Int): Column =

@@ -88,8 +88,12 @@ object Multimodal {
     * encode happens in the scan stage; each partition encodes only its
     * own rows. */
   def syntheticImages(df: DataFrame, id: String): DataFrame = {
-    val mk = udf((mid: Long) => synthPng(mid % 100000L))
-    val seed = col(id).cast("long") % 100000L
+    // floorMod/pmod: a negative media id must yield the same
+    // nonnegative seed in the UDF and the meta struct — signed % would
+    // produce a negative synthDims (NegativeArraySizeException in the
+    // encoder) and a meta/payload mismatch.
+    val mk = udf((mid: Long) => synthPng(java.lang.Math.floorMod(mid, 100000L)))
+    val seed = pmod(col(id).cast("long"), lit(100000L))
     df.select(
       col(id).cast("long").as("media_id"),
       lit("image").as("modality"),

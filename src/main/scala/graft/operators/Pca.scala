@@ -181,6 +181,9 @@ object Pca {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val w = Array.tabulate(dim)(byI)
       val norm = math.sqrt(decSum(w.map(x => x * x)))
+      require(norm > 0,
+        "power iteration collapsed to the zero vector (all-constant / " +
+          "zero-covariance input has no principal direction)")
       v = w.map(_ / norm)
     }
     val vLit = array(v.map(lit): _*)

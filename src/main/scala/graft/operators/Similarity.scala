@@ -46,12 +46,35 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
 
+  /** Ceiling on the broadcast query-set size the probe-set APIs accept
+    * (2²⁰ rows ≈ 0.5 GB of 64-dim doubles — past any sane broadcast).
+    * The guard is a `limit`-bounded count, so the check costs a
+    * CollectLimit over at most this many rows, never a full scan. */
+  val MaxProbeRows: Long = 1L << 20
+
+  /** PROBE-SET-ONLY contract guard: [[bruteForceTopK]]/[[probeIvf]]
+    * broadcast their query side — a corpus-sized query table belongs on
+    * [[knnJoinIvf]]/[[knnJoinHier]] (shuffle-join KNN, queries never
+    * broadcast). Failing fast here beats an executor OOM three stages
+    * later. */
+  private def requireProbeSet(queries: DataFrame, api: String,
+                              maxRows: Long): Unit = {
+    val seen = queries.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    require(seen <= maxRows,
+      s"$api broadcasts its query set; got > $maxRows query rows — " +
+        "use knnJoinIvf/knnJoinHier for large query sides")
+  }
+
   /** Exact cosine top-k of `corpus` for each row of `queries`.
     * Output: (query_id, neighbor_id, rank, cos), rank 1..k by
     * (cos desc, neighbor_id asc); self-matches excluded when ids collide.
-    * `queries` must be broadcast-small (the ANN contract). */
+    * `queries` must be broadcast-small (the ANN contract — guarded by
+    * [[MaxProbeRows]]; kNN-graph-scale query sides use
+    * [[knnJoinIvf]]/[[knnJoinHier]]). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     id: String, vec: String, k: Int): DataFrame = {
+                     id: String, vec: String, k: Int,
+                     maxProbeRows: Long = MaxProbeRows): DataFrame = {
+    requireProbeSet(queries, "bruteForceTopK", maxProbeRows)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
     // Repartition the corpus before scoring: a small single-file input
@@ -157,9 +180,17 @@ object Similarity {
     * [[bruteForceTopK]]; approximate — recall < 1 when a true neighbor
     * lives outside the probed cells. Cost is independent of the index
     * build: broadcast(queries × centroids) to pick cells, then one
-    * co-located join against the pre-partitioned assigned corpus. */
+    * co-located join against the pre-partitioned assigned corpus.
+    *
+    * PROBE SETS ONLY: the cell pick is a crossJoin against the
+    * centroid table + a per-query window — per-query O(nCells), the
+    * right plan for a handful of queries and the wrong one for a large
+    * query side (guarded by [[MaxProbeRows]]; use
+    * [[knnJoinIvf]]/[[knnJoinHier]] there). */
   def probeIvf(index: IvfIndex, queries: DataFrame,
-               id: String, vec: String, k: Int, nprobe: Int = 4): DataFrame = {
+               id: String, vec: String, k: Int, nprobe: Int = 4,
+               maxProbeRows: Long = MaxProbeRows): DataFrame = {
+    requireProbeSet(queries, "probeIvf", maxProbeRows)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
     val probes = queries.select(col(id).as("query_id"), col(vec).as("qv"))
@@ -260,47 +291,370 @@ object Similarity {
     math.max(4, math.ceil(math.sqrt(nCells.toDouble)).toInt)
 
   /** A two-level IVF index: the flat cell index plus a coarse layer of
-    * super-cells over the CENTROIDS (built with the same deterministic
-    * Lloyd kernel, so the whole hierarchy is oracle-replayable).
+    * super-cells (both trained with the same deterministic Lloyd
+    * kernel, so the whole hierarchy is oracle-replayable).
     * `superMatrix(s)` is super-centroid `s`; `cellToSuper(c)` is cell
     * `c`'s super assignment under the same NearestCell tie-break the
     * corpus assignment uses. Both layers are KiB–MiB-scale driver
-    * arrays up to ~10⁵ cells (≈ 10⁷-vector corpora per executor-group);
-    * beyond that the cell layer itself becomes a broadcast table and
-    * the pick a broadcast join + bounded-heap aggregate. */
+    * arrays up to [[MaxLiteralCells]] cells (≈ 10⁷-vector corpora);
+    * beyond that use [[buildHierIvfTableIndex]]/[[knnJoinHierTable]],
+    * where the cell layer is a cell-partitioned DataFrame and the pick
+    * a join + bounded-heap aggregate — no corpus-proportional driver
+    * or plan-literal state anywhere. */
   final case class HierIvfIndex(base: IvfIndex,
                                 superMatrix: Array[Array[Double]],
                                 cellToSuper: Array[Int]) {
     def release(): Unit = base.release()
   }
 
-  /** Build a corpus-adaptively-sized two-level IVF index: nCells =
-    * [[cellsFor]](count), then the centroid table itself is clustered
-    * into [[supersFor]](nCells) super-cells with the SAME
-    * [[graft.operators.ML.kmeansLloyd]] kernel (seeds = first cells by
-    * id, exact-decimal updates — deterministic, so a SQL oracle replays
-    * both levels). The one extra `count()` is the price of sizing; the
-    * super layer costs one k-means over nCells ROWS (not the corpus). */
+  /** Ceiling on the cell count the literal-path index carries as driver
+    * arrays / codegen references (~10⁵ cells × 64 dims × 8 B ≈ 50 MB —
+    * the edge of comfortable task-broadcast). Past it,
+    * [[buildHierIvfTableIndex]] keeps centroids distributed. */
+  val MaxLiteralCells: Int = 100000
+
+  /** Training-sample modulus: systematic 1-in-8 gate (`pmod(id, 8) = 0`)
+    * once the corpus is past the fixed-floor regime, full corpus below
+    * it. Scale-free by construction: with nCells = n/64 the sample is
+    * always ~8 training points per cell, at any corpus size — the
+    * sample bounds the CONSTANT of the training passes (the asymptotic
+    * win is the super-layer assignment), and a deterministic id gate is
+    * what lets a SQL oracle replay the exact same training set.
+    * Production corpora with id-correlated content should pre-hash
+    * their ids; the fixture/oracle contract assumes nonnegative ids. */
+  def sampleModFor(n: Long): Int = if (n > 1024) 8 else 1
+
+  /** Driver-side nearest-centroid pick over a small matrix — the same
+    * ascending-index squared-distance fold and strict-< tie-keep as the
+    * codegen'd kernels (used for the cell→super map, O(k·√k) per
+    * build — never corpus-sized). */
+  private[graft] def nearestIdx(x: Array[Double],
+                                m: Array[Array[Double]]): Int = {
+    var best = -1
+    var bd = Double.PositiveInfinity
+    var j = 0
+    while (j < m.length) {
+      val c = m(j)
+      val n = math.min(x.length, c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x(i) - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bd) { bd = acc; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** cell→super assignments inverted into per-super member lists
+    * (ascending cell ids — the order the hier kernel's tie-break
+    * depends on). */
+  private def groupMembers(c2s: Array[Int], nSuper: Int): Array[Array[Int]] = {
+    val out = Array.fill(nSuper)(scala.collection.mutable.ArrayBuffer[Int]())
+    var c = 0
+    while (c < c2s.length) { out(c2s(c)) += c; c += 1 }
+    out.map(_.toArray)
+  }
+
+  /** Train the cell layer with super-restricted Lloyd — the scale-safe
+    * replacement for a flat k-means with k ∝ corpus. Cells seed from
+    * the first nCells sample rows by id; each iteration
+    *   1. maps every cell centroid to its nearest (fixed) super —
+    *      O(k·√k) driver work, never corpus-sized;
+    *   2. assigns each sample row through [[graft.functions
+    *      .NearestCellHier]] — O(√k) per row instead of O(k);
+    *   3. updates centroids with the exact-decimal vector sum (empty
+    *      cells keep their centroid), so the whole trajectory is
+    *      bit-reproducible and SQL-replayable.
+    * Returns (cellMatrix, cellToSuper-of-final-cells). */
+  private[graft] def trainHierCells(sample: DataFrame, id: String, vec: String,
+                                    superMatrix: Array[Array[Double]],
+                                    nCells: Int,
+                                    iters: Int): (Array[Array[Double]], Array[Int]) = {
+    val data = sample.select(col(id).as("__id"),
+      col(vec).cast("array<double>").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cells = data.orderBy(col("__id")).limit(nCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val members = groupMembers(
+        cells.map(nearestIdx(_, superMatrix)), superMatrix.length)
+      val sums = data
+        .withColumn("cell", graft.functions.VectorFunctions
+          .nearestCellHier(col("x"), superMatrix, cells, members))
+        .groupBy(col("cell"))
+        .agg(graft.functions.ExactSumFunctions.exactVectorSum(col("x")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.map(r => r.getInt(0) -> r).toMap
+      cells = cells.indices.map { cell =>
+        byCell.get(cell) match {
+          case Some(r) =>
+            val n = r.getLong(2)
+            r.getSeq[Double](1).map(_ / n).toArray
+          case None => cells(cell)
+        }
+      }.toArray
+    }
+    data.unpersist(false)
+    (cells, cells.map(nearestIdx(_, superMatrix)))
+  }
+
+  /** Deterministic training sample for the adaptive build: the
+    * [[sampleModFor]] id gate, with a fallback to the full corpus if
+    * degenerate ids starve the gate below nCells rows (outside the
+    * oracle contract — dense nonnegative ids never hit it). */
+  private def trainingSample(corpus: DataFrame, id: String,
+                             n: Long, nCells: Int): DataFrame = {
+    val mod = sampleModFor(n)
+    if (mod == 1) corpus
+    else {
+      val s = corpus.filter(pmod(col(id).cast("long"), lit(mod.toLong)) === 0)
+      if (s.limit(nCells).count() >= nCells) s else corpus
+    }
+  }
+
+  /** Build a corpus-adaptively-sized two-level IVF index, scale-safely:
+    * nCells = [[cellsFor]](count) cells under [[supersFor]](nCells)
+    * super-cells, with
+    *   - supers trained by [[graft.operators.ML.kmeansLloyd]] on the
+    *     deterministic [[sampleModFor]] training sample (flat Lloyd is
+    *     fine here — nSuper is O(√k));
+    *   - cells trained by [[trainHierCells]] on the same sample with
+    *     super-restricted assignment (O(sample·√k) per pass, not
+    *     O(n·k) — the flat adaptive build measured Θ(n²/64) total);
+    *   - ONE final corpus pass through the same O(√k)-per-row
+    *     [[graft.functions.NearestCellHier]] kernel, then the
+    *     cell-partitioning shuffle.
+    * Total build work is O(n·√k) distance evals with a sample-bounded
+    * constant (the law SimilaritySpec asserts via
+    * [[graft.functions.DistanceEvalCounter]]); driver state is the
+    * centroid matrices — guarded by [[MaxLiteralCells]], past which
+    * [[buildHierIvfTableIndex]] keeps them distributed. Deterministic
+    * end to end: sample gate, seeds, exact-decimal updates, and both
+    * argmin tie-breaks are all SQL-replayable (the q_ann_knn /
+    * q_semantic_dedup oracles replay the full hierarchy). */
   def buildHierIvfIndex(corpus: DataFrame, id: String,
                         vec: String): HierIvfIndex = {
+    val spark = corpus.sparkSession
     val n = corpus.count()
     val nCells = cellsFor(n)
-    val base = buildIvfIndex(corpus, id, vec, nCells)
+    require(nCells <= MaxLiteralCells,
+      s"nCells=$nCells exceeds MaxLiteralCells=$MaxLiteralCells — " +
+        "use buildHierIvfTableIndex (distributed centroid state) at this scale")
     val nSuper = supersFor(nCells)
-    val supResult = graft.operators.ML
-      .kmeansLloyd(base.centroids, "centroid", "cell", k = nSuper, iters = 5)
-    val superMatrix = supResult.collect()
+    val samp = trainingSample(corpus, id, n, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val supKm = graft.operators.ML
+      .kmeansLloyd(samp.select(col(id), col(vec)), vec, id,
+        k = nSuper, iters = 5)
+    val superMatrix = supKm.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
       .sortBy(_._1).map(_._2)
-    supResult.unpersist(false)
-    // Cell → super through the same codegen'd NearestCell kernel the
-    // corpus assignment uses: identical distance fold + tie-break, so
-    // the SQL mirror of one is the mirror of both.
-    val c2s = base.centroids.select(col("cell"),
-        graft.functions.VectorFunctions
-          .nearestCell(col("centroid"), superMatrix).as("sup"))
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-    HierIvfIndex(base, superMatrix, Array.tabulate(nCells)(c2s))
+    supKm.unpersist(false)
+    val (cells, c2s) = trainHierCells(samp, id, vec, superMatrix,
+      nCells, iters = 5)
+    samp.unpersist(false)
+    val members = groupMembers(c2s, superMatrix.length)
+    val assigned = corpus.select(col(id), col(vec))
+      .withColumn("cell", graft.functions.VectorFunctions
+        .nearestCellHier(col(vec), superMatrix, cells, members))
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = broadcast(spark.createDataFrame(
+        cells.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid"))
+    HierIvfIndex(IvfIndex(assigned, centroids, cells), superMatrix, c2s)
+  }
+
+  /** The beyond-[[MaxLiteralCells]] index shape: cell centroids are a
+    * cell-partitioned DataFrame — `cells` is (cell, sup, centroid),
+    * hash-partitioned by sup so every pick join is co-located — and
+    * ONLY the super layer (O(√k), KiB–MiB at any corpus size) ever
+    * lives on the driver or in a plan literal. Train/assign/probe all
+    * replay the literal path's arithmetic bit-for-bit (SimilaritySpec
+    * equality law), so the two paths are one index family with two
+    * state layouts. */
+  final case class HierIvfTableIndex(assigned: DataFrame,
+                                     cells: DataFrame,
+                                     superMatrix: Array[Array[Double]]) {
+    def release(): Unit = {
+      assigned.unpersist(false); cells.unpersist(false)
+    }
+  }
+
+  /** Assign rows to cells through the super layer with DISTRIBUTED cell
+    * state: nearest non-empty super via a compacted [[graft.functions
+    * .NearestCell]] literal (supers are always driver-small), then a
+    * sup-keyed join against the cell table and a per-row
+    * `min(struct(dist, cell))` — the same (dist asc, cell asc) argmin
+    * tie-break as the fused hier kernel, through Spark's struct
+    * ordering. Shuffle cost: |rows|·cellsPerSuper ≈ |rows|·√k join
+    * rows. `keep` columns are carried through the aggregate. */
+  private def assignHierTable(rows: DataFrame, vec: String, keep: Seq[String],
+                              superMatrix: Array[Array[Double]],
+                              cellsDf: DataFrame): DataFrame = {
+    // Non-empty supers, compacted ascending so NearestCell's strict-<
+    // keeps the smallest original super on ties — identical pick to
+    // NearestCellHier's members-restricted scan.
+    val allowed = cellsDf.select(col("sup")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val compact = allowed.map(superMatrix)
+    val supOf = element_at(
+      typedlit(allowed.toSeq),
+      graft.functions.VectorFunctions.nearestCell(col(vec), compact) + 1)
+    rows.withColumn("__sup", supOf)
+      .join(cellsDf.select(col("sup").as("__sup"), col("cell"),
+        col("centroid")), Seq("__sup"))
+      .groupBy(col("__rid"))
+      .agg(
+        min(struct(
+          graft.functions.VectorFunctions.sqDist(col(vec), col("centroid"))
+            .as("d"),
+          col("cell").as("cell"))).as("__best"),
+        keep.map(c => first(col(c)).as(c)): _*)
+      .select(col("__rid") +: keep.map(col) :+
+        col("__best.cell").as("cell"): _*)
+  }
+
+  /** [[trainHierCells]] with distributed centroid state: the cell table
+    * (cell, sup, centroid) never leaves the cluster. Same seeds, same
+    * super-restricted assignment, same exact-decimal update — the
+    * per-iteration map/assign/update are joins and aggregates instead
+    * of driver arrays, and results are bit-identical to the literal
+    * trainer (equality law in SimilaritySpec). */
+  private[graft] def trainHierCellsTable(sample: DataFrame, id: String,
+                                         vec: String,
+                                         superMatrix: Array[Array[Double]],
+                                         nCells: Int,
+                                         iters: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val data = sample.select(col(id).as("__rid"),
+      col(vec).cast("array<double>").as("x"))
+      .persist(lvl)
+    // Seeds: first nCells sample rows by id, position-indexed. The
+    // unpartitioned window runs over the LIMITED set (≤ nCells rows) —
+    // the dictionary-sized exception, like labelFit.
+    val w = Window.orderBy(col("__rid"))
+    var cells = data.orderBy(col("__rid")).limit(nCells)
+      .select((row_number().over(w) - 1).as("cell"),
+        col("x").as("centroid"))
+      .persist(lvl)
+    cells.count()
+    for (_ <- 1 to iters) {
+      val mapped = cells.withColumn("sup", graft.functions.VectorFunctions
+        .nearestCell(col("centroid"), superMatrix))
+      val assigned = assignHierTable(data, "x", Seq("x"),
+        superMatrix, mapped)
+      val sums = assigned.groupBy(col("cell"))
+        .agg(graft.functions.ExactSumFunctions.exactVectorSum(col("x")).as("s"),
+          count(lit(1)).as("n"))
+      val next = cells.join(sums, Seq("cell"), "left")
+        .select(col("cell"),
+          when(col("n").isNull, col("centroid"))
+            .otherwise(transform(col("s"), v => v / col("n")))
+            .as("centroid"))
+        .persist(lvl)
+      next.count()
+      cells.unpersist(false)
+      cells = next
+    }
+    val out = cells.withColumn("sup", graft.functions.VectorFunctions
+        .nearestCell(col("centroid"), superMatrix))
+      .repartition(sample.sparkSession.sparkContext.defaultParallelism,
+        col("sup"))
+      .persist(lvl)
+    out.count()
+    cells.unpersist(false)
+    data.unpersist(false)
+    out
+  }
+
+  /** [[buildHierIvfIndex]]'s distributed-state twin for corpora whose
+    * cell count exceeds [[MaxLiteralCells]]: same sizing, same sample,
+    * same super training — but the cell layer is built by
+    * [[trainHierCellsTable]] and the corpus assignment by the sup-keyed
+    * join, so NOTHING corpus-proportional ever touches the driver, a
+    * plan literal, or a task broadcast. Bit-identical assignments to
+    * the literal build (SimilaritySpec law). */
+  def buildHierIvfTableIndex(corpus: DataFrame, id: String,
+                             vec: String): HierIvfTableIndex = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val nCells = cellsFor(n)
+    val nSuper = supersFor(nCells)
+    val samp = trainingSample(corpus, id, n, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val supKm = graft.operators.ML
+      .kmeansLloyd(samp.select(col(id), col(vec)), vec, id,
+        k = nSuper, iters = 5)
+    val superMatrix = supKm.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .sortBy(_._1).map(_._2)
+    supKm.unpersist(false)
+    val cellsDf = trainHierCellsTable(samp, id, vec, superMatrix,
+      nCells, iters = 5)
+    samp.unpersist(false)
+    val rows = corpus.select(col(id).as("__rid"),
+      col(vec).cast("array<double>").as("x"), col(vec).as("cv"))
+    val assigned = assignHierTable(rows, "x", Seq("cv"),
+        superMatrix, cellsDf)
+      .select(col("__rid").as("neighbor_id"), col("cv"), col("cell"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    HierIvfTableIndex(assigned, cellsDf, superMatrix)
+  }
+
+  /** [[knnJoinHier]] against a [[HierIvfTableIndex]] — the documented
+    * beyond-literal probe pick: per query the √k super scores stay a
+    * narrow literal pass (identical comparator), but candidate cells
+    * come from a sup-keyed JOIN against the distributed cell table and
+    * the nprobe cut is the bounded-heap [[graft.functions.TopKPairs]]
+    * aggregate ((ccos desc, cell asc) — the same tie-break as the
+    * literal array_sort comparator), so no plan ships Θ(k) centroid
+    * state. Shuffles: queries×nsp probe rows by sup, the heap's
+    * O(q·nprobe·partitions) entries, probes by cell, and the final
+    * top-k heap — all corpus-sublinear. Results equal [[knnJoinHier]]
+    * exactly for identical parameters (SimilaritySpec law). */
+  def knnJoinHierTable(index: HierIvfTableIndex, queries: DataFrame,
+                       id: String, vec: String, k: Int,
+                       nprobe: Int = 4, nsp: Int = 4): DataFrame = {
+    val nSuper = index.superMatrix.length
+    val supLit = typedlit(index.superMatrix.map(_.toSeq).toSeq)
+    val superScores = transform(
+      sequence(lit(0), lit(nSuper - 1)),
+      sp => struct(
+        Dedup.cosine(col("qv"), element_at(supLit, sp + 1)).as("scos"),
+        sp.as("sup")))
+    val topSupers = slice(array_sort(superScores,
+      (l, r) => when(l("scos") > r("scos"), lit(-1))
+        .when(r("scos") > l("scos"), lit(1))
+        .otherwise(l("sup") - r("sup"))), 1, nsp)
+    val qsup = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("sp", explode(topSupers))
+      .select(col("query_id"), col("qv"), col("sp.sup").as("sup"))
+    val picked = qsup
+      .join(index.cells, Seq("sup"))
+      .select(col("query_id"), col("qv"),
+        col("cell"), Dedup.cosine(col("qv"), col("centroid")).as("ccos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions
+        .topK(col("cell").cast("long"), col("ccos"), nprobe).as("pc"),
+        first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"), explode(col("pc")).as("p"))
+      .select(col("query_id"), col("qv"),
+        col("p.id").cast("int").as("cell"))
+    val scored = index.assigned
+      .join(picked, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+    topKByGroup(scored, k)
   }
 
   /** [[knnJoinIvf]] with the two-level probe pick — the kNN-graph shape
@@ -380,6 +734,15 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("cell"))
     val merged = index.assigned.union(newRows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the merged segment, then drop the source index's
+    // persisted frame: the merged index supersedes it, and the returned
+    // index's release() only knows about `merged` — without this the
+    // base frame would be unreachable-but-pinned in a long-lived
+    // process (the cachedAppendedIndex path). The base index stays
+    // VALID for callers that still hold it (its frame just recomputes
+    // on next use).
+    merged.count()
+    index.assigned.unpersist(false)
     IvfIndex(merged, index.centroids, index.matrix)
   }
 

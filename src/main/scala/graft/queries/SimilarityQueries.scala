@@ -302,6 +302,98 @@ object SimilarityQueries {
        | FROM s) WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB replay of the r6 scale-safe hierarchical index build
+    * ([[graft.operators.Similarity.buildHierIvfIndex]]) — the full
+    * training trajectory, not just its output:
+    *  - `smp` — the deterministic [[Similarity.sampleModFor]] training
+    *    gate (`vec_id % (CASE n>1024 THEN 8 ELSE 1 END) = 0`);
+    *  - `sup_*` — the super layer: the proven k-means CTE chain run
+    *    over the SAMPLE with supersFor(cellsFor(n)) clusters;
+    *  - `hc0` — cell seeds: first nCells sample rows by id;
+    *  - per Lloyd iteration i: `hm$i` (cell→super map: every cell to
+    *    its nearest super, ties to the smaller super — the driver
+    *    nearestIdx mirror), `hsp$i` (each sample row's nearest
+    *    NON-EMPTY super — the NearestCellHier stage-1 mirror),
+    *    `ha$i` (nearest cell among that super's members — stage 2),
+    *    `hc$i` (exact-decimal centroid update, empty cells keep);
+    *  - `hm${iters+1}` — the final map, `haF` — the one full-corpus
+    *    hierarchical assignment pass.
+    * Every argmin is a ROW_NUMBER over the same (sqdist ASC, id ASC)
+    * order the codegen'd kernel folds, so the replay is bit-exact. */
+  private def hierBuildCtes(iters: Int, dim: Int): String = {
+    val nExpr = "(SELECT count(*) FROM embeddings)"
+    val nCellsExpr =
+      s"greatest(16, CAST(ceil($nExpr / 64.0) AS INT))"
+    val nSuperExpr =
+      s"greatest(4, CAST(ceil(sqrt($nCellsExpr)) AS INT))"
+    val modExpr = s"(CASE WHEN $nExpr > 1024 THEN 8 ELSE 1 END)"
+    def mat(s: String) = s.replace(" AS (", " AS MATERIALIZED (")
+    val supChain = mat(MLQueries.kmeansCteGeneric(nSuperExpr,
+      iters, dim, prefix = "sup_", table = "smp"))
+    // cell→super map from the iteration's INCOMING cells `src`: every
+    // super eligible (matches the driver-side nearestIdx over the full
+    // super matrix).
+    def cmap(i: Int, src: String) =
+      s"""hm$i AS MATERIALIZED (
+         | SELECT cell, c, sup FROM (
+         |  SELECT h.cell, h.c, s.cell AS sup,
+         |   ROW_NUMBER() OVER (PARTITION BY h.cell
+         |     ORDER BY ${sqDistSql("h.c", "s.c")} ASC, s.cell ASC) AS rnk
+         |  FROM $src h, sup_c$iters s) t WHERE rnk = 1)""".stripMargin
+    // two-stage hierarchical assignment of `pts` under map hm$i:
+    // nearest non-empty super, then nearest member cell.
+    def hassign(tag: String, i: Int, pts: String) =
+      s"""hsp$tag AS MATERIALIZED (
+         | SELECT vec_id, x, sup FROM (
+         |  SELECT p.vec_id, p.x, s.cell AS sup,
+         |   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |     ORDER BY ${sqDistSql("p.x", "s.c")} ASC, s.cell ASC) AS rnk
+         |  FROM $pts p,
+         |   (SELECT * FROM sup_c$iters
+         |    WHERE cell IN (SELECT DISTINCT sup FROM hm$i)) s) t
+         | WHERE rnk = 1),
+         |ha$tag AS MATERIALIZED (
+         | SELECT vec_id, x, cell FROM (
+         |  SELECT q.vec_id, q.x, m.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${sqDistSql("q.x", "m.c")} ASC, m.cell ASC) AS rnk
+         |  FROM hsp$tag q JOIN hm$i m ON m.sup = q.sup) t
+         | WHERE rnk = 1)""".stripMargin
+    def update(i: Int) =
+      s"""hc$i AS MATERIALIZED (
+         | SELECT cell, list(m ORDER BY dim) AS c FROM (
+         |  SELECT cell, dim,
+         |   CAST(SUM(CAST(CAST(list_extract(x, dim) AS DOUBLE)
+         |     AS DECIMAL(27,18))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM ha$i, range(1, ${dim + 1}) r(dim)
+         |  GROUP BY cell, dim) t
+         | GROUP BY cell
+         | UNION ALL
+         | SELECT cell, c FROM hc${i - 1}
+         | WHERE cell NOT IN (SELECT cell FROM ha$i))""".stripMargin
+    val steps = (1 to iters).map(i =>
+      Seq(cmap(i, s"hc${i - 1}"), hassign(i.toString, i, "spts"),
+        update(i)).mkString(",\n")).mkString(",\n")
+    s"""smp AS MATERIALIZED (
+       | SELECT * FROM embeddings WHERE vec_id % $modExpr = 0),
+       |$supChain,
+       |spts AS MATERIALIZED (
+       | SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       | FROM smp),
+       |hc0 AS MATERIALIZED (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+       | FROM (SELECT * FROM smp ORDER BY vec_id LIMIT $nCellsExpr) t),
+       |$steps,
+       |${cmap(iters + 1, s"hc$iters")},
+       |fpts AS MATERIALIZED (
+       | SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       | FROM embeddings),
+       |${hassign("F", iters + 1, "fpts")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ann_pq" ->
       pqOracle(m = 8, ksub = 16, ds = 8, iters = 5, kCand = 40, k = 10),
@@ -378,30 +470,18 @@ object SimilarityQueries {
          |   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
          | FROM s) WHERE rank <= 5""".stripMargin,
 
-    // knnJoinHier replay — the corpus-adaptive two-level index. Chain 1
-    // = the proven k-means CTE chain over the corpus, but with the
-    // DYNAMIC cellsFor(n) cluster count (a LIMIT subquery mirroring
-    // `max(16, ceil(n/64))`); chain 2 (sup_) = the SAME chain run over
-    // chain 1's centroid CTE c5 with supersFor(nCells) clusters;
-    // cell→super is chain 2's final assignment sup_a6. Per query:
-    // top-4 supers by (scos DESC, super ASC), then top-4 cells among
-    // the PICKED supers' member cells, then in-cell scoring with
-    // q_ann_brute's tie-breaks — each step the exact mirror of the
-    // knnJoinHier array-sort comparators.
+    // knnJoinHier replay over the r6 SCALE-SAFE build: the full
+    // sampled + super-restricted training trajectory (hierBuildCtes —
+    // sample gate, sampled super chain, 5 hierarchical cell-Lloyd
+    // iterations, final full-corpus assignment haF), then the
+    // unchanged two-level probe pick: per query top-4 supers by
+    // (scos DESC, super ASC) over ALL supers (empty ones burn a slot,
+    // matching the array-sort literal), top-4 cells among the picked
+    // supers' members (hm6), in-cell scoring with q_ann_brute's
+    // tie-breaks.
     "q_ann_knn" -> {
-      val nCellsExpr =
-        "greatest(16, CAST(ceil((SELECT count(*) FROM embeddings) / 64.0) AS INT))"
-      val nSuperExpr =
-        s"greatest(4, CAST(ceil(sqrt($nCellsExpr)) AS INT))"
-      def mat(s: String) = s.replace(" AS (", " AS MATERIALIZED (")
-      val chain1 = mat(MLQueries.kmeansCteGeneric(nCellsExpr,
-        iters = 5, dim = 64))
-      val chain2 = mat(MLQueries.kmeansCteGeneric(nSuperExpr,
-        iters = 5, dim = 64, prefix = "sup_", xExpr = "c",
-        table = "c5", idCol = "cell"))
-      s"""WITH $chain1,
-         |$chain2,
-         |cellsup AS (SELECT vec_id AS cell, cell AS sup FROM sup_a6),
+      s"""WITH ${hierBuildCtes(iters = 5, dim = 64)},
+         |cellsup AS (SELECT cell, sup FROM hm6),
          |q AS (SELECT vec_id AS query_id,
          |   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
          |  FROM embeddings),
@@ -419,11 +499,11 @@ object SimilarityQueries {
          |    ORDER BY ${cosSql("sp.qv", "c.c")} DESC, c.cell ASC)
          |    AS prank
          |  FROM spick sp JOIN cellsup cs ON cs.sup = sp.sup
-         |   JOIN c5 c ON c.cell = cs.cell) t WHERE prank <= 4),
+         |   JOIN hc5 c ON c.cell = cs.cell) t WHERE prank <= 4),
          |s AS (
          | SELECT p.query_id, a.vec_id AS neighbor_id,
          |  ${cosSql("p.qv", "a.x")} AS cos
-         | FROM a6 a JOIN probes p
+         | FROM haF a JOIN probes p
          |  ON a.cell = p.cell AND a.vec_id <> p.query_id)
          |SELECT query_id, neighbor_id, rank, cos FROM (
          | SELECT query_id, neighbor_id, cos,
@@ -506,27 +586,21 @@ object SimilarityQueries {
          | FROM s) WHERE rank <= 10""".stripMargin
     },
 
-    // SemDeDup replay: same k-means assignment chain (a6 = the corpus
-    // assignment under the final centroids), then the within-cell
-    // smaller-id cosine test. Cosine is the bit-exact cosSql mirror,
-    // so the 0.30 threshold cut agrees exactly.
-    // r5: the cell chain uses the same DYNAMIC cellsFor(n) count as
-    // q_ann_knn (shared adaptive index), so the within-cell quadratic
-    // stays bounded BY CONSTRUCTION as the corpus grows — cells of
-    // ~64 vectors regardless of n. At sf0.01 the rule yields the same
-    // 16 cells as before.
+    // SemDeDup replay: the same r6 scale-safe hierarchical build as
+    // q_ann_knn (shared adaptive index — one training trajectory buys
+    // search AND dedup), then the within-cell smaller-id cosine test
+    // over the final full-corpus assignment haF. Cosine is the
+    // bit-exact cosSql mirror, so the 0.30 threshold cut agrees
+    // exactly; cells stay ~64 vectors by construction at any n.
     "q_semantic_dedup" ->
-      s"""WITH ${MLQueries.kmeansCteGeneric(
-             "greatest(16, CAST(ceil((SELECT count(*) FROM embeddings)" +
-               " / 64.0) AS INT))",
-             iters = 5, dim = 64)},
+      s"""WITH ${hierBuildCtes(iters = 5, dim = 64)},
          |d AS (
          | SELECT DISTINCT b.vec_id AS id
-         | FROM a6 a JOIN a6 b
+         | FROM haF a JOIN haF b
          |  ON a.cell = b.cell AND a.vec_id < b.vec_id
          | WHERE ${cosSql("a.x", "b.x")} >= 0.30)
          |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
          | a.vec_id IN (SELECT id FROM d) AS is_dup
-         |FROM a6 a""".stripMargin
+         |FROM haF a""".stripMargin
   )
 }

@@ -31,11 +31,35 @@ object ScaleUp {
     val Off = 100000000L
     shiftCols.foreach { case (table, keys) =>
       val base = spark.read.parquet(s"$src/$table.parquet")
+      // Guard the shift arithmetic: a source key >= Off would make
+      // copy i's keys collide with copy i+1's, and a shifted value
+      // past the source column's integer range would wrap under the
+      // (non-ANSI) cast — both silently distort audit join fan-out.
+      // Keys that no longer fit an INT are widened to LONG instead.
+      val maxKeys: Map[String, Long] =
+        if (keys.isEmpty) Map.empty
+        else base.select(keys.map(c => max(col(c).cast("long")).as(c)): _*)
+          .head() match {
+            case r => keys.zipWithIndex.map { case (c, i) =>
+              c -> (if (r.isNullAt(i)) 0L else r.getLong(i)) }.toMap
+          }
+      keys.foreach { c =>
+        require(maxKeys(c) < Off,
+          s"$table.$c max ${maxKeys(c)} >= shift offset $Off: copies would collide")
+      }
       val scaled: DataFrame =
         if (keys.isEmpty) base
         else (0 until k).map { i =>
-          keys.foldLeft(base)((df, c) =>
-            df.withColumn(c, (col(c) + lit(i * Off)).cast(base.schema(c).dataType)))
+          keys.foldLeft(base) { (df, c) =>
+            val shiftedMax = maxKeys(c) + (k - 1).toLong * Off
+            val tgt = base.schema(c).dataType match {
+              case org.apache.spark.sql.types.IntegerType
+                if shiftedMax > Int.MaxValue =>
+                org.apache.spark.sql.types.LongType
+              case t => t
+            }
+            df.withColumn(c, (col(c) + lit(i * Off)).cast(tgt))
+          }
         }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$dst/$table.parquet")
       println(s"[scaleup] $table: ${base.count()} -> ${scaled.count()} rows")

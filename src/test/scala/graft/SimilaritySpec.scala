@@ -255,6 +255,100 @@ class SimilaritySpec extends SparkSpec {
     } finally { full.release(); base.release() }
   }
 
+  test("probe-set guard: oversized query side fails fast with the redirect") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3,
+        maxProbeRows = 4)
+    }
+    assert(ex.getMessage.contains("knnJoinIvf"))
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nCells = 4)
+    try {
+      val ex2 = intercept[IllegalArgumentException] {
+        Similarity.probeIvf(idx, q, "vec_id", "embedding", k = 3,
+          maxProbeRows = 4)
+      }
+      assert(ex2.getMessage.contains("knnJoinHier"))
+      // at the default ceiling the same probe set is fine
+      assert(Similarity.probeIvf(idx, q, "vec_id", "embedding", k = 3)
+        .count() > 0)
+    } finally idx.release()
+  }
+
+  test("table-state hier index equals the literal build bit-for-bit") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val lit = Similarity.buildHierIvfIndex(e, "vec_id", "embedding")
+    val tab = Similarity.buildHierIvfTableIndex(e, "vec_id", "embedding")
+    try {
+      // identical super layer (same sample, same Lloyd)
+      assert(tab.superMatrix.zip(lit.superMatrix)
+        .forall { case (a, b) => a.sameElements(b) })
+      // identical cell centroids and cell→super map
+      val tabCells = tab.cells.select("cell", "sup", "centroid").collect()
+        .map(r => r.getInt(0) -> (r.getInt(1), r.getSeq[Double](2).toArray))
+        .toMap
+      assert(tabCells.size == lit.base.matrix.length)
+      lit.base.matrix.zipWithIndex.foreach { case (c, i) =>
+        assert(tabCells(i)._1 == lit.cellToSuper(i), s"sup of cell $i")
+        assert(tabCells(i)._2.sameElements(c), s"centroid of cell $i")
+      }
+      // identical corpus assignment
+      def asn(df: org.apache.spark.sql.DataFrame) = df
+        .select("neighbor_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(asn(tab.assigned) == asn(lit.base.assigned))
+      // identical probe results through the bounded-heap table pick
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+      val viaLit = canon(Similarity.knnJoinHier(lit, e,
+        "vec_id", "embedding", k = 5, nprobe = 3, nsp = 2))
+      val viaTab = canon(Similarity.knnJoinHierTable(tab, e,
+        "vec_id", "embedding", k = 5, nprobe = 3, nsp = 2))
+      assert(viaTab == viaLit)
+      assert(viaTab.nonEmpty)
+    } finally { lit.release(); tab.release() }
+  }
+
+  test("adaptive index build work grows ~n·√k, not n·k (the 100 TB law)") {
+    import graft.functions.DistanceEvalCounter
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    // k× corpora with ScaleUp's key-shift convention (10⁶ keeps the
+    // pmod-8 training-gate residues identical across copies).
+    def blowUp(k: Int) = (0 until k).map(i =>
+        e.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def buildWork(corpus: org.apache.spark.sql.DataFrame): Long = {
+      DistanceEvalCounter.reset()
+      val idx = Similarity.buildHierIvfIndex(corpus, "vec_id", "embedding")
+      idx.base.assigned.count() // materialized already; cheap re-read
+      val w = DistanceEvalCounter.get
+      idx.release()
+      w
+    }
+    val small = blowUp(4)   // 2 000 vectors → 32 cells (past the floor)
+    val big = blowUp(40)    // 20 000 vectors → 313 cells
+    try {
+      val w1 = buildWork(small)
+      val w2 = buildWork(big)
+      val ratio = w2.toDouble / w1
+      // Hierarchical build: work ≈ c·n·√k ⇒ 10× data ≈ 10·√9.8 ≈ 31×.
+      // The pre-r6 flat build (Lloyd over all k ∝ n centroids) measures
+      // ~100× on the same pair. 45 cleanly separates the two regimes.
+      assert(ratio < 45.0,
+        s"build work grew ${ratio}× for 10× data ($w1 -> $w2) — " +
+          "super-linear beyond n·√k")
+      // and the absolute constant stays sample-bounded: ≤ ~12 evals
+      // per (row, √k-centroid) unit at the big size
+      val k2 = Similarity.cellsFor(20000)
+      assert(w2 < 12L * 20000L * math.sqrt(k2.toDouble).toLong,
+        s"absolute build work $w2 exceeds the sample-bounded budget")
+    } finally { small.unpersist(); big.unpersist() }
+  }
+
   test("adaptive sizing rules: cellsFor / supersFor") {
     assert(Similarity.cellsFor(500) == 16)    // sf0.01 — unchanged vs r4
     assert(Similarity.cellsFor(2000) == 32)   // sf0.1
@@ -263,6 +357,12 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.supersFor(16) == 4)
     assert(Similarity.supersFor(32) == 6)
     assert(Similarity.supersFor(313) == 18)
+    // training-sample gate: full corpus in the fixed-floor regime,
+    // 1-in-8 past it
+    assert(Similarity.sampleModFor(500) == 1)
+    assert(Similarity.sampleModFor(1024) == 1)
+    assert(Similarity.sampleModFor(1025) == 8)
+    assert(Similarity.sampleModFor(5000) == 8)
   }
 
   test("quantizeInt8 bounds values at ±127 and reconstructs within scale/2") {
