@@ -94,7 +94,15 @@ object Multimodal {
     // encoder) and a meta/payload mismatch.
     val mk = udf((mid: Long) => synthPng(java.lang.Math.floorMod(mid, 100000L)))
     val seed = pmod(col(id).cast("long"), lit(100000L))
-    df.select(
+    // The ids are repartitioned BEFORE the per-row encode: the fixture
+    // table often arrives as one small parquet split, which would run
+    // the whole synthesis single-threaded. Only 8-byte ids shuffle —
+    // the encoded blobs are born after the exchange, preserving the
+    // blobs-never-shuffle rule. (A production ingest reads many splits
+    // and skips this; it's the id-keyed generator that concentrates.)
+    df.select(col(id))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col(id).cast("long").as("media_id"),
       lit("image").as("modality"),
       mk(col(id).cast("long")).as("bytes"),
@@ -203,42 +211,12 @@ object Multimodal {
   private def substring_index_bytes(bytes: Column, i: Column, len: Column) =
     bytes.substr(i * len + 1, len)
 
-  /** Perceptual hash (average hash) over REAL decoded pixels: decode,
-    * grayscale each pixel as the channel sum r+g+b, pool into the 8×8
-    * grid (source (x, y) → cell (x·8 ÷ w, y·8 ÷ h)), and set bit
-    * j = row·8 + col iff that cell's mean exceeds the global mean. The
-    * mean comparison is exact integer cross-multiplication
-    * (cellSum·totalCount > totalSum·cellCount), so every bit is
-    * deterministic and SQL-replayable — no float thresholds. */
-  private[graft] def phash64(bytes: Array[Byte]): Long = {
-    val (w, h, rgb) = MediaCodec.decodeRgb(bytes)
-    val sums = new Array[Long](64)
-    val cnts = new Array[Long](64)
-    var total = 0L
-    var y = 0
-    while (y < h) {
-      val by = y * 8 / h
-      var x = 0
-      while (x < w) {
-        val k = (y * w + x) * 3
-        val s = (rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)
-        val j = by * 8 + x * 8 / w
-        sums(j) += s
-        cnts(j) += 1
-        total += s
-        x += 1
-      }
-      y += 1
-    }
-    val n = w.toLong * h
-    var out = 0L
-    var j = 0
-    while (j < 64) {
-      if (sums(j) * n > total * cnts(j)) out |= (1L << j)
-      j += 1
-    }
-    out
-  }
+  /** Perceptual hash (average hash) over REAL decoded pixels — the
+    * kernel lives in [[graft.functions.MediaKernels.phash64]] so the
+    * codegen'd [[graft.functions.Phash64]] expression and this
+    * test-surface forwarder share one implementation. */
+  private[graft] def phash64(bytes: Array[Byte]): Long =
+    graft.functions.MediaKernels.phash64(bytes)
 
   /** Image near-dup detection by perceptual hash: pairs of media whose
     * 64-bit pHashes differ in at most `maxHamming` ≤ 3 bits.
@@ -256,9 +234,20 @@ object Multimodal {
     * quadratic); dist ≥ 1 rows pair the representatives of two distinct
     * hashes. */
   def phashDedup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val ph = udf((b: Array[Byte]) => phash64(b))
-    hashPairs(
-      media.select(col("media_id"), ph(col("bytes")).as("h")), maxHamming)
+    // Hash ONCE: the (id, hash) table feeds four places in the pair
+    // plan (group reps, the identical-member join, both sides of the
+    // banding self-join), and exchange reuse does not deduplicate them
+    // — without staging, every branch re-decodes every payload. The
+    // staged table is 16 bytes/row regardless of payload size, so
+    // persisting it is the scale-correct trade at any corpus size.
+    val hashes = media.select(col("media_id"),
+        graft.functions.MediaFunctions.phash64(col("bytes")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = hashPairs(hashes, maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    hashes.unpersist(false)
+    out
   }
 
   /** The banding/verify stage of [[phashDedup]] over precomputed

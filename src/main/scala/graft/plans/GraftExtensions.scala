@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CompressionRatio, CosineSimilarity,
-  MergeAdjacentPair, MinHashSignature, NfcNormalize, SimHashChunks,
-  SquaredDistance, ZOrderKey}
+  MergeAdjacentPair, MinHashSignature, NfcNormalize, Phash64,
+  SimHashChunks, SquaredDistance, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_phash64"),
+      new ExpressionInfo(classOf[Phash64].getName, "graft_phash64"),
+      (children: Seq[Expression]) => Phash64(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),

@@ -27,9 +27,12 @@ object ScaleUp {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, k: Int,
+          tables: Set[String] = shiftCols.keySet): Unit = {
     val Off = 100000000L
-    shiftCols.foreach { case (table, keys) =>
+    val unknown = tables -- shiftCols.keySet
+    require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(",")}")
+    shiftCols.view.filterKeys(tables).foreach { case (table, keys) =>
       val base = spark.read.parquet(s"$src/$table.parquet")
       // Guard the shift arithmetic: a source key >= Off would make
       // copy i's keys collide with copy i+1's, and a shifted value
@@ -67,7 +70,14 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, kStr) = args
+    // optional 4th arg: comma-separated table subset (e.g. just
+    // "embeddings" for the ANN-only three-point scaling probe, where
+    // replicating lineitem 100× would be pure write cost)
+    val (Array(src, dst, kStr), tables) = args match {
+      case Array(s, d, k) => (Array(s, d, k), shiftCols.keySet)
+      case Array(s, d, k, ts) =>
+        (Array(s, d, k), ts.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -75,7 +85,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, kStr.toInt)
+    run(spark, src, dst, kStr.toInt, tables)
     spark.stop()
   }
 }

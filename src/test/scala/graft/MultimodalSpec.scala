@@ -133,6 +133,123 @@ class MultimodalSpec extends SparkSpec {
     assert(((a & 1L) == 1L) == expBit0)
   }
 
+  test("PNG reader agrees with an independent codec, both directions") {
+    // our writer -> javax.imageio reader, and javax.imageio writer ->
+    // our reader: the direct spec implementation is pinned against the
+    // JDK's, so a byte error in either direction of the fast path
+    // can't hide.
+    val rgb = Array.tabulate(9 * 7 * 3)(i => ((i * 73 + 5) % 256).toByte)
+    val img = new java.awt.image.BufferedImage(
+      9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val k = (y * 9 + x) * 3
+      img.setRGB(x, y, ((rgb(k) & 0xFF) << 16) |
+        ((rgb(k + 1) & 0xFF) << 8) | (rgb(k + 2) & 0xFF))
+    }
+    val iio = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", iio)
+    val (w1, h1, p1) = MediaCodec.decodeRgb(iio.toByteArray)
+    assert((w1, h1) == (9, 7) && p1.toSeq == rgb.toSeq)
+
+    val ours = MediaCodec.encodePng(9, 7, rgb)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours))
+    assert(back != null && back.getWidth == 9 && back.getHeight == 7)
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val k = (y * 9 + x) * 3
+      assert(back.getRGB(x, y) == (0xFF000000 | ((rgb(k) & 0xFF) << 16) |
+        ((rgb(k + 1) & 0xFF) << 8) | (rgb(k + 2) & 0xFF)))
+    }
+  }
+
+  test("PNG reader reverses every spec filter type (None/Sub/Up/Avg/Paeth)") {
+    // Forward-filter known pixels per the PNG spec, wrap in a real
+    // container, and assert the reader reconstructs them — covers rows
+    // an adaptive external encoder could emit that our writer doesn't.
+    val (w, h) = (5, 4)
+    val stride = w * 3
+    val rgb = Array.tabulate(h * stride)(i => ((i * 31 + 17) % 256).toByte)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (filters <- Seq(Seq(0, 1, 2, 3), Seq(4, 3, 2, 1), Seq(4, 4, 4, 4))) {
+      val raw = new Array[Byte](h * (stride + 1))
+      for (y <- 0 until h) {
+        val f = filters(y)
+        raw(y * (stride + 1)) = f.toByte
+        for (i <- 0 until stride) {
+          val cur = rgb(y * stride + i) & 0xFF
+          val left = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
+          val up = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
+          val ul = if (i >= 3 && y > 0) rgb((y - 1) * stride + i - 3) & 0xFF
+                   else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 => paeth(left, up, ul)
+          }
+          raw(y * (stride + 1) + 1 + i) = (cur - pred).toByte
+        }
+      }
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte), 0, 8)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+          (v >>> 8).toByte, v.toByte)
+        out.write(be(data.length), 0, 4)
+        out.write(typ.getBytes("US-ASCII"), 0, 4)
+        out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        out.write(be(crc.getValue.toInt), 0, 4)
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 2
+      chunk("IHDR", ihdr); chunk("IDAT", comp.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      val (gw, gh, got) = MediaCodec.decodeRgb(out.toByteArray)
+      assert((gw, gh) == (w, h), s"filters $filters")
+      assert(got.toSeq == rgb.toSeq, s"filters $filters")
+    }
+  }
+
+  test("graft_phash64 SQL round-trips the native expression") {
+    import spark.implicits._
+    Seq(Tuple1(Multimodal.synthPng(7L)), Tuple1(Multimodal.synthPng(8L)))
+      .toDF("bytes").createOrReplaceTempView("phv")
+    val got = spark.sql("SELECT graft_phash64(bytes) h FROM phv")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(Multimodal.phash64(Multimodal.synthPng(7L)),
+      Multimodal.phash64(Multimodal.synthPng(8L))))
+  }
+
+  test("phashDedup plan hashes via the native expression, not a ScalaUDF") {
+    import spark.implicits._
+    // pre-encoded payloads behind a real scan (a LocalRelation of
+    // literals gets constant-folded — which hides the kernel): the
+    // only compute left in the plan should be the codegen'd
+    // graft_phash64 expression
+    val dir = java.nio.file.Files.createTempDirectory("phash_plan").toString
+    Seq((1L, Multimodal.synthPng(1L)), (2L, Multimodal.synthPng(2L)))
+      .toDF("media_id", "bytes").write.mode("overwrite").parquet(dir)
+    val pre = spark.read.parquet(dir)
+    val plan = Multimodal.phashDedup(pre, maxHamming = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_phash64"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("hashPairs: identical collapse is linear, banding finds <=3-bit flips") {
     import spark.implicits._
     val base = 0x0123456789ABCDEFL

@@ -84,6 +84,43 @@ class TextSpec extends SparkSpec {
     assert(one("").select(deflateRatio(col("text"))).head().getDouble(0) == 1.0)
   }
 
+  test("deflateRatio matches independently computed zlib golden values") {
+    // Reference values computed OUTSIDE the JVM (CPython's zlib at
+    // level 6 — len(zlib.compress(s.encode(), 6)) / len(s)), so the
+    // kernel is pinned against an independent implementation of the
+    // public DEFLATE/zlib formats — the hard signal the q_compress
+    // registry row can't get from the SQL oracle (no zlib in DuckDB).
+    val goldens = Seq(
+      "hello world" -> 19.0 / 11,
+      "a" * 40 -> 12.0 / 40,
+      ("The quick brown fox jumps over the lazy dog. " * 4) -> 55.0 / 180,
+      "abc" -> 11.0 / 3,
+      "x" -> 9.0,
+      "spamspamspamspamspamspamspamspamspamspam eggs" -> 20.0 / 45,
+      (0 until 256).map(i => (33 + (i * 7) % 90).toChar).mkString -> 102.0 / 256)
+    goldens.foreach { case (s, expected) =>
+      val got = graft.functions.TextKernels.deflateRatio(
+        s.getBytes("UTF-8"))
+      assert(got == expected, s"deflate golden for ${s.take(20)}…: " +
+        s"got $got expected $expected")
+    }
+    // invariance laws: partition placement can't change the ratio, and
+    // repetition is monotone (k copies never compress worse per byte)
+    import spark.implicits._
+    import graft.functions.CompressionFunctions.deflateRatio
+    val df = goldens.map(_._1).toDF("text")
+    val onePart = df.coalesce(1).select(deflateRatio(col("text")))
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    val manyPart = df.repartition(7).select(deflateRatio(col("text")))
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(onePart == manyPart)
+    val r1 = graft.functions.TextKernels.deflateRatio(
+      ("lorem ipsum dolor " * 4).getBytes("UTF-8"))
+    val r16 = graft.functions.TextKernels.deflateRatio(
+      ("lorem ipsum dolor " * 64).getBytes("UTF-8"))
+    assert(r16 < r1, s"repetition should compress harder: $r16 vs $r1")
+  }
+
   test("redact scrubs planted PII with deterministic placeholders") {
     import spark.implicits._
     val s = "mail bob.smith+x@corp.example.org or 10.0.42.7 " +
