@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
   UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
   * array<double> columns: one fused loop accumulating dot product and
@@ -28,16 +28,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<double> arguments, got " +
+      s"$prettyName expects two array<double|float> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+
+  // array<float> inputs are read with a per-ELEMENT widening ((double)
+  // of each float — bit-identical to the Cast-to-array<double> it
+  // replaces) instead of paying a per-ROW array allocation for the
+  // cast. [[graft.plans.StripVectorCasts]] rewrites the cast away.
+  private lazy val leftFloat = VectorKernels.isFloatArray(left.dataType)
+  private lazy val rightFloat = VectorKernels.isFloatArray(right.dataType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -46,7 +53,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -62,12 +70,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val gx = VectorKernels.getter(leftFloat, a, i)
+      val gy = VectorKernels.getter(rightFloat, b, i)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
+         |  double $xi = $gx;
+         |  double $yi = $gy;
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
@@ -87,16 +97,19 @@ case class SquaredDistance(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<double> arguments, got " +
+      s"$prettyName expects two array<double|float> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sqdist"
+
+  private lazy val leftFloat = VectorKernels.isFloatArray(left.dataType)
+  private lazy val rightFloat = VectorKernels.isFloatArray(right.dataType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -105,7 +118,9 @@ case class SquaredDistance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = x.getDouble(i) - y.getDouble(i)
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
       acc += d * d
       i += 1
     }
@@ -118,11 +133,13 @@ case class SquaredDistance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val gx = VectorKernels.getter(leftFloat, a, i)
+      val gy = VectorKernels.getter(rightFloat, b, i)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  double $d = $gx - $gy;
          |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
@@ -145,13 +162,17 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) if cents.nonEmpty =>
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
+      if cents.nonEmpty =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<double> input and a non-empty centroid matrix")
+      s"$prettyName expects array<double|float> input and a non-empty " +
+        "centroid matrix")
   }
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_nearest_cell"
+
+  private lazy val inFloat = VectorKernels.isFloatArray(child.dataType)
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
@@ -164,7 +185,8 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val d = x.getDouble(i) - c(i)
+        val xi = if (inFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xi - c(i)
         acc += d * d
         i += 1
       }
@@ -186,6 +208,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
       val bd = ctx.freshName("bd")
       val best = ctx.freshName("best")
       val c = ctx.freshName("c")
+      val gx = VectorKernels.getter(inFloat, a, i)
       s"""
          |int $best = -1; double $bd = Double.POSITIVE_INFINITY;
          |for (int $j = 0; $j < $m.length; $j++) {
@@ -193,7 +216,7 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
          |  int $n = java.lang.Math.min($a.numElements(), $c.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = $a.getDouble($i) - $c[$i];
+         |    double $d = $gx - $c[$i];
          |    $acc += $d * $d;
          |  }
          |  if ($acc < $bd) { $bd = $acc; $best = $j; }
@@ -236,16 +259,18 @@ case class NearestCellHier(child: Expression,
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _)
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
       if supers.nonEmpty && cells.nonEmpty && members.length == supers.length &&
         members.exists(_.nonEmpty) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<double> input, non-empty super/cell " +
+      s"$prettyName expects array<double|float> input, non-empty super/cell " +
         "matrices, and a members table with at least one populated super")
   }
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_nearest_cell_hier"
+
+  private lazy val inFloat = VectorKernels.isFloatArray(child.dataType)
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
@@ -260,7 +285,8 @@ case class NearestCellHier(child: Expression,
         var acc = 0.0
         var i = 0
         while (i < n) {
-          val d = x.getDouble(i) - c(i)
+          val xi = if (inFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          val d = xi - c(i)
           acc += d * d
           i += 1
         }
@@ -279,7 +305,8 @@ case class NearestCellHier(child: Expression,
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val d = x.getDouble(i) - c(i)
+        val xi = if (inFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xi - c(i)
         acc += d * d
         i += 1
       }
@@ -307,6 +334,7 @@ case class NearestCellHier(child: Expression,
       val c = ctx.freshName("c")
       val mem = ctx.freshName("mem")
       val work = ctx.freshName("work")
+      val gx = VectorKernels.getter(inFloat, a, i)
       s"""
          |int $bestS = -1; double $bd = Double.POSITIVE_INFINITY;
          |long $work = 0L;
@@ -316,7 +344,7 @@ case class NearestCellHier(child: Expression,
          |  int $n = java.lang.Math.min($a.numElements(), $c.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = $a.getDouble($i) - $c[$i];
+         |    double $d = $gx - $c[$i];
          |    $acc += $d * $d;
          |  }
          |  if ($acc < $bd) { $bd = $acc; $bestS = $s; }
@@ -329,7 +357,7 @@ case class NearestCellHier(child: Expression,
          |  int $n = java.lang.Math.min($a.numElements(), $c.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = $a.getDouble($i) - $c[$i];
+         |    double $d = $gx - $c[$i];
          |    $acc += $d * $d;
          |  }
          |  if ($acc < $bd) { $bd = $acc; $best = $mem[$j]; }
@@ -358,6 +386,223 @@ object DistanceEvalCounter {
   def add(k: Long): Unit = n.add(k)
   def get: Long = n.sum()
   def reset(): Unit = n.reset()
+}
+
+/** Static kernels for the probe-side cell picks, shared by the
+  * interpreted and codegen'd paths (object = static forwarders
+  * callable from generated Java). Selection semantics are BIT-IDENTICAL
+  * to the higher-order-function formulation they replace
+  * (`array_sort(transform(...))` with a (score desc, index asc)
+  * comparator): same index-order cosine accumulation, same strict->
+  * comparisons, same tie-break — so the SQL oracles that replay the
+  * pick with ROW_NUMBER over the same scores are unaffected. */
+object VectorKernels {
+
+  /** True iff `t` is array<float> — the raw embedding storage type.
+    * Kernels read float elements with per-element (double) widening,
+    * bit-identical to the array-allocating Cast they replace. */
+  def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Generated-Java element accessor for an ArrayData variable, widened
+    * to double ((double) of a float equals Cast's per-element result). */
+  def getter(isFloat: Boolean, arr: String, idx: String): String =
+    if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+
+  private def cosine(x: ArrayData, xFloat: Boolean,
+                     c: Array[Double]): Double = {
+    val n = math.min(x.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val ci = c(i)
+      dot += xi * ci; na += xi * xi; nb += ci * ci
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** Insert (score, id) into the bounded best-list `(scores, ids)` of
+    * current size `size` capped at `cap`, ordered score DESC then id
+    * ASC with strict-> comparisons — the comparator the HOF pick used.
+    * Returns the new size. */
+  private def insertTop(scores: Array[Double], ids: Array[Int],
+                        size: Int, cap: Int, s: Double, id: Int): Int = {
+    var pos = size
+    while (pos > 0 && {
+      val ps = scores(pos - 1)
+      // new entry ranks before pos-1 iff s > ps, or neither strictly
+      // greater (tie / NaN pair) and id is smaller
+      if (s > ps) true
+      else if (ps > s) false
+      else id < ids(pos - 1)
+    }) pos -= 1
+    if (pos >= cap) return size
+    val last = math.min(size, cap - 1)
+    var m = last
+    while (m > pos) {
+      scores(m) = scores(m - 1); ids(m) = ids(m - 1)
+      m -= 1
+    }
+    scores(pos) = s; ids(pos) = id
+    math.min(size + 1, cap)
+  }
+
+  /** Two-level probe-cell pick: score ALL super-centroids (empty ones
+    * too — they rank but contribute no cells, exactly like the HOF
+    * form's `coalesce(element_at(...), empty)`), open the top `nsp`,
+    * score only their member cells, return the top `nprobe` cell ids.
+    * O(√k + nsp·√k) cosines per row, one small int[] allocation. */
+  def hierProbeCells(x: ArrayData, xFloat: Boolean,
+                     supers: Array[Array[Double]],
+                     cells: Array[Array[Double]], members: Array[Array[Int]],
+                     nsp: Int, nprobe: Int): Array[Int] = {
+    val nS = supers.length
+    val capS = math.min(nsp, nS)
+    val sScores = new Array[Double](capS)
+    val sIds = new Array[Int](capS)
+    var sSize = 0
+    var s = 0
+    while (s < nS) {
+      sSize = insertTop(sScores, sIds, sSize, capS,
+        cosine(x, xFloat, supers(s)), s)
+      s += 1
+    }
+    val cScores = new Array[Double](nprobe)
+    val cIds = new Array[Int](nprobe)
+    var cSize = 0
+    var work = nS.toLong
+    var t = 0
+    while (t < sSize) {
+      val mem = members(sIds(t))
+      var j = 0
+      while (j < mem.length) {
+        val cell = mem(j)
+        cSize = insertTop(cScores, cIds, cSize, nprobe,
+          cosine(x, xFloat, cells(cell)), cell)
+        j += 1
+      }
+      work += mem.length
+      t += 1
+    }
+    DistanceEvalCounter.add(work)
+    java.util.Arrays.copyOf(cIds, cSize)
+  }
+
+  /** Flat probe-cell pick: score every cell centroid, return the top
+    * `nprobe` cell ids — the [[HierProbeCells]] selection without the
+    * coarse layer (the knnJoinIvf shape, O(k) per row by design). */
+  def probeCells(x: ArrayData, xFloat: Boolean,
+                 cents: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    val scores = new Array[Double](nprobe)
+    val ids = new Array[Int](nprobe)
+    var size = 0
+    var j = 0
+    while (j < cents.length) {
+      size = insertTop(scores, ids, size, nprobe,
+        cosine(x, xFloat, cents(j)), j)
+      j += 1
+    }
+    DistanceEvalCounter.add(cents.length.toLong)
+    java.util.Arrays.copyOf(ids, size)
+  }
+}
+
+/** The kNN-graph probe pick as ONE codegen'd kernel: top-`nprobe`
+  * probe cells through the super layer, replacing an interpreted
+  * `array_sort(transform(...))` pipeline that allocated and
+  * lambda-sorted ~nsp·√k struct elements PER QUERY ROW (measured 98%
+  * of `knnJoinHier`'s wall time at a 200k-vector corpus — the
+  * candidate join + bounded heap over the same probes cost 0.65 s
+  * where the HOF pick cost ~30 s). Matrices ride in the codegen
+  * references array; per-row work is one static call, tallied in
+  * [[DistanceEvalCounter]]. */
+case class HierProbeCells(child: Expression,
+                          supers: Array[Array[Double]],
+                          cells: Array[Array[Double]],
+                          members: Array[Array[Int]],
+                          nsp: Int, nprobe: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
+      if supers.nonEmpty && cells.nonEmpty &&
+        members.length == supers.length && nsp >= 1 && nprobe >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double|float> input, non-empty " +
+        "super/cell matrices, a members table aligned to the supers, " +
+        "and positive nsp/nprobe")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hier_probe_cells"
+
+  private lazy val inFloat = VectorKernels.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.hierProbeCells(input.asInstanceOf[ArrayData], inFloat,
+        supers, cells, members, nsp, nprobe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sm = ctx.addReferenceObj("supers", supers, "double[][]")
+    val cm = ctx.addReferenceObj("cells", cells, "double[][]")
+    val mm = ctx.addReferenceObj("members", members, "int[][]")
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new $gad(graft.functions.VectorKernels
+         |  .hierProbeCells($a, $inFloat, $sm, $cm, $mm, $nsp, $nprobe));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HierProbeCells =
+    copy(child = c)
+}
+
+/** Flat top-`nprobe` probe-cell pick over the full centroid matrix —
+  * the [[HierProbeCells]] machinery for the single-level
+  * `knnJoinIvf` (O(k) per row by design; the hier pick is the scale
+  * path once k ∝ corpus). */
+case class ProbeCells(child: Expression, cents: Array[Array[Double]],
+                      nprobe: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
+      if cents.nonEmpty && nprobe >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double|float> input, a non-empty " +
+        "centroid matrix, and positive nprobe")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_probe_cells"
+
+  private lazy val inFloat = VectorKernels.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.probeCells(input.asInstanceOf[ArrayData], inFloat,
+        cents, nprobe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cm = ctx.addReferenceObj("cents", cents, "double[][]")
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new $gad(graft.functions.VectorKernels
+         |  .probeCells($a, $inFloat, $cm, $nprobe));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProbeCells =
+    copy(child = c)
 }
 
 /** Flattened `bs×bs` outer-product block (bi, bj) of one dense
@@ -517,6 +762,21 @@ object VectorFunctions {
                       members: Array[Array[Int]]): Column =
     Bridge.column(NearestCellHier(
       Bridge.expression(a.cast("array<double>")), supers, cells, members))
+
+  /** Column-API entry for [[HierProbeCells]]. */
+  def hierProbeCells(a: Column, supers: Array[Array[Double]],
+                     cells: Array[Array[Double]],
+                     members: Array[Array[Int]],
+                     nsp: Int, nprobe: Int): Column =
+    Bridge.column(HierProbeCells(
+      Bridge.expression(a.cast("array<double>")), supers, cells, members,
+      nsp, nprobe))
+
+  /** Column-API entry for [[ProbeCells]]. */
+  def probeCells(a: Column, cents: Array[Array[Double]],
+                 nprobe: Int): Column =
+    Bridge.column(ProbeCells(
+      Bridge.expression(a.cast("array<double>")), cents, nprobe))
 
   /** Column-API entry for [[OuterBlock]]. */
   def outerBlock(x: Column, bi: Int, bj: Int, bs: Int): Column =

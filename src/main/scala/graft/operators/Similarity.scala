@@ -251,27 +251,60 @@ object Similarity {
   def knnJoinIvf(index: IvfIndex, queries: DataFrame,
                  id: String, vec: String, k: Int,
                  nprobe: Int = 4): DataFrame = {
-    val nCells = index.matrix.length
-    val matLit = typedlit(index.matrix.map(_.toSeq).toSeq)
-    val cellScores = transform(
-      sequence(lit(0), lit(nCells - 1)),
-      c => struct(
-        Dedup.cosine(col("qv"), element_at(matLit, c + 1)).as("ccos"),
-        c.as("cell")))
-    val ordered = array_sort(cellScores,
-      (l, r) => when(l("ccos") > r("ccos"), lit(-1))
-        .when(r("ccos") > l("ccos"), lit(1))
-        .otherwise(l("cell") - r("cell")))
+    // Top-nprobe cell pick as one codegen'd kernel
+    // ([[graft.functions.ProbeCells]] — same (cos desc, cell asc)
+    // selection the interpreted array_sort comparator computed, minus
+    // its per-row struct-array churn).
     val probes = queries
       .select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("pc", explode(slice(ordered, 1, nprobe)))
-      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
-    val scored = index.assigned
-      .join(probes, Seq("cell"))
+      .withColumn("cell", explode(graft.functions.VectorFunctions
+        .probeCells(col("qv"), index.matrix, nprobe)))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = saltedCandidates(index.assigned, index.matrix.length, probes)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))
     topKByGroup(scored, k)
+  }
+
+  /** Target rows per (cell, salt) task bucket in the corpus-sized-query
+    * candidate joins — ~4 design-size cells; cells at or under it never
+    * split, so a balanced index keeps the plain co-located cell join. */
+  private val SaltBucketRows = 256L
+
+  /** Skew-safe candidate join for the kNN-graph APIs (corpus-sized
+    * query side). A real corpus is never uniform over cells: duplicate
+    * and dense regions concentrate BOTH members and probes onto the
+    * same hot cells, and a plain join on `cell` serializes those cells'
+    * candidate pairs into single tasks (measured at a 100×-duplicated
+    * 200k-vector fixture: 127M of the candidate pairs landed on a few
+    * tasks — 21 s where the even-spread equivalent costs < 1 s). Hot
+    * cells are therefore SPLIT: one cheap cell-count pass (columnar
+    * read of the persisted index's cell column, nCells ≤
+    * [[MaxLiteralCells]] rows to the driver — the literal-path
+    * contract) sizes `ceil(size/[[SaltBucketRows]])` splits per cell;
+    * members salt by `pmod(hash(id), splits)`, probes explode over the
+    * cell's splits, and the join key becomes (cell, salt). Candidate
+    * PAIRS are unchanged (each member carries exactly one salt), so
+    * results are bit-identical; probe-row fan-out grows only on the
+    * split cells. A fully balanced index short-circuits to the plain
+    * cell join on the persisted partitioning. */
+  private def saltedCandidates(assigned: DataFrame, nCells: Int,
+                               probes: DataFrame): DataFrame = {
+    val counts = new Array[Long](nCells)
+    assigned.groupBy(col("cell")).count().collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val salts = counts.map(c =>
+      math.max(1L, math.ceil(c.toDouble / SaltBucketRows).toLong).toInt)
+    if (salts.forall(_ == 1)) assigned.join(probes, Seq("cell"))
+    else {
+      val saltLit = typedlit(salts.toSeq)
+      val a = assigned.withColumn("salt",
+        pmod(hash(col("neighbor_id")), element_at(saltLit, col("cell") + 1)))
+      val p = probes.withColumn("salt",
+        explode(sequence(lit(0), element_at(saltLit, col("cell") + 1) - 1)))
+      a.join(p, Seq("cell", "salt")).drop("salt")
+    }
   }
 
   /** Corpus-adaptive IVF sizing: cells of ~64 vectors
@@ -670,41 +703,24 @@ object Similarity {
   def knnJoinHier(index: HierIvfIndex, queries: DataFrame,
                   id: String, vec: String, k: Int,
                   nprobe: Int = 4, nsp: Int = 4): DataFrame = {
-    val nSuper = index.superMatrix.length
-    val supLit = typedlit(index.superMatrix.map(_.toSeq).toSeq)
-    val bySuper: Map[Int, Seq[(Int, Seq[Double])]] =
-      index.base.matrix.zipWithIndex.toSeq
-        .map { case (c, i) => (index.cellToSuper(i), (i, c.toSeq)) }
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val cellMapLit = typedlit(bySuper)
-    val noCells = typedlit(Seq.empty[(Int, Seq[Double])])
-    val superScores = transform(
-      sequence(lit(0), lit(nSuper - 1)),
-      sp => struct(
-        Dedup.cosine(col("qv"), element_at(supLit, sp + 1)).as("scos"),
-        sp.as("sup")))
-    val topSupers = slice(array_sort(superScores,
-      (l, r) => when(l("scos") > r("scos"), lit(-1))
-        .when(r("scos") > l("scos"), lit(1))
-        .otherwise(l("sup") - r("sup"))), 1, nsp)
-    // An empty super (possible: kmeansLloyd keeps empty clusters'
-    // centroids) contributes no candidate cells.
-    val candCells = flatten(transform(topSupers,
-      s => coalesce(element_at(cellMapLit, s("sup")), noCells)))
-    val cellScores = transform(candCells,
-      cc => struct(
-        Dedup.cosine(col("qv"), cc("_2")).as("ccos"),
-        cc("_1").as("cell")))
-    val topCells = slice(array_sort(cellScores,
-      (l, r) => when(l("ccos") > r("ccos"), lit(-1))
-        .when(r("ccos") > l("ccos"), lit(1))
-        .otherwise(l("cell") - r("cell"))), 1, nprobe)
+    // The whole two-stage pick — score √nCells supers, open nsp,
+    // score their member cells, keep nprobe (empty supers rank but
+    // contribute no cells) — is ONE codegen'd kernel
+    // ([[graft.functions.HierProbeCells]]). The previous
+    // array_sort(transform(...)) formulation computed the same pick
+    // but Catalyst interprets higher-order-function lambdas: ~nsp·√k
+    // struct allocations and two lambda sorts per query row were 98%
+    // of the probe's wall time at a 200k-vector corpus (~30 s vs
+    // 0.65 s for the candidate join + bounded heap they fed).
+    val members = groupMembers(index.cellToSuper, index.superMatrix.length)
     val probes = queries
       .select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("pc", explode(topCells))
-      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
-    val scored = index.base.assigned
-      .join(probes, Seq("cell"))
+      .withColumn("cell", explode(graft.functions.VectorFunctions
+        .hierProbeCells(col("qv"), index.superMatrix, index.base.matrix,
+          members, nsp, nprobe)))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = saltedCandidates(index.base.assigned,
+        index.base.matrix.length, probes)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))

@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ZOrderKey(children.head, children(1))))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => StripVectorCasts)
   }
 }

@@ -23,9 +23,10 @@ import graft.operators.{Dedup, Similarity}
   * hierarchical index build (uncached — `cachedHierIvfIndex` would
   * amortize exactly the thing under audit), the kNN-graph probe pass
   * over the whole corpus (`q_ann_knn`'s body), and SemDeDup
-  * (`q_semantic_dedup`'s body). Timed reps follow one settle rep at
-  * the SMALLEST scale only (Janino/JIT warm); each subsequent scale
-  * reuses the warm JVM, mirroring `graft.Bench`'s discipline. */
+  * (`q_semantic_dedup`'s body). Each scale runs one untimed settle
+  * pass first (Janino/JIT warm AT THAT SCALE — `graft.Bench`'s
+  * discipline: join strategies and AQE plans differ with data size),
+  * then the timed pass. */
 object AnnScaleAudit {
 
   private def f(v: Double): String = "%.3f".format(v)
@@ -98,8 +99,8 @@ object AnnScaleAudit {
       (n, buildSec, buildEvals, knnSec, semSec, tabBuildSec, tabKnnSec)
     }
 
-    val rows = scales.zipWithIndex.map { case ((label, dir), i) =>
-      val (n, b, ev, kn, sd, tb, tk) = one(dir, settle = i == 0)
+    val rows = scales.map { case (label, dir) =>
+      val (n, b, ev, kn, sd, tb, tk) = one(dir, settle = true)
       println(s"[ann-audit] $label n=$n build=${f(b)}s evals=$ev " +
         s"knn=${f(kn)}s semdedup=${f(sd)}s " +
         s"table_build=${f(tb)}s table_knn=${f(tk)}s")
