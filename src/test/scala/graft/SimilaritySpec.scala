@@ -404,4 +404,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1).getLong(1) == 3L && top(1).getLong(3) == top(0).getLong(3))
     assert(top(2).getLong(1) == 2L && top(2).getLong(3) < 0) // anti-correlated
   }
+
+  test("salted candidate join on a hot cell equals the unsalted broadcast probe") {
+    import spark.implicits._
+    val dim = 8
+    // A deliberately skewed corpus: 600 distinct vectors in one tight
+    // cluster (one cell of >256 members -> the kNN-join candidate path
+    // MUST salt it over ceil(600/256)=3 buckets) plus 40 spread far
+    // away. probeIvf never salts (broadcast probe set), so equality
+    // proves the (cell, salt) re-key changes no candidate pair.
+    val hot = (0 until 600).map(i => (i.toLong,
+      Seq.tabulate(dim)(d => (if (d == 0) 1.0f else 0.0f)
+        + 1e-4f * ((i % 37) + 1) * (d + 1))))
+    val cold = (600 until 640).map(i => (i.toLong,
+      Seq.tabulate(dim)(d => (if (d == 1) 1.0f else 0.0f)
+        + 1e-3f * ((i % 11) + 1) * (d + 2))))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val idx = Similarity.buildIvfIndex(df, "vec_id", "embedding", nCells = 2)
+    try {
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSet
+      // the skew is real: some cell exceeds the salt threshold
+      val cellSizes = idx.assigned.groupBy(col("cell")).count()
+        .collect().map(_.getLong(1))
+      assert(cellSizes.max > 256, s"fixture not skewed: ${cellSizes.toSeq}")
+      val salted = canon(Similarity.knnJoinIvf(idx, df,
+        "vec_id", "embedding", k = 3, nprobe = 2))
+      val plain = canon(Similarity.probeIvf(idx, df,
+        "vec_id", "embedding", k = 3, nprobe = 2))
+      assert(salted == plain)
+      assert(salted.nonEmpty)
+    } finally idx.release()
+  }
 }

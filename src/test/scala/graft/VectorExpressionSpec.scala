@@ -83,4 +83,81 @@ class VectorExpressionSpec extends SparkSpec {
     val want = for (r <- 0 until 4; c <- 0 until 4) yield x(4 + r) * x(c)
     assert(got.toSeq == want)
   }
+
+  test("StripVectorCasts: float embeddings reach the kernels uncast") {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = e.as("a").crossJoin(broadcast(e.as("b"))).limit(50)
+      .select(
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"),
+        VectorFunctions.sqDist(col("a.embedding"), col("b.embedding")).as("d"))
+    var floatToDoubleCasts = 0
+    df.queryExecution.optimizedPlan.foreach(p => p.expressions.foreach(_.foreach {
+      case c: Cast => (c.child.dataType, c.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+          floatToDoubleCasts += 1
+        case _ => ()
+      }
+      case _ => ()
+    }))
+    assert(floatToDoubleCasts == 0,
+      "the Column API's array<float> -> array<double> casts must be " +
+        "stripped by the optimizer rule (kernels widen per element)")
+    // and the float-reading path still computes real scores
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getDouble(0).isNaN && r.getDouble(1) >= 0.0))
+  }
+
+  // Reference (score desc, index asc) selection for the probe-pick
+  // kernels, written independently of the kernel's insertion sort.
+  private def cosRef(x: Array[Double], c: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- x.indices.take(c.length)) {
+      dot += x(i) * c(i); na += x(i) * x(i); nb += c(i) * c(i)
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+  private def pickRef(x: Array[Double], cand: Seq[Int],
+                      cents: Array[Array[Double]], n: Int): Seq[Int] =
+    cand.map(j => (cosRef(x, cents(j)), j))
+      .sortBy { case (s, j) => (-s, j) }.take(n).map(_._2)
+
+  test("probe-pick kernels match an independent reference (ties, empty supers)") {
+    import spark.implicits._
+    val dim = 6
+    // duplicate centroids 2 and 5 force a score tie -> lower id wins
+    val cells = Array.tabulate(8)(j =>
+      Array.tabulate(dim)(d => math.sin((j % 6) * dim + d) + 2.0))
+    val supers = Array.tabulate(4)(s =>
+      Array.tabulate(dim)(d => math.cos(s * dim + d) + 2.0))
+    // super 1 is EMPTY: it may rank in the top-nsp but contributes no cells
+    val members = Array(Array(0, 1, 2), Array.empty[Int], Array(3, 4, 5),
+      Array(6, 7))
+    val qs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(0.7 * i + d) + 2.0)))
+    val df = qs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+    for (nsp <- Seq(1, 2, 4); nprobe <- Seq(1, 3, 8)) {
+      val got = df.select(col("id"),
+        graft.functions.VectorFunctions
+          .hierProbeCells(col("v"), supers, cells, members, nsp, nprobe)
+          .as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      qs.foreach { case (i, x) =>
+        val topSupers = pickRef(x, supers.indices, supers, nsp)
+        val candCells = topSupers.flatMap(s => members(s))
+        assert(got(i) == pickRef(x, candCells, cells, nprobe),
+          s"hier pick mismatch id=$i nsp=$nsp nprobe=$nprobe")
+      }
+      val gotFlat = df.select(col("id"),
+        graft.functions.VectorFunctions.probeCells(col("v"), cells, nprobe)
+          .as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      qs.foreach { case (i, x) =>
+        assert(gotFlat(i) == pickRef(x, cells.indices, cells, nprobe),
+          s"flat pick mismatch id=$i nprobe=$nprobe")
+      }
+    }
+  }
 }
