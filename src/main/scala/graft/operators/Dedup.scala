@@ -379,6 +379,22 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, id: String, text: String,
                          n: Int = 8, w: Int = 4): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(id), concat_ws(" ", Text.tokens(col(text))).as("__t"))
+      .repartition(par)
+      .select(col(id), explode(graft.functions.SketchFunctions
+        .winnowFingerprints(col("__t"), n, w)).as("fp"))
+  }
+
+  /** Built-in-primitive formulation of the winnow kernel — every gram a
+    * `substr` + `xxhash64`, every window an `array_min(slice(...))`,
+    * distinct via `array_distinct`. Value-identical to
+    * [[winnowFingerprints]] (differential test in SketchExpressionSpec).
+    * Test-only: the interpreted lambdas pay a substring copy per gram
+    * and a w-element slice copy per window position — this pipeline
+    * alone was 61 s of the 500k-doc scaling-audit corpus. */
+  def winnowFingerprintsHof(df: DataFrame, id: String, text: String,
+                            n: Int = 8, w: Int = 4): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val t = df
       .select(col(id), concat_ws(" ", Text.tokens(col(text))).as("__t"))
       .repartition(par)
@@ -442,17 +458,45 @@ object Dedup {
     val cands = winnowDedup(df, id, text, n, w, minShared, maxBucket)
       .select(col("id_a"), col("id_b"))
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // Winnow candidates are a WEAK filter by design (minShared must
+    // stay low for recall — repetitive text collapses fingerprint
+    // runs), so the verify side must assume candidate pairs ≫ true
+    // pairs: the 500k-doc scaling audit measured 33.4M candidates for
+    // 25.6k true pairs, and a verify join that attaches shingle-STRING
+    // arrays to every candidate moves ~80 GB through two exchanges.
+    // Three changes keep the verify linear in candidates:
+    //  - shingles are xxhash64 LONGS (8 bytes vs ~30-char strings);
+    //    |∩| and |∪| — hence the Jaccard VALUE — are unchanged unless
+    //    xxhash64 collides (~n²/2⁶⁵, the q_dedup_spans discipline);
+    //  - the shingle table is persisted once and reused by both legs
+    //    (each leg used to recompute the tokenize+shingle pipeline);
+    //  - candidates first join doc SIZES only (16-byte rows):
+    //    |A∩B| ≤ min ⇒ J ≤ min(|A|,|B|)/max(|A|,|B|), so pairs failing
+    //    the size-ratio test can never reach `threshold` — a necessary
+    //    condition, never dropping a qualifying pair — and only the
+    //    survivors attach the hash arrays for the exact decision.
     val sh = df.select(col(id), col(text))
       .repartition(par)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id),
-        array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("sh"))
-    cands
+        array_distinct(transform(Text.shinglesOfTokens(col("__toks"), k),
+          s => xxhash64(s))).as("sh"))
+      .select(col(id), col("sh"), size(col("sh")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col(id), col("sz"))
+    val sized = cands
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+    val out = sized
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(out, sh)
   }
 
   // ---------------------------------------------------- embedding near-dup

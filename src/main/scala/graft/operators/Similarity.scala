@@ -656,21 +656,18 @@ object Similarity {
   def knnJoinHierTable(index: HierIvfTableIndex, queries: DataFrame,
                        id: String, vec: String, k: Int,
                        nprobe: Int = 4, nsp: Int = 4): DataFrame = {
-    val nSuper = index.superMatrix.length
-    val supLit = typedlit(index.superMatrix.map(_.toSeq).toSeq)
-    val superScores = transform(
-      sequence(lit(0), lit(nSuper - 1)),
-      sp => struct(
-        Dedup.cosine(col("qv"), element_at(supLit, sp + 1)).as("scos"),
-        sp.as("sup")))
-    val topSupers = slice(array_sort(superScores,
-      (l, r) => when(l("scos") > r("scos"), lit(-1))
-        .when(r("scos") > l("scos"), lit(1))
-        .otherwise(l("sup") - r("sup"))), 1, nsp)
+    // Super pick = the codegen'd flat kernel over the super matrix
+    // (supers are always driver-small — √nCells — even when the cell
+    // layer is distributed state): same (cos desc, index asc)
+    // selection the interpreted array_sort comparator computed, one
+    // static call per query row instead of ~nSuper struct allocations
+    // and a lambda sort. A super that ranks but owns no cells drops
+    // out at the cells join, exactly as before.
     val qsup = queries
       .select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("sp", explode(topSupers))
-      .select(col("query_id"), col("qv"), col("sp.sup").as("sup"))
+      .withColumn("sup", explode(graft.functions.VectorFunctions
+        .probeCells(col("qv"), index.superMatrix, nsp)))
+      .select(col("query_id"), col("qv"), col("sup"))
     val picked = qsup
       .join(index.cells, Seq("sup"))
       .select(col("query_id"), col("qv"),
@@ -682,12 +679,32 @@ object Similarity {
       .select(col("query_id"), col("qv"), explode(col("pc")).as("p"))
       .select(col("query_id"), col("qv"),
         col("p.id").cast("int").as("cell"))
-    val scored = index.assigned
-      .join(picked, Seq("cell"))
+    val scored = saltedCandidatesTable(index.assigned, picked)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))
     topKByGroup(scored, k)
+  }
+
+  /** [[saltedCandidates]] for the distributed-cell-state regime: the
+    * per-cell split factors come from a count AGGREGATE joined back on
+    * `cell` (co-partitioned with the persisted index — no extra
+    * exchange on the member side), never a driver collect, so the salt
+    * plan carries zero driver/plan state at any nCells. Same
+    * ceil(size/[[SaltBucketRows]]) sizing and (cell, salt) re-key as
+    * the literal path; candidate pairs are unchanged. */
+  private def saltedCandidatesTable(assigned: DataFrame,
+                                    probes: DataFrame): DataFrame = {
+    val splits = assigned.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)).cast("double") / SaltBucketRows)
+        .cast("int").as("__splits"))
+    val a = assigned.join(splits, Seq("cell"))
+      .withColumn("__salt", pmod(hash(col("neighbor_id")), col("__splits")))
+      .drop("__splits")
+    val p = probes.join(splits, Seq("cell"))
+      .withColumn("__salt", explode(sequence(lit(0), col("__splits") - 1)))
+      .drop("__splits")
+    a.join(p, Seq("cell", "__salt")).drop("__salt")
   }
 
   /** [[knnJoinIvf]] with the two-level probe pick — the kNN-graph shape

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CompressionRatio, CosineSimilarity,
   MergeAdjacentPair, MinHashSignature, NfcNormalize, Phash64,
-  SimHashChunks, SquaredDistance, ZOrderKey}
+  SimHashChunks, SquaredDistance, WinnowFingerprints, ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -72,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_phash64"),
       new ExpressionInfo(classOf[Phash64].getName, "graft_phash64"),
       (children: Seq[Expression]) => Phash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "graft_winnow_fps"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children.head,
+          intArg(children(1), "graft_winnow_fps"),
+          intArg(children(2), "graft_winnow_fps"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),

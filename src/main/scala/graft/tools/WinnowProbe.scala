@@ -3,23 +3,47 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: verified-winnow pair set vs the oracle-matched exact
-  * Jaccard pair set (q_dedup_ngram dump). */
+import graft.operators.Dedup
+
+/** Dev probe: stage-level timing of the winnowing near-dup pipeline at
+  * one corpus (`runMain graft.tools.WinnowProbe <docsDir>`), to
+  * attribute the super-linearity the [[DedupScaleAudit]] measures to a
+  * stage before fixing it. */
 object WinnowProbe {
+  private def f(v: Double): String = "%.3f".format(v)
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val ngramDump = args.lift(1).getOrElse("/tmp/graft_verify_sf01/q_dedup_ngram")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val dir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.Tables.load(spark, dir, "documents")
-    val win = graft.operators.Dedup.winnowNearDup(docs, "doc_id", "text",
-      n = 24, w = 8, minShared = 2).select("id_a", "id_b")
-    val exact = spark.read.parquet(ngramDump).select("id_a", "id_b")
-    println("winnow=" + win.count() + " exact=" + exact.count() +
-      " diff=" + win.exceptAll(exact).count() +
-      "/" + exact.exceptAll(win).count())
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"docs=${d.count()}")
+    def time[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(s"[winnow-probe] $name ${f((System.nanoTime() - t0) / 1e9)}s")
+      r
+    }
+    time("fingerprints") {
+      println("fps=" + Dedup.winnowFingerprints(d, "doc_id", "text",
+        n = 24, w = 8).count())
+    }
+    time("dedup(cands)") {
+      println("cands=" + Dedup.winnowDedup(d, "doc_id", "text",
+        n = 24, w = 8, minShared = 2).count())
+    }
+    time("nearDup(full)") {
+      println("pairs=" + Dedup.winnowNearDup(d, "doc_id", "text",
+        n = 24, w = 8, minShared = 2).count())
+    }
     spark.stop()
   }
 }

@@ -102,4 +102,65 @@ class SketchExpressionSpec extends SparkSpec {
     assert(r.getSeq[Long](1).length == 8)
     assert(r.getSeq[Int](2).length == 4)
   }
+
+  test("SQL registration: graft_winnow_fps round-trips") {
+    import spark.implicits._
+    Seq(Tuple1("the quick brown fox jumps over the lazy dog"))
+      .toDF("t").createOrReplaceTempView("winnow_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_winnow_fps(t, 8, 4) fps FROM winnow_docs")
+      .head().getSeq[Long](0)
+    val viaCol = spark.table("winnow_docs")
+      .select(graft.functions.SketchFunctions
+        .winnowFingerprints(col("t"), 8, 4)).head().getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("winnow kernel matches the built-in-primitive HOF bit-for-bit") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // fixture docs + adversarial shapes: empty, shorter than n, fewer
+    // grams than w, repeated runs (distinct collapse), multi-byte
+    // code points (byte-offset vs code-point-offset divergence trap)
+    val extra = Seq(
+      (9001L, ""),
+      (9002L, "short"),
+      (9003L, "exactly12chr"),
+      (9004L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (9005L, "päö⸚99 tökens⸚99 wíth⸚99 multi⸚99 byte⸚99 runes⸚99 ok⸚99"),
+      (9006L, "the the the the the the the the the the the the"))
+      .toDF("doc_id", "text")
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).unionByName(extra)
+    for ((n, w) <- Seq((12, 5), (24, 8), (8, 4))) {
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val kernel = canon(Dedup.winnowFingerprints(df, "doc_id", "text", n, w))
+      val hof = canon(Dedup.winnowFingerprintsHof(df, "doc_id", "text", n, w))
+      assert(kernel == hof, s"winnow kernel != HOF at n=$n w=$w")
+      assert(kernel.nonEmpty)
+    }
+  }
+
+  test("winnow kernel interpreted eval agrees with codegen eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps over the lazy dog again",
+      "päö⸚99 tökens⸚99 wíth⸚99 multi byte", "aaaaaaaaaaaaaaaa", "")
+    // codegen path: through a DataFrame projection
+    val viaCodegen = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.SketchFunctions
+        .winnowFingerprints(col("t"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val interp = graft.functions.WinnowFingerprints(
+        Literal.create(UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType), 8, 4)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      assert(viaCodegen(i.toLong) == interp, s"text #$i")
+    }
+  }
 }
