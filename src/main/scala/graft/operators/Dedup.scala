@@ -96,9 +96,16 @@ object Dedup {
       .repartition(par)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id),
-        array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col(id), col("sh"),
+        array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("__shs"))
+      .withColumn("sig", minhashSignature(col("__shs"), numHashes))
+      // The SIGNATURE hashes the shingle STRINGS (its band values are
+      // pinned by oracles and the batch≡stream law), but the persisted
+      // verify-side shingle sets ride as xxhash64 longs — 8 bytes vs
+      // ~30-char strings across the persist and both verify-join legs;
+      // |∩|, |∪|, hence the Jaccard value, unchanged absent a
+      // ~n²/2⁶⁵ collision (the q_dedup_spans discipline).
+      .select(col(id),
+        transform(col("__shs"), s => xxhash64(s)).as("sh"),
         bandHashes(col("sig"), bands, numHashes / bands).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -217,11 +224,21 @@ object Dedup {
   def ngramJaccardDedup(df: DataFrame, id: String, text: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // Shingles ride as xxhash64 LONGS end to end: the exploded prefix
+    // rows, the document-frequency shuffle, and the verify arrays all
+    // weigh 8 bytes instead of ~30-char strings (3-4× lighter
+    // exchanges). |∩|, |∪| — hence the Jaccard value — are unchanged
+    // unless xxhash64 collides (~n²/2⁶⁵, the q_dedup_spans
+    // discipline). The df-tie prefix order changes from string to hash
+    // order — a different but equally valid global total order, so the
+    // prefix-filter recall guarantee is untouched (and the exact
+    // verify decides membership either way).
     val sh = df.select(col(id), col(text))
       .repartition(par)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id),
-        array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("sh"))
+        array_distinct(transform(Text.shinglesOfTokens(col("__toks"), k),
+          s => xxhash64(s))).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = sh.select(col(id), col("sz"), explode(col("sh")).as("t"))
