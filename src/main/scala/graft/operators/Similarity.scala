@@ -267,10 +267,30 @@ object Similarity {
     topKByGroup(scored, k)
   }
 
-  /** Target rows per (cell, salt) task bucket in the corpus-sized-query
-    * candidate joins — ~4 design-size cells; cells at or under it never
-    * split, so a balanced index keeps the plain co-located cell join. */
+  /** FLOOR on the per-(cell, salt) bucket size in the corpus-sized-query
+    * candidate joins (~4 design-size cells). Two-level policy:
+    *
+    *  - ENGAGE salting only when the biggest cell exceeds ONE TASK'S
+    *    EVEN SHARE (`maxCell > max(this, corpus/parallelism)`) — that
+    *    is the actual serialization hazard. Hash partitioning already
+    *    balances many moderately-hot cells across tasks, and the salt
+    *    is not free (the probe side explodes over the split factors,
+    *    re-shuffling fanned-out query vectors: measured 2.3× on a
+    *    duplicate-dense 200k-vector fixture whose 4100-row max cell a
+    *    32-way partitioning handled fine unsalted).
+    *  - Once engaged, split to buckets of [[saltTarget]] =
+    *    `max(this, corpus/(4·parallelism))` — ~task-sized chunks, so
+    *    per-cell fan-out is bounded by ~4·parallelism regardless of
+    *    how degenerate the cell is. */
   private val SaltBucketRows = 256L
+
+  /** See [[SaltBucketRows]]. */
+  private def saltTarget(total: Long, par: Int): Long =
+    math.max(SaltBucketRows, math.ceil(total / (4.0 * par)).toLong)
+
+  /** See [[SaltBucketRows]]: salt only past a full task share. */
+  private def saltEngages(maxCell: Long, total: Long, par: Int): Boolean =
+    maxCell > math.max(SaltBucketRows, math.ceil(total.toDouble / par).toLong)
 
   /** Skew-safe candidate join for the kNN-graph APIs (corpus-sized
     * query side). A real corpus is never uniform over cells: duplicate
@@ -294,10 +314,14 @@ object Similarity {
     val counts = new Array[Long](nCells)
     assigned.groupBy(col("cell")).count().collect()
       .foreach(r => counts(r.getInt(0)) = r.getLong(1))
-    val salts = counts.map(c =>
-      math.max(1L, math.ceil(c.toDouble / SaltBucketRows).toLong).toInt)
-    if (salts.forall(_ == 1)) assigned.join(probes, Seq("cell"))
+    val par = assigned.sparkSession.sparkContext.defaultParallelism
+    val total = counts.sum
+    if (!saltEngages(counts.max, total, par))
+      assigned.join(probes, Seq("cell"))
     else {
+      val target = saltTarget(total, par)
+      val salts = counts.map(c =>
+        math.max(1L, math.ceil(c.toDouble / target).toLong).toInt)
       val saltLit = typedlit(salts.toSeq)
       val a = assigned.withColumn("salt",
         pmod(hash(col("neighbor_id")), element_at(saltLit, col("cell") + 1)))
@@ -653,9 +677,13 @@ object Similarity {
     * O(q·nprobe·partitions) entries, probes by cell, and the final
     * top-k heap — all corpus-sublinear. Results equal [[knnJoinHier]]
     * exactly for identical parameters (SimilaritySpec law). */
-  def knnJoinHierTable(index: HierIvfTableIndex, queries: DataFrame,
-                       id: String, vec: String, k: Int,
-                       nprobe: Int = 4, nsp: Int = 4): DataFrame = {
+  /** The two-stage pick of [[knnJoinHierTable]]: (query_id, qv, cell)
+    * probe rows — exposed package-private for the stage-attribution
+    * dev probe ([[graft.tools.AnnTableProbe]]). */
+  private[graft] def hierTablePick(index: HierIvfTableIndex,
+                                   queries: DataFrame,
+                                   id: String, vec: String,
+                                   nprobe: Int, nsp: Int): DataFrame = {
     // Super pick = the codegen'd flat kernel over the super matrix
     // (supers are always driver-small — √nCells — even when the cell
     // layer is distributed state): same (cos desc, index asc)
@@ -668,7 +696,7 @@ object Similarity {
       .withColumn("sup", explode(graft.functions.VectorFunctions
         .probeCells(col("qv"), index.superMatrix, nsp)))
       .select(col("query_id"), col("qv"), col("sup"))
-    val picked = qsup
+    qsup
       .join(index.cells, Seq("sup"))
       .select(col("query_id"), col("qv"),
         col("cell"), Dedup.cosine(col("qv"), col("centroid")).as("ccos"))
@@ -679,6 +707,12 @@ object Similarity {
       .select(col("query_id"), col("qv"), explode(col("pc")).as("p"))
       .select(col("query_id"), col("qv"),
         col("p.id").cast("int").as("cell"))
+  }
+
+  def knnJoinHierTable(index: HierIvfTableIndex, queries: DataFrame,
+                       id: String, vec: String, k: Int,
+                       nprobe: Int = 4, nsp: Int = 4): DataFrame = {
+    val picked = hierTablePick(index, queries, id, vec, nprobe, nsp)
     val scored = saltedCandidatesTable(index.assigned, picked)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -695,16 +729,33 @@ object Similarity {
     * the literal path; candidate pairs are unchanged. */
   private def saltedCandidatesTable(assigned: DataFrame,
                                     probes: DataFrame): DataFrame = {
-    val splits = assigned.groupBy(col("cell"))
-      .agg(ceil(count(lit(1)).cast("double") / SaltBucketRows)
-        .cast("int").as("__splits"))
-    val a = assigned.join(splits, Seq("cell"))
-      .withColumn("__salt", pmod(hash(col("neighbor_id")), col("__splits")))
-      .drop("__splits")
-    val p = probes.join(splits, Seq("cell"))
-      .withColumn("__salt", explode(sequence(lit(0), col("__splits") - 1)))
-      .drop("__splits")
-    a.join(p, Seq("cell", "__salt")).drop("__salt")
+    val stats = assigned.groupBy(col("cell")).count()
+      .agg(sum(col("count")), max(col("count"))).head()
+    val (total, maxCell) =
+      if (stats.isNullAt(0)) (0L, 0L) else (stats.getLong(0), stats.getLong(1))
+    val par = assigned.sparkSession.sparkContext.defaultParallelism
+    // No task-dominating cell → skip the salt plumbing entirely (the
+    // literal path's short-circuit): one 1-row aggregate — O(1) driver
+    // state — buys back the splits joins and the fanned-out probe
+    // re-shuffle, and keeps the join co-partitioned on the persisted
+    // cell key.
+    if (!saltEngages(maxCell, total, par)) assigned.join(probes, Seq("cell"))
+    else {
+      val target = saltTarget(total, par)
+      // The splits table is nCells rows of two ints — BROADCAST it to
+      // keep both salt attachments map-side (planned as shuffles, the
+      // salt plumbing alone doubled the join's wall time).
+      val splits = broadcast(assigned.groupBy(col("cell"))
+        .agg(ceil(count(lit(1)).cast("double") / target)
+          .cast("int").as("__splits")))
+      val a = assigned.join(splits, Seq("cell"))
+        .withColumn("__salt", pmod(hash(col("neighbor_id")), col("__splits")))
+        .drop("__splits")
+      val p = probes.join(splits, Seq("cell"))
+        .withColumn("__salt", explode(sequence(lit(0), col("__splits") - 1)))
+        .drop("__splits")
+      a.join(p, Seq("cell", "__salt")).drop("__salt")
+    }
   }
 
   /** [[knnJoinIvf]] with the two-level probe pick — the kNN-graph shape

@@ -100,6 +100,11 @@ object AnnScaleAudit {
     }
 
     val rows = scales.map { case (label, dir) =>
+      // Drop every cached relation from the previous scale: three
+      // scales in one JVM otherwise accumulate enough heap that the
+      // largest scale's hot join partition can OOM a task.
+      spark.catalog.clearCache()
+      System.gc()
       val (n, b, ev, kn, sd, tb, tk) = one(dir, settle = true)
       println(s"[ann-audit] $label n=$n build=${f(b)}s evals=$ev " +
         s"knn=${f(kn)}s semdedup=${f(sd)}s " +

@@ -405,6 +405,46 @@ class SimilaritySpec extends SparkSpec {
     assert(top(2).getLong(1) == 2L && top(2).getLong(3) < 0) // anti-correlated
   }
 
+  test("table-path salted join on a hot cell equals the literal hier path") {
+    import spark.implicits._
+    val dim = 8
+    // Same skew shape as the literal-path salting law below, but the
+    // hot vectors are EXACTLY identical — identical vectors tie on
+    // every centroid distance and the strict-< argmin sends all 600 to
+    // one cell regardless of how k-means places centroids, forcing
+    // ceil(size/256)>=2 splits in saltedCandidatesTable (the
+    // distributed-count salt path) AND in the literal knnJoinHier salt
+    // (driver-collected counts). Equality across the two
+    // independently-salted implementations pins both re-keys.
+    val hot = (0 until 600).map(i => (i.toLong,
+      Seq.tabulate(dim)(d => if (d == 0) 1.0f else 0.1f)))
+    val cold = (600 until 640).map(i => (i.toLong,
+      Seq.tabulate(dim)(d => (if (d == 1) 1.0f else 0.0f)
+        + 1e-3f * ((i % 11) + 1) * (d + 2))))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val lit = Similarity.buildHierIvfIndex(df, "vec_id", "embedding")
+    val tab = Similarity.buildHierIvfTableIndex(df, "vec_id", "embedding")
+    try {
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSet
+      // the skew is real: the identical-vector cell exceeds the salt
+      // threshold in BOTH index layouts
+      assert(tab.assigned.groupBy(col("cell")).count()
+        .collect().map(_.getLong(1)).max > 256)
+      assert(lit.base.assigned.groupBy(col("cell")).count()
+        .collect().map(_.getLong(1)).max > 256)
+      val viaLit = canon(Similarity.knnJoinHier(lit, df,
+        "vec_id", "embedding", k = 3, nprobe = 2, nsp = 2))
+      val viaTab = canon(Similarity.knnJoinHierTable(tab, df,
+        "vec_id", "embedding", k = 3, nprobe = 2, nsp = 2))
+      assert(viaTab == viaLit)
+      assert(viaTab.nonEmpty)
+    } finally { lit.release(); tab.release() }
+  }
+
   test("salted candidate join on a hot cell equals the unsalted broadcast probe") {
     import spark.implicits._
     val dim = 8
