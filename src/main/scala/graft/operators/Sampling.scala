@@ -53,6 +53,33 @@ object Sampling {
     }
   }
 
+  /** Leakage-safe split: assign the split label from the hash of the
+    * GROUP's representative (min id within `group`), not the row's own
+    * id, so every member of a duplicate/near-duplicate group lands in
+    * the same split. Row-hash splitting silently leaks: two copies of
+    * the same document hash independently, and ~2·p·(1−p) of each dup
+    * group straddles train/holdout — the held-out "unseen" documents
+    * were trained on verbatim. Keying the gate on one representative
+    * per group makes straddling structurally impossible (the law
+    * [[graft.SamplingSpec]] asserts: zero groups with >1 distinct
+    * split).
+    *
+    * Scale shape: ONE hash-partitioned shuffle on the group key — the
+    * same exchange exact-dedup pays — carrying only (group, id, split
+    * inputs); the min-over-group runs as a partial-aggregable window
+    * over that partitioning, and the gate itself is the same codegen'd
+    * md5-prefix compare as [[splitColumn]]. Nothing is driver-side and
+    * no state outlives the exchange, so the operator is exactly as
+    * scalable as the dedup pass it typically follows. */
+  def groupSafeSplit(df: DataFrame, id: Column, group: Column,
+                     cuts: Seq[(String, Int)],
+                     defaultLabel: String = "train",
+                     splitCol: String = "split"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+    df.withColumn(splitCol,
+      splitColumn(min(id).over(w), cuts, defaultLabel))
+  }
+
   /** Per-stratum deterministic sampling — the corpus-mixing primitive:
     * each stratum (source, language, quality band …) keeps rows at its
     * own `rates` numerator (1/65536 units); strata absent from `rates`

@@ -19,6 +19,19 @@ object SampleQueries {
         col("doc_id"), num = 6554)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // Leakage-safe split: the gate hashes each exact-dup group's
+    // representative (min doc_id over the md5 text fingerprint), so a
+    // duplicated document can never straddle train/holdout. Output:
+    // per-split doc counts, char sizes, and distinct dup-groups.
+    "q_split_safe" -> ((s, dir) =>
+      Sampling.groupSafeSplit(Tables.load(s, dir, "documents"),
+        col("doc_id"), graft.functions.Text.fingerprint(col("text")),
+        Seq(("test", 6554), ("val", 13108)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          countDistinct(graft.functions.Text.fingerprint(col("text")))
+            .as("groups"))),
+
     // Deterministic train/val/test split: per-split doc counts + sizes.
     "q_split" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -108,6 +121,22 @@ object SampleQueries {
          | CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(SUM(n_chars) AS BIGINT) AS chars
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_split_safe" -> {
+      val rpfx = Sampling.prefixSql("r.rep")
+      s"""WITH f AS (SELECT doc_id, n_chars,
+         |    md5(array_to_string(regexp_split_to_array(trim(lower(text)),
+         |      '\\s+'), ' ')) AS fp
+         |  FROM documents),
+         |r AS (SELECT fp, MIN(doc_id) AS rep FROM f GROUP BY 1)
+         |SELECT CASE WHEN $rpfx < '${"%04x".format(6554)}' THEN 'test'
+         |  WHEN $rpfx < '${"%04x".format(13108)}' THEN 'val'
+         |  ELSE 'train' END AS split,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(f.n_chars) AS BIGINT) AS chars,
+         | CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS groups
+         |FROM f JOIN r ON f.fp = r.fp GROUP BY 1""".stripMargin
+    },
 
     "q_mix" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

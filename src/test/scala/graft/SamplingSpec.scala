@@ -241,4 +241,51 @@ class SamplingSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(kept == expect)
   }
+
+  test("groupSafeSplit: no group straddles splits; gate keys on the rep") {
+    import spark.implicits._
+    // 300 groups of size 1–3: id 3g, 3g+1, 3g+2 share group g
+    val df = (0L until 900L).map(i => (i, i / 3)).toDF("id", "grp")
+    val out = Sampling.groupSafeSplit(df, col("id"), col("grp"),
+      Seq(("test", 6554), ("val", 13108))).cache()
+    // structural law: a group has exactly one distinct split label
+    val straddlers = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddlers == 0)
+    // the label is splitColumn of the group's min id — for this layout,
+    // every member carries the label its rep (id = 3·grp) would get
+    val expected = df.select(col("id"), col("grp"),
+      Sampling.splitColumn(col("grp") * 3, Seq(("test", 6554),
+        ("val", 13108))).as("want"))
+    val diff = out.join(expected, Seq("id", "grp"))
+      .filter(col("split") =!= col("want")).count()
+    assert(diff == 0)
+    // partition-layout invariance (the window keys the shuffle, not
+    // the incoming layout)
+    val relabeled = Sampling.groupSafeSplit(df.repartition(7), col("id"),
+      col("grp"), Seq(("test", 6554), ("val", 13108)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val base = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(relabeled == base)
+    out.unpersist()
+  }
+
+  test("groupSafeSplit beats row-hash splitting on dup-group leakage") {
+    import spark.implicits._
+    // every group has 2 members; row-hash splitting straddles some
+    val df = (0L until 1000L).map(i => (i, i / 2)).toDF("id", "grp")
+    val rowHash = df.withColumn("split", Sampling.splitColumn(col("id"),
+      Seq(("holdout", 13108))))
+    val leaked = rowHash.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(leaked > 0, "row-hash splitting should straddle some groups " +
+      "(or this law is vacuous)")
+    val safe = Sampling.groupSafeSplit(df, col("id"), col("grp"),
+      Seq(("holdout", 13108)))
+      .groupBy("grp").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(safe == 0)
+  }
 }
