@@ -128,9 +128,16 @@ object MediaCodec {
     var off = 0
     while (off < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, off, raw.length - off)
-      if (n == 0 && inf.needsInput()) {
+      // n == 0 without progress means the stream cannot continue:
+      // exhausted input (truncated) OR a preset-dictionary demand
+      // (FDICT — legal zlib, never emitted for PNG). Without the
+      // needsDictionary check an FDICT payload loops forever here.
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        val dict = inf.needsDictionary()
         inf.end()
-        throw new IllegalArgumentException("truncated PNG IDAT stream")
+        throw new IllegalArgumentException(
+          if (dict) "PNG IDAT demands a preset dictionary"
+          else "truncated PNG IDAT stream")
       }
       off += n
     }

@@ -47,18 +47,22 @@ object Similarity {
   }
 
   /** Ceiling on the broadcast query-set size the probe-set APIs accept
-    * (2²⁰ rows ≈ 0.5 GB of 64-dim doubles — past any sane broadcast).
-    * The guard is a `limit`-bounded count, so the check costs a
-    * CollectLimit over at most this many rows, never a full scan. */
+    * (2²⁰ rows ≈ 0.5 GB of 64-dim doubles — past any sane broadcast). */
   val MaxProbeRows: Long = 1L << 20
 
   /** PROBE-SET-ONLY contract guard: [[bruteForceTopK]]/[[probeIvf]]
     * broadcast their query side — a corpus-sized query table belongs on
     * [[knnJoinIvf]]/[[knnJoinHier]] (shuffle-join KNN, queries never
-    * broadcast). Failing fast here beats an executor OOM three stages
+    * broadcast). A statically-bounded plan (the usual limit-built probe
+    * set) proves the contract from its `maxRows` for free; otherwise
+    * the check is a limit-bounded count — bounded OUTPUT, though a
+    * selective filter may still scan its input once, the price of
+    * failing fast here instead of OOMing the broadcast three stages
     * later. */
   private def requireProbeSet(queries: DataFrame, api: String,
                               maxRows: Long): Unit = {
+    if (queries.queryExecution.optimizedPlan.maxRows.exists(_ <= maxRows))
+      return
     val seen = queries.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
     require(seen <= maxRows,
       s"$api broadcasts its query set; got > $maxRows query rows — " +
@@ -132,6 +136,17 @@ object Similarity {
       assigned: DataFrame,           // (neighbor_id, cv, cell)
       centroids: DataFrame,          // (cell, centroid), broadcast-small
       matrix: Array[Array[Double]]) {
+    /** Per-cell member counts for the skew salt — fixed once the index
+      * is built/appended, so they are computed at most once per index
+      * instance (recomputing per probe call cost one extra Spark job
+      * per kNN join). Null-cell rows (a null embedding in the corpus)
+      * are skipped: a null key can never match a probe's cell. */
+    lazy val cellCounts: Array[Long] = {
+      val counts = new Array[Long](matrix.length)
+      assigned.groupBy(col("cell")).count().collect()
+        .foreach(r => if (!r.isNullAt(0)) counts(r.getInt(0)) = r.getLong(1))
+      counts
+    }
     def release(): Unit = assigned.unpersist(false)
   }
 
@@ -260,7 +275,7 @@ object Similarity {
       .withColumn("cell", explode(graft.functions.VectorFunctions
         .probeCells(col("qv"), index.matrix, nprobe)))
       .select(col("query_id"), col("qv"), col("cell"))
-    val scored = saltedCandidates(index.assigned, index.matrix.length, probes)
+    val scored = saltedCandidates(index, probes)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))
@@ -308,12 +323,13 @@ object Similarity {
     * PAIRS are unchanged (each member carries exactly one salt), so
     * results are bit-identical; probe-row fan-out grows only on the
     * split cells. A fully balanced index short-circuits to the plain
-    * cell join on the persisted partitioning. */
-  private def saltedCandidates(assigned: DataFrame, nCells: Int,
+    * cell join on the persisted partitioning. Counts come from the
+    * index's memoized [[IvfIndex.cellCounts]] (one job per index
+    * lifetime, not per probe call). */
+  private def saltedCandidates(index: IvfIndex,
                                probes: DataFrame): DataFrame = {
-    val counts = new Array[Long](nCells)
-    assigned.groupBy(col("cell")).count().collect()
-      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val assigned = index.assigned
+    val counts = index.cellCounts
     val par = assigned.sparkSession.sparkContext.defaultParallelism
     val total = counts.sum
     if (!saltEngages(counts.max, total, par))
@@ -503,8 +519,14 @@ object Similarity {
       s"nCells=$nCells exceeds MaxLiteralCells=$MaxLiteralCells — " +
         "use buildHierIvfTableIndex (distributed centroid state) at this scale")
     val nSuper = supersFor(nCells)
-    val samp = trainingSample(corpus, id, n, nCells)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // trainingSample returns `corpus` ITSELF when the gate is degenerate
+    // (n small, or starved ids) — persist/unpersist only a frame this
+    // builder owns, or a caller's own cached corpus gets evicted.
+    val sampRaw = trainingSample(corpus, id, n, nCells)
+    val ownSample = sampRaw ne corpus
+    val samp = if (ownSample)
+      sampRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sampRaw
     val supKm = graft.operators.ML
       .kmeansLloyd(samp.select(col(id), col(vec)), vec, id,
         k = nSuper, iters = 5)
@@ -514,7 +536,7 @@ object Similarity {
     supKm.unpersist(false)
     val (cells, c2s) = trainHierCells(samp, id, vec, superMatrix,
       nCells, iters = 5)
-    samp.unpersist(false)
+    if (ownSample) samp.unpersist(false)
     val members = groupMembers(c2s, superMatrix.length)
     val assigned = corpus.select(col(id), col(vec))
       .withColumn("cell", graft.functions.VectorFunctions
@@ -539,6 +561,15 @@ object Similarity {
   final case class HierIvfTableIndex(assigned: DataFrame,
                                      cells: DataFrame,
                                      superMatrix: Array[Array[Double]]) {
+    /** (total rows, biggest cell) for the salt-engage check — fixed at
+      * build time, memoized so repeated probes against one index pay
+      * the 1-row aggregate once, not per call. O(1) driver state. */
+    lazy val saltStats: (Long, Long) = {
+      val stats = assigned.groupBy(col("cell")).count()
+        .agg(sum(col("count")), max(col("count"))).head()
+      if (stats.isNullAt(0)) (0L, 0L)
+      else (stats.getLong(0), stats.getLong(1))
+    }
     def release(): Unit = {
       assigned.unpersist(false); cells.unpersist(false)
     }
@@ -644,8 +675,12 @@ object Similarity {
     val n = corpus.count()
     val nCells = cellsFor(n)
     val nSuper = supersFor(nCells)
-    val samp = trainingSample(corpus, id, n, nCells)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Same sample-ownership rule as [[buildHierIvfIndex]].
+    val sampRaw = trainingSample(corpus, id, n, nCells)
+    val ownSample = sampRaw ne corpus
+    val samp = if (ownSample)
+      sampRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sampRaw
     val supKm = graft.operators.ML
       .kmeansLloyd(samp.select(col(id), col(vec)), vec, id,
         k = nSuper, iters = 5)
@@ -655,7 +690,7 @@ object Similarity {
     supKm.unpersist(false)
     val cellsDf = trainHierCellsTable(samp, id, vec, superMatrix,
       nCells, iters = 5)
-    samp.unpersist(false)
+    if (ownSample) samp.unpersist(false)
     val rows = corpus.select(col(id).as("__rid"),
       col(vec).cast("array<double>").as("x"), col(vec).as("cv"))
     val assigned = assignHierTable(rows, "x", Seq("cv"),
@@ -713,7 +748,7 @@ object Similarity {
                        id: String, vec: String, k: Int,
                        nprobe: Int = 4, nsp: Int = 4): DataFrame = {
     val picked = hierTablePick(index, queries, id, vec, nprobe, nsp)
-    val scored = saltedCandidatesTable(index.assigned, picked)
+    val scored = saltedCandidatesTable(index, picked)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))
@@ -727,12 +762,10 @@ object Similarity {
     * plan carries zero driver/plan state at any nCells. Same
     * ceil(size/[[SaltBucketRows]]) sizing and (cell, salt) re-key as
     * the literal path; candidate pairs are unchanged. */
-  private def saltedCandidatesTable(assigned: DataFrame,
+  private def saltedCandidatesTable(index: HierIvfTableIndex,
                                     probes: DataFrame): DataFrame = {
-    val stats = assigned.groupBy(col("cell")).count()
-      .agg(sum(col("count")), max(col("count"))).head()
-    val (total, maxCell) =
-      if (stats.isNullAt(0)) (0L, 0L) else (stats.getLong(0), stats.getLong(1))
+    val assigned = index.assigned
+    val (total, maxCell) = index.saltStats
     val par = assigned.sparkSession.sparkContext.defaultParallelism
     // No task-dominating cell → skip the salt plumbing entirely (the
     // literal path's short-circuit): one 1-row aggregate — O(1) driver
@@ -787,8 +820,7 @@ object Similarity {
         .hierProbeCells(col("qv"), index.superMatrix, index.base.matrix,
           members, nsp, nprobe)))
       .select(col("query_id"), col("qv"), col("cell"))
-    val scored = saltedCandidates(index.base.assigned,
-        index.base.matrix.length, probes)
+    val scored = saltedCandidates(index.base, probes)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))

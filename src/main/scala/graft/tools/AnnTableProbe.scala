@@ -36,6 +36,7 @@ object AnnTableProbe {
     // warm
     Similarity.knnJoinHierTable(tab, e, "vec_id", "embedding",
       k = 10, nprobe = 4, nsp = 4).count()
+    tab.release()
     spark.catalog.clearCache()
     e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()

@@ -35,7 +35,10 @@ object RelScaleAudit {
 
   private def f(v: Double): String = "%.3f".format(v)
 
-  private val Tables = Set("lineitem", "orders", "customer", "part")
+  // nation is a fixed dim (q05's broadcast side) — ScaleUp copies it
+  // unshifted; the other four scale k×.
+  private val Tables =
+    Set("lineitem", "orders", "customer", "part", "nation")
 
   private val Queries: Seq[(String, (SparkSession, String) =>
       org.apache.spark.sql.DataFrame)] = Seq(

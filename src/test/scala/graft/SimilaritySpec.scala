@@ -479,4 +479,56 @@ class SimilaritySpec extends SparkSpec {
       assert(salted.nonEmpty)
     } finally idx.release()
   }
+
+  test("adaptive build never evicts a caller-cached small corpus") {
+    import spark.implicits._
+    // <=1024 rows: trainingSample's gate is mod==1 and returns the
+    // caller's frame ITSELF — the build must not unpersist it.
+    val corpus = (0 until 200).map(i => (i.toLong,
+      Seq.tabulate(4)(d => (i * 7 % 13).toFloat + d)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .persist()
+    corpus.count()
+    val idx = Similarity.buildHierIvfIndex(corpus, "vec_id", "embedding")
+    try {
+      assert(corpus.storageLevel.useMemory,
+        "buildHierIvfIndex evicted the caller's cached corpus")
+      val tab = Similarity.buildHierIvfTableIndex(corpus, "vec_id",
+        "embedding")
+      try assert(corpus.storageLevel.useMemory,
+        "buildHierIvfTableIndex evicted the caller's cached corpus")
+      finally tab.release()
+    } finally { idx.release(); corpus.unpersist() }
+  }
+
+  test("kNN join tolerates a null embedding in the indexed corpus") {
+    import spark.implicits._
+    val good = (0 until 40).map(i => (i.toLong,
+      Seq.tabulate(4)(d => (i % 7).toFloat + d * 0.5f)))
+    val df = good.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .unionByName(Seq(999L).toDF("vec_id")
+        .withColumn("embedding",
+          lit(null).cast("array<float>")))
+    val idx = Similarity.buildIvfIndex(
+      df.filter(col("embedding").isNotNull), "vec_id", "embedding",
+      nCells = 4)
+    // splice a null-cell member into the built index: the counts pass
+    // and the salted join must skip it, not NPE (a null key can never
+    // match a probe cell)
+    val withNull = idx.copy(assigned = idx.assigned.unionByName(
+      df.filter(col("embedding").isNull)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"),
+          lit(null).cast("int").as("cell"))))
+    try {
+      val out = Similarity.knnJoinIvf(withNull,
+        df.filter(col("embedding").isNotNull).limit(8),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+        .collect()
+      assert(out.nonEmpty)
+      assert(!out.exists(_.getLong(1) == 999L))
+    } finally idx.release()
+  }
 }
