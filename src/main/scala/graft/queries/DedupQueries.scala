@@ -98,6 +98,26 @@ object DedupQueries {
         "doc_id")
     }),
 
+    // Leakage-safe split keyed on NEAR-dup clusters: the [[q_split_safe]]
+    // discipline upgraded from exact-dup groups to the transitive
+    // closure of n-gram-Jaccard >= 0.8 pairs — a paraphrased copy of a
+    // training doc can no longer land in the holdout. The cluster label
+    // IS the component's min doc_id, so it is the split gate key
+    // directly; one CC pass + one gate, both scale shapes already
+    // audited (SURVEY 8.5/8.6).
+    "q_split_cluster" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(d.select(col("doc_id")),
+        Dedup.ngramJaccardDedup(d, "doc_id", "text", k = 3,
+          threshold = 0.8).select(col("id_a"), col("id_b")), "doc_id")
+      clusters.join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("split", graft.operators.Sampling.splitColumn(
+          col("cluster"), Seq(("test", 6554), ("val", 13108))))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("cluster")).as("clusters"))
+    }),
+
     // Eval-set decontamination: docs 0-4 stand in for a benchmark;
     // every other doc reports its count of shared 4-shingles.
     "q_decontam" -> ((s, dir) => {
@@ -269,6 +289,30 @@ object DedupQueries {
          | SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u)
          |SELECT u AS doc_id, MIN(lbl) AS cluster
          |FROM reach GROUP BY u""".stripMargin,
+
+    "q_split_cluster" -> {
+      val cpfx = graft.operators.Sampling.prefixSql("c.cluster")
+      s"""WITH RECURSIVE sh AS (
+         | SELECT doc_id, $shingleSet AS s FROM documents),
+         |${sparseJacCtes("sh", 0.8)},
+         |edges AS (
+         | SELECT id_a AS u, id_b AS v FROM prs
+         | UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(u, lbl) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u),
+         |cl AS (SELECT u AS doc_id, MIN(lbl) AS cluster
+         |       FROM reach GROUP BY u)
+         |SELECT CASE WHEN $cpfx < '${"%04x".format(6554)}' THEN 'test'
+         |  WHEN $cpfx < '${"%04x".format(13108)}' THEN 'val'
+         |  ELSE 'train' END AS split,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(d.n_chars) AS BIGINT) AS chars,
+         | CAST(COUNT(DISTINCT c.cluster) AS BIGINT) AS clusters
+         |FROM cl c JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin
+    },
 
     // 8-gram occurrences (NOT distinct — within-doc repeats count);
     // range is end-exclusive → i = 1..len-7, the same len-7 = n-k+1

@@ -65,9 +65,16 @@ object StreamTextQueries {
     // run in batch mode: its register derivation and estimate
     // arithmetic mirror operators.Sketch bit-for-bit, so the SAME
     // DuckDB estimate SQL oracles the stateful code path.
+    // r6: the SUB-SHARDED state topology (state keyed (group,
+    // hash(key) % 8), registers max-merged downstream) — identical
+    // numbers to the unsharded kernel (StreamingSpec law) under the
+    // same oracle, but the stateful stage parallelizes at
+    // groups·shards instead of being capped at the 5-value enum (the
+    // sf0.1 stream audit's 1000-executor funnel, SURVEY 8.8).
     "q_hll_stream" -> ((s, dir) =>
-      StreamSketch.approxDistinct(Tables.load(s, dir, "events"),
-        col("event_type"), col("user_id"), groupOut = "event_type")),
+      StreamSketch.approxDistinctSharded(Tables.load(s, dir, "events"),
+        col("event_type"), col("user_id"), shards = 8,
+        groupOut = "event_type")),
 
     // Per-day drift monitor: each day's value histogram scored (PSI)
     // against a uniform reference — the windowed batch twin of
@@ -83,9 +90,12 @@ object StreamTextQueries {
     // per group) run in batch mode: bucket derivation and min-estimate
     // mirror operators.Sketch.cmsSketch bit-for-bit, so the DuckDB
     // count-min mirror oracles the stateful code path.
+    // r6: sub-sharded like q_hll_stream (counters sum exactly); the
+    // estimate stage is fully relational — no per-task distinct-item
+    // buffering — under the unchanged count-min mirror oracle.
     "q_cms_stream" -> ((s, dir) =>
-      StreamCms.estimates(Tables.load(s, dir, "events"),
-        col("event_type"), col("user_id"),
+      StreamCms.estimatesSharded(Tables.load(s, dir, "events"),
+        col("event_type"), col("user_id"), shards = 8,
         groupOut = "event_type", itemOut = "user_id")),
 
     // Streaming Misra–Gries heavy hitters run in batch mode: top-10

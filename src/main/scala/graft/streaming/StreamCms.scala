@@ -98,4 +98,65 @@ object StreamCms {
     * item present in the batch (use OutputMode.Update). */
   def estimatesStream(ds: Dataset[(String, String)]): Dataset[Est] =
     core(ds)
+
+  /** Sub-sharded form — the 1000-executor topology (see
+    * [[StreamSketch.approxDistinctSharded]] for the rationale: state
+    * keyed on the group alone caps stateful parallelism at the group
+    * count). CMS counters SUM exactly — each occurrence increments
+    * exactly one shard's counter at the same (r, bucket) address the
+    * unsharded sketch would — so state sub-shards to (group,
+    * hash(item) % shards) and the per-group elementwise counter sum
+    * reproduces the unsharded array bit-for-bit. The estimate stage is
+    * then fully RELATIONAL (the summed (g, r, b, cnt) table is
+    * group·depth·width rows — broadcast-small — joined against the
+    * distinct probes through the same [[Sketch.cmsBucket]]
+    * derivation), which also removes the unsharded batch wrapper's
+    * per-task distinct-item heap buffering. Same numbers, same
+    * oracle; StreamingSpec pins the equality. */
+  def estimatesSharded(df: DataFrame, group: Column, item: Column,
+                       shards: Int,
+                       groupOut: String = "g", itemOut: String = "item",
+                       out: String = "est"): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val depth = Sketch.CmsDepth
+    val width = Sketch.CmsWidth
+    val keyed = df.select(group.cast("string").as("g"),
+      item.cast("string").as("item"))
+    val perShard = keyed.as[(String, String)]
+      .groupByKey(t => (t._1, math.floorMod(t._2.hashCode, shards)))
+      .mapGroupsWithState[Counters, (String, Array[Long])](
+        GroupStateTimeout.NoTimeout()) {
+        (gk: (String, Int), rows: Iterator[(String, String)],
+         state: GroupState[Counters]) =>
+          val m = if (state.exists) state.get.m.clone()
+                  else new Array[Long](depth * width)
+          rows.foreach { case (_, it) =>
+            var r = 0
+            while (r < depth) {
+              m(r * width + StreamCms.bucket(r, it, width)) += 1L
+              r += 1
+            }
+          }
+          state.update(Counters(m))
+          (gk._1, m)
+      }
+    // elementwise sum across shards, addressed as (g, r, b, cnt) —
+    // group·depth·width rows, broadcast-small at any corpus size
+    val sketch = perShard.toDF("g", "m")
+      .select(col("g"), posexplode(col("m")).as(Seq("idx", "c")))
+      .groupBy(col("g"), (col("idx") / width).cast("int").as("r"),
+        (col("idx") % width).as("b"))
+      .agg(sum(col("c")).as("cnt"))
+    val probes = keyed.distinct()
+      .select(col("g"), col("item"), posexplode(array((0 until depth).map(r =>
+        Sketch.cmsBucket(col("item"), r, width)): _*)).as(Seq("r", "b")))
+    probes.join(broadcast(sketch), Seq("g", "r", "b"), "left")
+      .groupBy(col("g"), col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(out))
+      .withColumnRenamed("g", groupOut)
+      .withColumnRenamed("item", itemOut)
+  }
 }

@@ -104,4 +104,49 @@ object StreamSketch {
     * micro-batch (use OutputMode.Update). */
   def approxDistinctStream(ds: Dataset[(String, String)]): Dataset[Estimate] =
     core(ds)
+
+  /** Sub-sharded form — the 1000-executor topology. Keying state on
+    * the group alone caps the stateful stage's parallelism at the
+    * group COUNT (the sf0.1 stream audit: 5 event types ⇒ at most 5
+    * tasks however large the corpus). HLL registers max-merge
+    * exactly, so the state key sub-shards to (group, hash(key) %
+    * shards): the heavy stage scales with group·shards, and the merge
+    * — `shards` 64-byte rows per group, max per register — reproduces
+    * the unsharded registers BIT-FOR-BIT (register b of the merged
+    * array = max rho over all keys, regardless of which shard saw
+    * which key). Same numbers, same oracle; StreamingSpec pins the
+    * equality. In a live stream the merge runs as a stateless
+    * per-micro-batch aggregate downstream of the stateful stage. */
+  def approxDistinctSharded(df: DataFrame, group: Column, key: Column,
+                            shards: Int,
+                            groupOut: String = "g",
+                            out: String = "n_approx"): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perShard = df.select(group.cast("string"), key.cast("string"))
+      .as[(String, String)]
+      .groupByKey(t => (t._1, math.floorMod(t._2.hashCode, shards)))
+      .mapGroupsWithState[Regs, (String, Array[Byte])](
+        GroupStateTimeout.NoTimeout()) {
+        (gk: (String, Int), rows: Iterator[(String, String)],
+         state: GroupState[Regs]) =>
+          val regs =
+            if (state.exists) state.get.m.clone() else new Array[Byte](64)
+          rows.foreach { r =>
+            val (b, rho) = bucketRho(r._2)
+            if (rho > regs(b)) regs(b) = rho.toByte
+          }
+          state.update(Regs(regs))
+          (gk._1, regs)
+      }
+    perShard.groupByKey(_._1).mapGroups { (g, it) =>
+      val m = new Array[Byte](64)
+      it.foreach { case (_, r) =>
+        var j = 0
+        while (j < 64) { if (r(j) > m(j)) m(j) = r(j); j += 1 }
+      }
+      Estimate(g, estimate(m))
+    }.toDF(groupOut, out)
+  }
 }

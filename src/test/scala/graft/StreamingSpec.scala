@@ -488,6 +488,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sub-sharded sketch state merges back bit-for-bit (HLL max, CMS sum)") {
+    import spark.implicits._
+    import graft.streaming.{StreamCms, StreamSketch}
+    // skewed groups + shared keys across groups; enough cardinality
+    // that every shard sees work
+    val rows = (1L to 3000L).map(i => ("g" + (i % 3), (i % 450).toString))
+    val df = rows.toDF("g", "k")
+    def hllMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hllBase = hllMap(StreamSketch.approxDistinct(df, col("g"), col("k")))
+    for (s <- Seq(1, 8, 32))
+      assert(hllMap(StreamSketch.approxDistinctSharded(df, col("g"),
+        col("k"), shards = s)) == hllBase, s"HLL shards=$s diverged")
+    def cmsMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val cmsBase = cmsMap(StreamCms.estimates(df, col("g"), col("k")))
+    for (s <- Seq(1, 8, 32))
+      assert(cmsMap(StreamCms.estimatesSharded(df, col("g"), col("k"),
+        shards = s)) == cmsBase, s"CMS shards=$s diverged")
+  }
+
   test("upsertStream folds CDC micro-batches into a parquet table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
