@@ -112,12 +112,19 @@ object Text {
   def dupTokenFraction(ts: Column): Column =
     lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts)
 
-  /** Word k-shingles from an ALREADY-MATERIALIZED token-array column.
-    * Pipelines must stage tokenization as its own projection first:
-    * higher-order-function lambdas are interpreted without common
-    * subexpression elimination, so embedding `tokens(text)` here would
-    * re-run the regex split once per shingle element. */
+  /** Word k-shingles from an ALREADY-MATERIALIZED token-array column —
+    * the native codegen'd [[TokenShingles]] kernel (one static call
+    * per row; the interpreted-HOF formulation it replaced is kept
+    * below for the differential spec). */
   def shinglesOfTokens(ts: Column, k: Int): Column =
+    ShingleFunctions.tokenShingles(ts, k)
+
+  /** The higher-order-function formulation [[shinglesOfTokens]]
+    * replaced (transform/slice/concat_ws — interpreted lambdas, ~49 s
+    * for a bare 500k-doc bigram explode in the r6 probe). Retained
+    * ONLY as the independent reference the TextSpec differential law
+    * checks the native kernel against. */
+  private[graft] def shinglesOfTokensHof(ts: Column, k: Int): Column =
     when(size(ts) < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(ts) - k),
         i => concat_ws(" ", slice(ts, i + 1, lit(k)))))

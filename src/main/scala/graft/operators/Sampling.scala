@@ -337,9 +337,11 @@ object Sampling {
     * Scale: gram strings never leave the scan stage (bucket ints are
     * computed row-locally); the model is a 256-row broadcast; the
     * target corpus is small by construction (a curated sample), so its
-    * histogram pass is negligible; the raw histogram and the per-doc
-    * weight are each ONE partial-aggregated hash aggregate over the
-    * corpus. */
+    * histogram pass is negligible; the corpus pays exactly TWO gram
+    * scans — one 256-row histogram aggregate (collected, totals and
+    * log-ratios computed on the driver, rebaked as literals) and one
+    * partial-aggregated scoring pass. A production pipeline scoring
+    * repeatedly against one raw model would persist the histogram. */
   def dsirWeights(corpus: DataFrame, target: DataFrame, id: String,
                   text: String): DataFrame = {
     import graft.functions.Text
@@ -353,25 +355,36 @@ object Sampling {
       .select(keep :+ bucket(col("__g")).as("b"): _*)
     val tg = grams(target, Seq.empty)
     val cg = grams(corpus, Seq(col(id)))
-    val spark = corpus.sparkSession
-    val base = spark.range(B).select(col("id").cast("int").as("b"))
-    val lrTable = base
-      .join(tg.groupBy("b").agg(count(lit(1)).as("ct")), Seq("b"), "left")
-      .join(cg.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "left")
-      .select(col("b"),
-        (log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
-          - log(coalesce(col("cr"), lit(0L)).cast("double") + 1.0)).as("lr"))
-    val const = tg.agg(count(lit(1)).as("t_tot"))
-      .crossJoin(cg.agg(count(lit(1)).as("r_tot")))
-      .select((log(col("r_tot").cast("double") + B.toDouble)
-        - log(col("t_tot").cast("double") + B.toDouble)).as("c0"))
-    cg.join(broadcast(lrTable), "b")
+    // The model is 256 buckets — collect both histograms and bake the
+    // per-bucket log-ratio back as a 256-double literal (the same
+    // dictionary-sized driver-state exception as labelFit / the IVF
+    // centroid matrices). This pins the corpus gram scan count at TWO
+    // (histogram + scoring): the previous formulation derived the
+    // histogram, the corpus total, AND the scoring join from separate
+    // references to the gram lineage, and consumer-specific column
+    // pruning defeated exchange reuse — the r6 sampling scale probe
+    // measured FOUR tokenize+md5 corpus passes in the plan. Driver
+    // doubles use the same Math.log as Spark's `log`, so scores are
+    // bit-identical.
+    val crByB = new Array[Long](B)
+    cg.groupBy("b").agg(count(lit(1)).as("cr")).collect()
+      .foreach(r => crByB(r.getInt(0)) = r.getLong(1))
+    val ctByB = new Array[Long](B)
+    tg.groupBy("b").agg(count(lit(1)).as("ct")).collect()
+      .foreach(r => ctByB(r.getInt(0)) = r.getLong(1))
+    val lr = Array.tabulate(B)(b =>
+      math.log(ctByB(b).toDouble + 1.0) - math.log(crByB(b).toDouble + 1.0))
+    val c0 = math.log(crByB.sum.toDouble + B.toDouble) -
+      math.log(ctByB.sum.toDouble + B.toDouble)
+    val lrLit = array(lr.map(lit(_)): _*)
+    // Per-doc sum over gram instances — unchanged decimal discipline
+    // (order-free exact sum of the per-term doubles), one scan.
+    cg.select(col(id), element_at(lrLit, col("b") + 1).as("lr"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("lr").cast("decimal(27,18)")).as("__s"))
-      .crossJoin(broadcast(const))
       .select(col(id), col("n_grams"),
         round(col("__s").cast("double")
-          + col("n_grams").cast("double") * col("c0"), 6).as("logw"))
+          + col("n_grams").cast("double") * lit(c0), 6).as("logw"))
   }
 }

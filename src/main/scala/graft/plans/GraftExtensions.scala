@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CompressionRatio, CosineSimilarity,
   MergeAdjacentPair, MinHashSignature, NfcNormalize, Phash64,
-  SimHashChunks, SquaredDistance, WinnowFingerprints, ZOrderKey}
+  SimHashChunks, SquaredDistance, TokenShingles, WinnowFingerprints,
+  ZOrderKey}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so `spark.sql("... graft_cosine(a,b)
@@ -72,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_phash64"),
       new ExpressionInfo(classOf[Phash64].getName, "graft_phash64"),
       (children: Seq[Expression]) => Phash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName,
+        "graft_token_shingles"),
+      (children: Seq[Expression]) =>
+        TokenShingles(children.head,
+          intArg(children(1), "graft_token_shingles"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow_fps"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,

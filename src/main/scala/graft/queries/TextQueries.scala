@@ -173,14 +173,20 @@ object TextQueries {
     // context (Σ_w3 c3 — all integers until one exact double
     // division). Shuffle keyed by n-gram strings; top-100 is a
     // deterministic (count, ctx, w3) cut via TakeOrderedAndProject.
+    // The ctx/w3 regex split runs on the DISTINCT-trigram table AFTER
+    // the count (tri = ctx+" "+w3 is bijective, so grouping by tri IS
+    // grouping by (ctx, w3)): the r6 text scale probe measured the
+    // per-INSTANCE split at 2 regex calls × corpus trigrams — vocab
+    // is what's bounded, instances aren't.
     "q_ngram_lm" -> ((s, dir) => {
       val tri = Tables.load(s, dir, "documents")
         .select(Text.tokens(col("text")).as("ts"))
         .select(explode(Text.shinglesOfTokens(col("ts"), 3)).as("tri"))
+        .groupBy("tri").agg(count(lit(1)).as("c3"))
         .select(
           regexp_replace(col("tri"), " [^ ]+$", "").as("ctx"),
-          regexp_extract(col("tri"), "[^ ]+$", 0).as("w3"))
-        .groupBy("ctx", "w3").agg(count(lit(1)).as("c3"))
+          regexp_extract(col("tri"), "[^ ]+$", 0).as("w3"),
+          col("c3"))
       val ctxTotals = tri.groupBy("ctx").agg(sum("c3").as("c_ctx"))
       tri.join(ctxTotals, "ctx")
         .select(col("ctx"), col("w3"), col("c3"),

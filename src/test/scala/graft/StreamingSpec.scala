@@ -327,6 +327,40 @@ class StreamingSpec extends SparkSpec {
     assert(tight("hot") >= 60L && tight("hot") <= 100L)
   }
 
+  test("MG delta-offset kernel is bit-identical to naive decrement-all") {
+    import graft.streaming.StreamHeavyHitters
+    // The textbook formulation the kernel's delta-offset rewrite must
+    // reproduce EXACTLY, arrival by arrival: resident → increment;
+    // free slot → insert at 1; full → decrement every counter, drop
+    // zeros, newcomer NOT inserted.
+    def naive(init: Map[String, Long], items: Seq[String],
+              capacity: Int): Map[String, Long] =
+      items.foldLeft(init) { (m, item) =>
+        m.get(item) match {
+          case Some(c) => m.updated(item, c + 1L)
+          case None if m.size < capacity => m.updated(item, 1L)
+          case None => m.collect { case (k, c) if c > 1L => k -> (c - 1L) }
+        }
+      }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 50) {
+      val capacity = 1 + rnd.nextInt(6)
+      val n = 1 + rnd.nextInt(400)
+      // Skewed vocab (zipf-ish) so all three branches fire, including
+      // revivals of dead-but-still-stored entries after evictions.
+      val items = Seq.fill(n)(s"w${(math.sqrt(rnd.nextInt(144)).toInt)}")
+      val init = if (trial % 3 == 0)
+        naive(Map.empty, Seq.fill(20)(s"w${rnd.nextInt(12)}"), capacity)
+      else Map.empty[String, Long]
+      val rows = items.zipWithIndex
+        .map { case (it, i) => ("g", it, i.toLong) }.toArray
+      val got = StreamHeavyHitters.mgApply(init, rows, capacity)
+      val want = naive(init, items, capacity)
+      assert(got == want,
+        s"trial $trial (capacity=$capacity, n=$n): $got != $want")
+    }
+  }
+
   test("streaming quantile histogram equals batch after the last trigger") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

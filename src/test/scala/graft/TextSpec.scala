@@ -28,6 +28,36 @@ class TextSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("native token-shingle kernel equals the HOF formulation") {
+    import spark.implicits._
+    // Randomized differential law: the codegen'd TokenShingles kernel
+    // must reproduce the transform/slice/concat_ws formulation it
+    // replaced, element for element, across k and token-array shapes
+    // (empty arrays, n < k, n == k, repeated and empty-string tokens).
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "bb", "ccc", "", "dd", "éé")
+    val rows = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.length))))
+    val df = rows.toDF("ts")
+    for (k <- 1 to 4) {
+      val got = df.select(Text.shinglesOfTokens(col("ts"), k).as("s"))
+        .collect().map(_.getSeq[String](0))
+      val want = df.select(Text.shinglesOfTokensHof(col("ts"), k).as("s"))
+        .collect().map(_.getSeq[String](0))
+      assert(got.toSeq == want.toSeq, s"k=$k mismatch")
+    }
+    // Null input → null out (both paths).
+    val nullRow = Seq((1, null: Seq[String])).toDF("i", "ts")
+    assert(nullRow.select(Text.shinglesOfTokens(col("ts"), 2)).head().isNullAt(0))
+  }
+
+  test("graft_token_shingles is registered as a SQL function") {
+    val r = spark.sql(
+      "SELECT graft_token_shingles(array('x','y','z'), 2) AS s")
+      .head().getSeq[String](0)
+    assert(r == Seq("x y", "y z"))
+  }
+
   test("langId picks the majority-stopword language, und when none") {
     import spark.implicits._
     val df = Seq(
