@@ -109,6 +109,26 @@ object StreamTextQueries {
         col("event_type"), col("user_id"), col("event_id"),
         capacity = 4096, k = 10).toDF()),
 
+    // The EXACT batch twin of q_heavy_hitters — the cluster-scale path
+    // §8.8 points to where Misra–Gries cannot sub-shard (its merge is
+    // only error-bounded): one map-side-combinable (group, item) count
+    // keyed by item cardinality, then a per-group bounded-heap top-k
+    // whose partials merge k-sized buffers — NO stage is bounded by
+    // the 5-value group enum, so 1000 executors all work. Counts ride
+    // the heap as doubles (exact below 2⁵³) with (est desc, item asc)
+    // tie-break.
+    "q_heavy_hitters_exact" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type").cast("string").as("g"),
+          col("user_id").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("g"))
+        .agg(graft.functions.TopKFunctions
+          .topK(col("item"), col("cnt").cast("double"), 10).as("topk"))
+        .select(col("g"), explode(col("topk")).as("t"))
+        .select(col("g"), col("t.id").as("item"),
+          col("t.score").cast("long").as("est"))),
+
     // Streaming binned-quantile sketch (mapGroupsWithState, one count
     // per occupied bin) run in batch mode: rank-selected p50/p90 bin
     // edges per order priority, $1000 bins.
@@ -313,6 +333,17 @@ object StreamTextQueries {
         |  CAST(COUNT(*) AS BIGINT) AS est,
         |  ROW_NUMBER() OVER (PARTITION BY event_type
         |   ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR) ASC) AS rn
+        | FROM events GROUP BY 1, 2) t
+        |WHERE rn <= 10""".stripMargin,
+
+    // Exact twin: numeric item tie-break (the heap keys on the long
+    // id), counts exact.
+    "q_heavy_hitters_exact" ->
+      """SELECT g, item, est FROM (
+        | SELECT event_type AS g, user_id AS item,
+        |  CAST(COUNT(*) AS BIGINT) AS est,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |   ORDER BY COUNT(*) DESC, user_id ASC) AS rn
         | FROM events GROUP BY 1, 2) t
         |WHERE rn <= 10""".stripMargin,
 
