@@ -2,26 +2,26 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: the sampling/mixing/layout-family three-point scaling
-  * probe (`runMain graft.tools.SampleScaleAudit <out.json> <baseDir>
-  * <workDir> <k1,k2,...>` — e.g. `1,10,100` from sf0.1; shares the
-  * documents-only [[ScaleUp]] fixtures with [[TextScaleAudit]]).
+/** Dev tool: the multimodal/profile-family three-point scaling probe
+  * (`runMain graft.tools.MiscScaleAudit <out.json> <baseDir>
+  * <workDir> <k1,k2,...>`), completing the §8 probe coverage across
+  * the remaining registry families.
   *
-  * The family's classic super-linearity risks: a "sample" that
-  * globally sorts the corpus to take its cut (the weighted-sample and
-  * token-budget shapes are the tempting offenders — both must stay
-  * bounded-heap / prefix-sum), per-group reservoirs whose state grows
-  * with the GROUP instead of k, and a shard assigner that funnels
-  * through one task to number rows. All gates must stay scan-stage
-  * hash arithmetic: linear passes, fixed-size state, output driven by
-  * the requested sample size — not the corpus.
+  * - MULTIMODAL (documents-scaled): per-media decode work must be
+  *   strictly linear and blob bytes must never shuffle — the classic
+  *   failure is an image pipeline whose re-encode or hash stage
+  *   drags payloads through an exchange. q_mm_phash additionally
+  *   carries a banding self-join over the hash table whose candidate
+  *   volume must track true duplicates (fixed per copy), not pairs.
+  * - PROFILE/DRIFT (events/orders-scaled): fused single-scan
+  *   aggregates — the summaries are fixed-width (per-column moments,
+  *   fixed bin grids), so state must stay constant as rows decuple,
+  *   like the streaming sketches.
   *
-  * Under ScaleUp's k-identical-copies corpus the expected outputs:
-  * rate-gated samples (q_sample, q_mix, q_dsir, q_split_safe) grow
-  * ~k× rows; fixed-size cuts (q_reservoir, q_weighted_sample,
-  * q_token_budget, q_shards) keep constant row counts with k×-fed
-  * inputs. Cold timed stages after one settle pass per scale. */
-object SampleScaleAudit {
+  * Fixtures are synthesized per scale with [[ScaleUp]] over
+  * documents+events+orders into one workDir. Cold timed stages after
+  * one settle pass per scale. */
+object MiscScaleAudit {
 
 
   /** Force FULL evaluation of every output column (a bare count() on
@@ -38,19 +38,21 @@ object SampleScaleAudit {
 
   private def f(v: Double): String = "%.3f".format(v)
 
+  private val Tables = Set("documents", "events", "orders")
+
   private val Queries = Seq(
-    "q_sample",          // deterministic hash-gate sample (scan-stage)
-    "q_mix",             // stratified per-language rates
-    "q_dsir",            // importance-resampling gate
-    "q_split_safe",      // leakage-safe dup-group-keyed split
-    "q_reservoir",       // per-group bounded reservoir
-    "q_weighted_sample", // weighted order sample (bounded heap)
-    "q_token_budget",    // greedy token-budget prefix cut (exscan)
-    "q_shards")          // balanced shard assignment (exscan)
+    "q_mm_features",  // decode + residue-class feature sums
+    "q_mm_resize",    // decode → pool → re-encode → re-decode
+    "q_mm_phash",     // perceptual-hash near-dup (banding + verify)
+    "q_mm_frames",    // frame sampling (byte-slice plumbing)
+    "q_profile",      // fused per-column profile over events
+    "q_chi2",         // chi-square independence over events
+    "q_histogram",    // fixed-grid histogram over orders
+    "q_drift")        // two-slice drift report over orders
 
   def main(args: Array[String]): Unit = {
     require(args.length == 4,
-      "usage: SampleScaleAudit <out.json> <baseDir> <workDir> <k1,k2,...>")
+      "usage: MiscScaleAudit <out.json> <baseDir> <workDir> <k1,k2,...>")
     val Array(out, baseDir, workDir, ksStr) = args
     val ks = ksStr.split(",").map(_.trim.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,8 +66,8 @@ object SampleScaleAudit {
 
     val rows = ks.map { k =>
       val dir = s"$workDir/x$k"
-      if (!new java.io.File(s"$dir/documents.parquet").exists())
-        ScaleUp.run(spark, baseDir, dir, k, Set("documents"))
+      if (!new java.io.File(s"$dir/orders.parquet").exists())
+        ScaleUp.run(spark, baseDir, dir, k, Tables)
       val m = spark.read.parquet(s"$dir/documents.parquet").count()
       Queries.foreach(q => force(graft.SparkEntry.queries(q)(spark, dir)))
       val stages = Queries.map { q =>
@@ -77,13 +79,13 @@ object SampleScaleAudit {
       }
       val line = stages.map { case (q, sec, n) => s"$q=${f(sec)}s/$n" }
         .mkString(" ")
-      println(s"[sample-audit] x$k docs=$m $line")
+      println(s"[misc-audit] x$k docs=$m $line")
       val stageJson = stages.map { case (q, sec, n) =>
         s""""$q":{"sec":${f(sec)},"rows":$n}""" }.mkString(",")
       s"""{"label":"x$k","docs_rows":$m,$stageJson}"""
     }
     val json =
-      s"""{"metric":"sample_scale","points":[${rows.mkString(",")}]}"""
+      s"""{"metric":"misc_scale","points":[${rows.mkString(",")}]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(json)

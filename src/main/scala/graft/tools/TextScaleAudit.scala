@@ -27,6 +27,19 @@ import org.apache.spark.sql.SparkSession
   * plan-matching lesson). */
 object TextScaleAudit {
 
+
+  /** Force FULL evaluation of every output column (a bare count() on
+    * a pure projection prunes all columns and never runs the kernels
+    * being measured — the first cut of this instrument timed the
+    * multimodal decodes at 0.6 s for 500k images that way): hash every
+    * column into one aggregate, return the row count. */
+  private def force(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, struct, xxhash64}
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+      .agg(count(lit(1)).as("n"), bit_xor(col("__h")))
+      .head().getLong(0)
+  }
+
   private def f(v: Double): String = "%.3f".format(v)
 
   private val Queries = Seq(
@@ -61,12 +74,12 @@ object TextScaleAudit {
       if (!new java.io.File(s"$dir/documents.parquet").exists())
         ScaleUp.run(spark, baseDir, dir, k, Set("documents"))
       val m = spark.read.parquet(s"$dir/documents.parquet").count()
-      Queries.foreach(q => graft.SparkEntry.queries(q)(spark, dir).count())
+      Queries.foreach(q => force(graft.SparkEntry.queries(q)(spark, dir)))
       val stages = Queries.map { q =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        val n = graft.SparkEntry.queries(q)(spark, dir).count()
+        val n = force(graft.SparkEntry.queries(q)(spark, dir))
         ((q, (System.nanoTime() - t0) / 1e9, n))
       }
       val line = stages.map { case (q, sec, n) => s"$q=${f(sec)}s/$n" }
