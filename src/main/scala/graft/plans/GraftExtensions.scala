@@ -18,6 +18,15 @@ import graft.functions.{CompressionRatio, CosineSimilarity,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Fail with a clear message (not an IndexOutOfBoundsException from
+    * `children(i)`) when a SQL call passes the wrong argument count. */
+  private def arity(children: Seq[Expression], n: Int,
+                    fn: String): Seq[Expression] = {
+    require(children.length == n,
+      s"$fn expects $n arguments, got ${children.length}")
+    children
+  }
+
   private def intArg(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case _ => throw new IllegalArgumentException(
@@ -77,9 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_token_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName,
         "graft_token_shingles"),
-      (children: Seq[Expression]) =>
-        TokenShingles(children.head,
-          intArg(children(1), "graft_token_shingles"))))
+      (children: Seq[Expression]) => {
+        val cs = arity(children, 2, "graft_token_shingles")
+        TokenShingles(cs.head, intArg(cs(1), "graft_token_shingles"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow_fps"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,

@@ -40,7 +40,10 @@ object StreamHeavyHitters {
     * an entry is dead (≡ removed by naive MG) once `stored ≤ δ`, and
     * dead entries are physically purged only when the table doubles —
     * amortized constant, with the live state bit-identical to the
-    * decrement-all formulation at every arrival. */
+    * decrement-all formulation at every arrival.
+    *
+    * CONTRACT: `rows` is sorted IN PLACE (the caller's array is
+    * mutated) — both callers pass a fresh `it.toArray`. */
   private[graft] def mgApply(init: Map[String, Long],
                                  rows: Array[(String, String, Long)],
                                  capacity: Int): Map[String, Long] = {

@@ -29,7 +29,7 @@ import graft.operators.{Dedup, Similarity}
   * then the timed pass. */
 object AnnScaleAudit {
 
-  private def f(v: Double): String = "%.3f".format(v)
+  private def f(v: Double): String = Audit.fmt(v)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

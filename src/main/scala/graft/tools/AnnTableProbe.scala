@@ -9,7 +9,7 @@ import graft.operators.Similarity
   * corpus (`runMain graft.tools.AnnTableProbe <dir>`), to attribute
   * the salted-join cost the [[AnnScaleAudit]] measures. */
 object AnnTableProbe {
-  private def f(v: Double): String = "%.3f".format(v)
+  private def f(v: Double): String = Audit.fmt(v)
 
   def main(args: Array[String]): Unit = {
     val dir = args.head

@@ -36,7 +36,7 @@ import graft.operators.Dedup
   * be checked against its output first. */
 object DedupScaleAudit {
 
-  private def f(v: Double): String = "%.3f".format(v)
+  private def f(v: Double): String = Audit.fmt(v)
 
   /** Copy i of the base docs: ids shifted by i·10⁸; for i ≥ 1 every
     * token (\S+ run) carries a copy suffix, making cross-copy shingle

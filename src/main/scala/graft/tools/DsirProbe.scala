@@ -24,9 +24,11 @@ object DsirProbe {
     }
     for (rep <- 1 to 2) {
       t("tokens") {
+        // Return the aggregate's own value — an extra d.count() here
+        // would add a second full scan to the stage this probe exists
+        // to isolate.
         d.select(size(Text.tokens(col("text"))).as("n"))
-          .agg(sum(col("n"))).head()
-        d.count()
+          .agg(sum(col("n"))).head().getLong(0)
       }
       t("grams")(d.select(explode(Text.shinglesOfTokens(
           Text.tokens(col("text")), 2)).as("g")).count())

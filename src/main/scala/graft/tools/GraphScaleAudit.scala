@@ -26,7 +26,7 @@ import graft.queries.GraphQueries
   * scale), then the timed pass with per-query output counts. */
 object GraphScaleAudit {
 
-  private def f(v: Double): String = "%.3f".format(v)
+  private def f(v: Double): String = Audit.fmt(v)
 
   private val Queries = Seq("q_pagerank", "q_components", "q_triangles",
     "q_khop")

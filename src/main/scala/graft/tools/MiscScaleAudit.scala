@@ -24,20 +24,6 @@ import org.apache.spark.sql.SparkSession
 object MiscScaleAudit {
 
 
-  /** Force FULL evaluation of every output column (a bare count() on
-    * a pure projection prunes all columns and never runs the kernels
-    * being measured — the first cut of this instrument timed the
-    * multimodal decodes at 0.6 s for 500k images that way): hash every
-    * column into one aggregate, return the row count. */
-  private def force(df: org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, struct, xxhash64}
-    df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
-      .agg(count(lit(1)).as("n"), bit_xor(col("__h")))
-      .head().getLong(0)
-  }
-
-  private def f(v: Double): String = "%.3f".format(v)
-
   private val Tables = Set("documents", "events", "orders")
 
   private val Queries = Seq(
@@ -66,22 +52,26 @@ object MiscScaleAudit {
 
     val rows = ks.map { k =>
       val dir = s"$workDir/x$k"
-      if (!new java.io.File(s"$dir/orders.parquet").exists())
+      // Check EVERY synthesized table, not just one: an interrupted
+      // ScaleUp.run can leave a partial fixture dir, and a
+      // single-table check would silently time stale/missing tables.
+      if (!Tables.forall(t =>
+          new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists()))
         ScaleUp.run(spark, baseDir, dir, k, Tables)
       val m = spark.read.parquet(s"$dir/documents.parquet").count()
-      Queries.foreach(q => force(graft.SparkEntry.queries(q)(spark, dir)))
+      Queries.foreach(q => Audit.force(graft.SparkEntry.queries(q)(spark, dir)))
       val stages = Queries.map { q =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        val n = force(graft.SparkEntry.queries(q)(spark, dir))
+        val n = Audit.force(graft.SparkEntry.queries(q)(spark, dir))
         ((q, (System.nanoTime() - t0) / 1e9, n))
       }
-      val line = stages.map { case (q, sec, n) => s"$q=${f(sec)}s/$n" }
+      val line = stages.map { case (q, sec, n) => s"$q=${Audit.fmt(sec)}s/$n" }
         .mkString(" ")
       println(s"[misc-audit] x$k docs=$m $line")
       val stageJson = stages.map { case (q, sec, n) =>
-        s""""$q":{"sec":${f(sec)},"rows":$n}""" }.mkString(",")
+        s""""$q":{"sec":${Audit.fmt(sec)},"rows":$n}""" }.mkString(",")
       s"""{"label":"x$k","docs_rows":$m,$stageJson}"""
     }
     val json =

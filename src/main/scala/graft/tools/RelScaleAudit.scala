@@ -33,7 +33,7 @@ import graft.queries.{MLQueries, RelationalQueries}
   * [[DedupScaleAudit]] lesson about CacheManager plan-matching). */
 object RelScaleAudit {
 
-  private def f(v: Double): String = "%.3f".format(v)
+  private def f(v: Double): String = Audit.fmt(v)
 
   // nation is a fixed dim (q05's broadcast side) — ScaleUp copies it
   // unshifted; the other four scale k×.

@@ -31,7 +31,7 @@ import graft.queries.StreamTextQueries
   * plan-matching lesson). */
 object StreamScaleAudit {
 
-  private def f(v: Double): String = "%.3f".format(v)
+  private def f(v: Double): String = Audit.fmt(v)
 
   private val Queries = Seq("q_sessionize", "q_window_agg",
     "q_window_sliding", "q_first_seen", "q_hll_stream", "q_cms_stream",

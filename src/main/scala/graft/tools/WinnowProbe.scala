@@ -10,7 +10,7 @@ import graft.operators.Dedup
   * attribute the super-linearity the [[DedupScaleAudit]] measures to a
   * stage before fixing it. */
 object WinnowProbe {
-  private def f(v: Double): String = "%.3f".format(v)
+  private def f(v: Double): String = Audit.fmt(v)
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
