@@ -48,6 +48,23 @@ object Bench {
       case c => c.toString
     }
 
+  /** Outlier re-run rule: a query's rep set is SUSPECT when the
+    * max/min spread exceeds `factor` AND the max rep is material
+    * (≥ `floor` sec — a 10→40 ms wobble on a trivial query is timer
+    * noise, not evidence). Reps of one query run back-to-back, so a
+    * single degradation window (GC storm, cross-rep cache poisoning,
+    * host steal burst) can poison 2 of 3 reps AND the median with
+    * them — r6's committed q_pagerank median was 14× its clean value
+    * this way. Suspect queries get one full re-measurement (fresh
+    * clearCache + settle + GC) AFTER the sweep, when whatever
+    * transient poisoned them has passed; the artifact records both
+    * rep sets so the swing stays attributable. Pure for spec. */
+  private[graft] def suspectSpread(reps: Seq[Double],
+                                   factor: Double = 3.0,
+                                   floor: Double = 0.5): Boolean =
+    reps.nonEmpty && reps.max >= floor &&
+      (reps.min <= 0.0 || reps.max / reps.min > factor)
+
   /** Build the one-line stdout summary: queries in DESCENDING median
     * order (the expensive ones carry the perf signal) until the
     * serialized line reaches [[LineBudget]], the cheap remainder
@@ -99,37 +116,69 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val reps: Map[String, Seq[Double]] = names.map { name =>
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMsNow(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    // One full measurement of one query: clearCache (no cross-query
+    // cache reuse), settle rep (pays Janino compile + JIT at the
+    // TARGET SF — warming at a smaller fixture compiles different
+    // join-strategy codegen), System.gc() (so compile garbage isn't
+    // billed to rep 1), then nReps timed reps. Per-rep GC delta rides
+    // alongside so a slow rep is attributable: gc_ms ≈ wall ⇒ heap
+    // pressure, gc_ms ≈ 0 ⇒ plan cost or steal.
+    def measure(name: String): (Seq[Double], Seq[Long]) = {
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache()
-      // Settle rep first (pays Janino compile + JIT at the TARGET SF —
-      // warming at a smaller fixture compiles different join-strategy
-      // codegen), then GC so the compile garbage isn't billed to rep 1.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       System.gc()
-      name -> (1 to nReps).map { _ =>
+      val out = (1 to nReps).map { _ =>
+        val g0 = gcMsNow()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           if (!errors.contains(name)) errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, gcMsNow() - g0)
       }
-    }.toMap
+      (out.map(_._1), out.map(_._2))
+    }
+    val firstPass: Map[String, (Seq[Double], Seq[Long])] =
+      names.map(n => n -> measure(n)).toMap
+    // Post-sweep outlier pass: re-measure suspect queries once the
+    // sweep (and whatever transient poisoned them) is over; the
+    // re-measurement REPLACES the medians, the artifact keeps both.
+    val rerunNames = names.filter(n => suspectSpread(firstPass(n)._1))
+    val reruns: Map[String, (Seq[Double], Seq[Long])] =
+      rerunNames.map(n => n -> measure(n)).toMap
+    val finalReps: Map[String, Seq[Double]] =
+      firstPass.map { case (k, v) => k -> reruns.get(k).map(_._1).getOrElse(v._1) }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val medians = reps.map { case (k, v) => k -> median(v) }
-    val rs = reps.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":[" + v.map(f).mkString(",") + "]" }
-      .mkString("{", ",", "}")
+    val medians = finalReps.map { case (k, v) => k -> median(v) }
+    def repMap(m: Map[String, (Seq[Double], Seq[Long])]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, (t, _)) =>
+          "\"" + k + "\":[" + t.map(f).mkString(",") + "]" }
+        .mkString("{", ",", "}")
+    def gcMap(m: Map[String, (Seq[Double], Seq[Long])]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, (_, g)) =>
+          "\"" + k + "\":[" + g.mkString(",") + "]" }
+        .mkString("{", ",", "}")
     val errs = errors.map(e => "\"" + jsonEscape(e) + "\"")
       .mkString("[", ",", "]")
     val mediansJson = medians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val repsJson =
-      s"""{"reps":$rs,"medians":$mediansJson,"nreps":$nReps,""" +
+      s"""{"reps":${repMap(firstPass)},"gc_ms":${gcMap(firstPass)},""" +
+        s""""reruns":${repMap(reruns)},"rerun_gc_ms":${gcMap(reruns)},""" +
+        s""""medians":$mediansJson,"nreps":$nReps,""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     // Full per-rep data goes ONLY to the file — never to stderr: in a
     // 2>&1 capture a multi-KB stderr line can interleave AFTER the

@@ -29,17 +29,23 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Materialize `out` (cached — near-dup pair sets are tiny relative to
-    * the corpus), then drop the big staged caches so repeated dedup
-    * calls in one session don't accumulate persisted shingle/signature
-    * tables. Callers that are done with the result should
-    * `result.unpersist()` it. */
+  /** Materialize `out` as an eager localCheckpoint (near-dup pair sets
+    * are tiny relative to the corpus), then BLOCKING-drop the big
+    * staged caches so repeated dedup calls in one session don't
+    * accumulate persisted shingle/signature tables. Checkpoint rather
+    * than persist on purpose: a persisted result is a CacheManager
+    * entry keyed on the analyzed plan that the caller must remember to
+    * release, and a later identical call's persist would plan-match
+    * onto it mid-drop (the q_pagerank repeat-execution storm was
+    * exactly this lifecycle). A checkpointed frame has no cache key —
+    * repeat calls can never cross-match — and its blocks are reclaimed
+    * by the ContextCleaner once the caller drops the frame; a caller's
+    * legacy `result.unpersist()` is a harmless no-op. */
   private def materializeAndRelease(out: DataFrame,
                                     staged: DataFrame*): DataFrame = {
-    val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    staged.foreach(_.unpersist(false))
-    cached
+    val mat = out.localCheckpoint(true)
+    staged.foreach(_.unpersist(true))
+    mat
   }
 
   // ---------------------------------------------------------------- exact
@@ -198,7 +204,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val out = materializeAndRelease(pairs, pa)
-    pb.unpersist(false)
+    pb.unpersist(true)
     out
   }
 
@@ -472,8 +478,6 @@ object Dedup {
                     n: Int = 24, w: Int = 8, minShared: Int = 2,
                     maxBucket: Int = 64, k: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
-    val cands = winnowDedup(df, id, text, n, w, minShared, maxBucket)
-      .select(col("id_a"), col("id_b"))
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Winnow candidates are a WEAK filter by design (minShared must
     // stay low for recall — repetitive text collapses fingerprint
@@ -501,19 +505,44 @@ object Dedup {
       .select(col(id), col("sh"), size(col("sh")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col(id), col("sz"))
-    val sized = cands
-      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
-      .filter(least(col("sz_a"), col("sz_b")).cast("double")
-        >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+    // Size-band blocking is applied INSIDE the fingerprint-bucket
+    // self-join, not on the aggregated candidate pairs after it: each
+    // fingerprint row carries its document's shingle-set size, and the
+    // join predicate requires min(sz)/max(sz) ≥ threshold — a pair
+    // failing it can never reach J ≥ threshold (|A∩B| ≤ min ⇒
+    // J ≤ min/max; necessary condition, drops no qualifying pair), so
+    // the candidate stream shrinks BEFORE the (id_a, id_b) aggregate
+    // shuffle, not after it. At the 500k-doc probe the post-join gate
+    // passed 33.4M aggregated candidate rows to the size filter; the
+    // in-join band cuts the same rows where they are produced, and
+    // winnowDedup's pair aggregate never materializes them. Surviving
+    // pairs' n_shared counts are unchanged (shared-fingerprint counts
+    // don't depend on the band), so the output set is IDENTICAL.
+    val fps = winnowFingerprints(df, id, text, n, w)
+    val capped = fps
+      .withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+      .join(sizes, Seq(id))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id") &&
+          least(col("a.sz"), col("b.sz")).cast("double")
+            >= lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
       .select(col("id_a"), col("id_b"))
-    val out = sized
+    val out = cands
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(out, sh)
+    materializeAndRelease(out, sh, capped)
   }
 
   // ---------------------------------------------------- embedding near-dup
@@ -743,7 +772,7 @@ object Dedup {
       labels = next.select(col("u"), col("lbl"))
       labelIds = nextIds
     }
-    star.unpersist(false)
+    star.unpersist(true)
     val out = labels.select(col("u").as(id), col("lbl").as("cluster"))
     // Caller gets a plan over the final checkpoint; those blocks stay
     // (freeing them would hollow out the result) — they are one

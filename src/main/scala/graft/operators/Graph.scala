@@ -35,7 +35,21 @@ object Graph {
     * in-edge (true for any symmetric/undirected edge set): the
     * per-iteration left join against the node list — only needed to
     * re-introduce nodes that received no mass — is then skipped,
-    * saving one join per iteration with identical results. */
+    * saving one join per iteration with identical results.
+    *
+    * Cache lifecycle (repeat-execution safety): every intermediate
+    * unpersist is BLOCKING and the returned frame is an eager
+    * `localCheckpoint`, so a pageRank call leaves ZERO CacheManager
+    * entries behind. The earlier form left `nodes` and the final rank
+    * frame cached and dropped intra-loop frames asynchronously; in a
+    * long-lived JVM a later identical call's `persist` then
+    * plan-matched onto entries whose blocks were mid-drop (the
+    * CacheManager keys on the analyzed plan), and one re-execution
+    * per process would intermittently pay a 10–30× recompute storm
+    * through the dead InMemoryRelations. LocalCheckpoint output has
+    * no CacheManager key (plain LogicalRDD), so repeat calls can
+    * never cross-match, and its blocks are reclaimed by the
+    * ContextCleaner once the caller drops the frame. */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85,
                danglingFree: Boolean = false): DataFrame = {
@@ -51,7 +65,7 @@ object Graph {
     // once per iteration
     val e = e0.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
-    e0.unpersist(false)
+    e0.unpersist(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -76,11 +90,14 @@ object Graph {
             lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
-      ranks.unpersist(false)
+      ranks.unpersist(true)
       ranks = next
     }
     val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
-    e.unpersist(false)
+      .localCheckpoint(true)
+    ranks.unpersist(true)
+    nodes.unpersist(true)
+    e.unpersist(true)
     out
   }
 
@@ -195,7 +212,7 @@ object Graph {
       settled = settled.union(next)
       frontier = next.select(col("node"))
     }
-    e.unpersist(false)
+    e.unpersist(true)
     settled
   }
 

@@ -64,20 +64,30 @@ object Sampling {
     * [[graft.SamplingSpec]] asserts: zero groups with >1 distinct
     * split).
     *
-    * Scale shape: ONE hash-partitioned shuffle on the group key — the
-    * same exchange exact-dedup pays — carrying only (group, id, split
-    * inputs); the min-over-group runs as a partial-aggregable window
-    * over that partitioning, and the gate itself is the same codegen'd
-    * md5-prefix compare as [[splitColumn]]. Nothing is driver-side and
-    * no state outlives the exchange, so the operator is exactly as
-    * scalable as the dedup pass it typically follows. */
+    * Scale shape: the representative comes from `groupBy(group)
+    * .agg(min(id))` joined back on the group key — a TRUE partial
+    * aggregate (map-side combine shrinks every partition to its
+    * per-group minima before the exchange), then one group-keyed
+    * join. The earlier window formulation (`min(id) over partition by
+    * group`) computed the same values but Spark's unbounded-frame
+    * window does NO map-side partial aggregation: every member of a
+    * group materializes in one task's sort buffer, so a single
+    * pathological dup group — millions of identical boilerplate docs
+    * sharing a fingerprint, exactly the population this operator
+    * exists for — funneled through one task. The aggregate form's
+    * per-task state is one (group, min) pair per distinct group.
+    * Null-safe join key: a null group is one group, as the window
+    * form treated it. The gate itself is the same codegen'd
+    * md5-prefix compare as [[splitColumn]]; nothing is driver-side. */
   def groupSafeSplit(df: DataFrame, id: Column, group: Column,
                      cuts: Seq[(String, Int)],
                      defaultLabel: String = "train",
                      splitCol: String = "split"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
-    df.withColumn(splitCol,
-      splitColumn(min(id).over(w), cuts, defaultLabel))
+    val reps = df.groupBy(group.as("__gss_g"))
+      .agg(min(id).as("__gss_rep"))
+    df.join(reps, group <=> col("__gss_g"))
+      .withColumn(splitCol, splitColumn(col("__gss_rep"), cuts, defaultLabel))
+      .drop("__gss_g", "__gss_rep")
   }
 
   /** Per-stratum deterministic sampling — the corpus-mixing primitive:

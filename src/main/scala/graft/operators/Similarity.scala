@@ -865,13 +865,54 @@ object Similarity {
   private val hierCache =
     new java.util.concurrent.ConcurrentHashMap[String, HierIvfIndex]()
 
+  /** Explicit rebuild-or-reload policy for the process-level index
+    * caches under an EXTERNAL `spark.catalog.clearCache()` (the bench
+    * harness issues one before every query): the memo maps hold index
+    * objects whose persisted frames a clearCache unpersists behind
+    * their back. Without this check a cache hit hands out an index
+    * whose every probe silently recomputes the assignment pass from
+    * lineage — correct but paying build-shaped cost per probe, which
+    * inverts the economics the cache exists for. Policy: RELOAD — on
+    * every cached-getter hit, any member frame whose storageLevel has
+    * fallen to NONE is re-persisted and re-materialized (one
+    * recompute, the same cost the first un-pinned probe would have
+    * paid anyway; every later probe is index-speed again). The public
+    * `Dataset.storageLevel` probe is exact: clearCache drops the
+    * CacheManager entry synchronously, so NONE ⇔ unpinned. */
+  private def ensurePinned(frames: DataFrame*): Unit =
+    frames.foreach { df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      }
+    }
+
   /** Process-level cache of [[buildHierIvfIndex]] (the registry/bench
     * path — the count + both cluster levels are bought once per
     * corpus). */
   def cachedHierIvfIndex(corpus: => DataFrame, cacheKey: String,
-                         id: String, vec: String): HierIvfIndex =
-    hierCache.computeIfAbsent(s"$cacheKey|$id|$vec|hier",
+                         id: String, vec: String): HierIvfIndex = {
+    val idx = hierCache.computeIfAbsent(s"$cacheKey|$id|$vec|hier",
       _ => buildHierIvfIndex(corpus, id, vec))
+    ensurePinned(idx.base.assigned)
+    idx
+  }
+
+  private val hierTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HierIvfTableIndex]()
+
+  /** Process-level cache of [[buildHierIvfTableIndex]] — the
+    * beyond-[[MaxLiteralCells]] registry path ([[graft.queries
+    * .SimilarityQueries]] `q_ann_knn_table`). Both distributed state
+    * frames (corpus assignment AND the cell-centroid table) are
+    * re-pinned on hit. */
+  def cachedHierIvfTableIndex(corpus: => DataFrame, cacheKey: String,
+                              id: String, vec: String): HierIvfTableIndex = {
+    val idx = hierTableCache.computeIfAbsent(s"$cacheKey|$id|$vec|hiertable",
+      _ => buildHierIvfTableIndex(corpus, id, vec))
+    ensurePinned(idx.assigned, idx.cells)
+    idx
+  }
 
   /** One-shot convenience: build + probe + release. Prefer
     * [[buildIvfIndex]]/[[probeIvf]] whenever more than one probe batch
@@ -947,18 +988,24 @@ object Similarity {
   }
 
   def cachedIvfIndex(corpus: => DataFrame, cacheKey: String,
-                     id: String, vec: String, nCells: Int = 16): IvfIndex =
-    indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",
+                     id: String, vec: String, nCells: Int = 16): IvfIndex = {
+    val idx = indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",
       _ => buildIvfIndex(corpus, id, vec, nCells))
+    ensurePinned(idx.assigned)
+    idx
+  }
 
   /** Cache of build-on-historic + [[appendToIndex]](delta) — the
     * registry/bench path for the incremental-maintenance query. */
   def cachedAppendedIndex(corpus: => DataFrame, delta: => DataFrame,
                           cacheKey: String, id: String, vec: String,
-                          nCells: Int = 16): IvfIndex =
-    indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|incr",
+                          nCells: Int = 16): IvfIndex = {
+    val idx = indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|incr",
       _ => appendToIndex(buildIvfIndex(corpus, id, vec, nCells),
         delta, id, vec))
+    ensurePinned(idx.assigned)
+    idx
+  }
 
   /** A built product-quantization (PQ) index: every corpus vector is
     * stored as `m` sub-codebook indices (bytes, carried as ints) — the
@@ -1168,11 +1215,14 @@ object Similarity {
     * composition). */
   def cachedIvfPqIndex(corpus: => DataFrame, cacheKey: String,
                        id: String, vec: String, nCells: Int = 16,
-                       m: Int = 8, ksub: Int = 16): IvfPqIndex =
-    ivfPqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|$m|$ksub",
+                       m: Int = 8, ksub: Int = 16): IvfPqIndex = {
+    val idx = ivfPqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|$m|$ksub",
       _ => composeIvfPq(
         cachedIvfIndex(corpus, cacheKey, id, vec, nCells),
         cachedPqIndex(corpus, cacheKey, id, vec, m, ksub)))
+    ensurePinned(idx.codes)
+    idx
+  }
 
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
@@ -1181,7 +1231,10 @@ object Similarity {
     * timed bench rep pays encode-scan + re-rank cost only). */
   def cachedPqIndex(corpus: => DataFrame, cacheKey: String,
                     id: String, vec: String, m: Int = 8,
-                    ksub: Int = 16): PqIndex =
-    pqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$m|$ksub",
+                    ksub: Int = 16): PqIndex = {
+    val idx = pqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$m|$ksub",
       _ => buildPqIndex(corpus, id, vec, m, ksub))
+    ensurePinned(idx.codes)
+    idx
+  }
 }

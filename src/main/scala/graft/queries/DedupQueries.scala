@@ -118,6 +118,29 @@ object DedupQueries {
           countDistinct(col("cluster")).as("clusters"))
     }),
 
+    // The SAME leakage gate on the LINEAR pair path: pairs from
+    // minhash banding (shingles ride as xxhash64 longs; candidate
+    // volume ∝ corpus, the probe-audited §8.5 configuration) instead
+    // of the exact prefix-filter path — this is the form a 100 TB
+    // corpus runs, with q_split_cluster kept as the exact
+    // differential. The oracle is q_split_cluster's verbatim: both
+    // pair stages END in exact-Jaccard verification, so on any corpus
+    // they differ only by banding recall (P(miss) < 1e-20 per
+    // qualifying pair at 16 bands × 4 rows on the bimodal fixture —
+    // a miss would fail the differential LOUDLY as a cluster split).
+    "q_split_cluster_sketch" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(d.select(col("doc_id")),
+        Dedup.minhashDedup(d, "doc_id", "text", k = 3,
+          threshold = 0.8).select(col("id_a"), col("id_b")), "doc_id")
+      clusters.join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("split", graft.operators.Sampling.splitColumn(
+          col("cluster"), Seq(("test", 6554), ("val", 13108))))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("cluster")).as("clusters"))
+    }),
+
     // Eval-set decontamination: docs 0-4 stand in for a benchmark;
     // every other doc reports its count of shared 4-shingles.
     "q_decontam" -> ((s, dir) => {
@@ -196,7 +219,7 @@ object DedupQueries {
     s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT md5(array_to_string($toks, ' ')) AS fp, MIN(doc_id) AS doc_id
          |FROM documents GROUP BY 1""".stripMargin,
@@ -399,4 +422,11 @@ object DedupQueries {
         | ON a.p_name < b.p_name
         | AND levenshtein(a.p_name, b.p_name) <= 1""".stripMargin
   )
+
+  // q_split_cluster_sketch shares q_split_cluster's oracle verbatim:
+  // both pair paths end in exact-Jaccard verification, so the cluster
+  // set (and hence the gate) is identical up to banding recall, which
+  // the differential would surface as a loud mismatch.
+  val oracles: Map[String, String] =
+    oraclesBase + ("q_split_cluster_sketch" -> oraclesBase("q_split_cluster"))
 }

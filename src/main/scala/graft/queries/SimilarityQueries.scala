@@ -91,6 +91,23 @@ object SimilarityQueries {
         k = 10, nprobe = 4, nsp = 4)
     }),
 
+    // The SAME kNN-graph workload through the beyond-MaxLiteralCells
+    // TABLE-path index (distributed cell-centroid state, sup-keyed
+    // pick join, bounded-heap nprobe cut, aggregate-driven salt) —
+    // the shape a >10⁷-vector corpus MUST use. The paths are
+    // bit-identical by the SimilaritySpec equality law, so the oracle
+    // is q_ann_knn's verbatim; this row exists so the driver's gate
+    // actually EXECUTES the distributed-centroid code every round —
+    // before it, a regression there was invisible to CORRECTNESS
+    // (spec-covered only).
+    "q_ann_knn_table" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.cachedHierIvfTableIndex(e, cacheKey = dir,
+        "vec_id", "embedding")
+      Similarity.knnJoinHierTable(idx, e, "vec_id", "embedding",
+        k = 10, nprobe = 4, nsp = 4)
+    }),
+
     // Symmetric int8 quantization of the corpus (the 4× ANN memory
     // lever) — pure IEEE arithmetic, exact oracle. The code array is
     // serialized to a CSV string for the registry output: the driver's
@@ -394,7 +411,7 @@ object SimilarityQueries {
        |${hassign("F", iters + 1, "fpts")}""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_ann_pq" ->
       pqOracle(m = 8, ksub = 16, ds = 8, iters = 5, kCand = 40, k = 10),
 
@@ -479,6 +496,9 @@ object SimilarityQueries {
     // matching the array-sort literal), top-4 cells among the picked
     // supers' members (hm6), in-cell scoring with q_ann_brute's
     // tie-breaks.
+    // q_ann_knn_table shares this oracle verbatim (appended to the
+    // map below): the table-path build/probe is bit-identical to the
+    // literal path by the SimilaritySpec equality law.
     "q_ann_knn" -> {
       s"""WITH ${hierBuildCtes(iters = 5, dim = 64)},
          |cellsup AS (SELECT cell, sup FROM hm6),
@@ -603,4 +623,7 @@ object SimilarityQueries {
          | a.vec_id IN (SELECT id FROM d) AS is_dup
          |FROM haF a""".stripMargin
   )
+
+  val oracles: Map[String, String] =
+    oraclesBase + ("q_ann_knn_table" -> oraclesBase("q_ann_knn"))
 }

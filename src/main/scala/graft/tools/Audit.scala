@@ -18,7 +18,15 @@ object Audit {
     * a pure projection prunes all columns and never runs the kernels
     * being measured — the first cut of this instrument timed the
     * multimodal decodes at 0.6 s for 500k images that way): hash every
-    * column into one aggregate, return the row count. */
+    * column into one aggregate, return the row count.
+    *
+    * The xxhash64-over-struct column is the POINT, not overhead — do
+    * not "optimize" it away in a future instrument: it is the term
+    * that forces Catalyst to keep every output expression in the
+    * measured plan. Its own cost is one codegen'd hash per row
+    * (~ns-scale, orders below any kernel being probed) and is paid
+    * IDENTICALLY at every scale point, so it cancels out of the
+    * between-point ratios the probes exist to measure. */
   def force(df: DataFrame): Long =
     df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
       .agg(count(lit(1)).as("n"), bit_xor(col("__h")))

@@ -53,7 +53,9 @@ object DedupScaleAudit {
   def scaled(spark: SparkSession, baseDir: String, workDir: String,
              k: Int): String = {
     val dst = s"$workDir/x$k/documents.parquet"
-    if (!new java.io.File(dst).exists()) {
+    // _SUCCESS, not bare dir existence: an interrupted write leaves a
+    // partial dir this would otherwise silently accept.
+    if (!new java.io.File(s"$dst/_SUCCESS").exists()) {
       val base = spark.read.parquet(s"$baseDir/documents.parquet")
       (0 until k).map(copyOf(base, _)).reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)

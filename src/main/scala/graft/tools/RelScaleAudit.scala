@@ -65,15 +65,23 @@ object RelScaleAudit {
 
     val rows = ks.map { k =>
       val dir = s"$workDir/x$k"
-      if (!new java.io.File(s"$dir/lineitem.parquet").exists())
+      // Check EVERY synthesized table's _SUCCESS, not one dir's bare
+      // existence: an interrupted ScaleUp.run leaves partial fixture
+      // dirs a single-table check would silently accept (timing
+      // stale/missing tables) — the MiscScaleAudit lesson.
+      if (!Tables.forall(t =>
+          new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists()))
         ScaleUp.run(spark, baseDir, dir, k, Tables)
       val m = spark.read.parquet(s"$dir/lineitem.parquet").count()
-      Queries.foreach { case (_, q) => q(spark, dir).count() }
+      // Audit.force, NOT bare count(): under count() Catalyst prunes
+      // unreferenced aggregate/projection expressions (q1_agg's
+      // sum/avg arithmetic would drop out of the measured plan).
+      Queries.foreach { case (_, q) => Audit.force(q(spark, dir)) }
       val stages = Queries.map { case (name, q) =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        val n = q(spark, dir).count()
+        val n = Audit.force(q(spark, dir))
         ((name, (System.nanoTime() - t0) / 1e9, n))
       }
       val line = stages.map { case (q, sec, n) => s"$q=${f(sec)}s/$n" }

@@ -53,15 +53,21 @@ object StreamScaleAudit {
 
     val rows = ks.map { k =>
       val dir = s"$workDir/x$k"
-      if (!new java.io.File(s"$dir/events.parquet").exists())
+      // _SUCCESS, not bare dir existence: an interrupted ScaleUp
+      // leaves a partial dir this would otherwise silently accept.
+      if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists())
         ScaleUp.run(spark, baseDir, dir, k, Set("events"))
       val m = spark.read.parquet(s"$dir/events.parquet").count()
-      Queries.foreach(q => StreamTextQueries.queries(q)(spark, dir).count())
+      // Audit.force, NOT bare count(): count() lets Catalyst prune
+      // unreferenced output expressions (the window-agg projections
+      // here; the mapGroupsWithState queries are opaque either way).
+      Queries.foreach(q =>
+        Audit.force(StreamTextQueries.queries(q)(spark, dir)))
       val stages = Queries.map { q =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        val n = StreamTextQueries.queries(q)(spark, dir).count()
+        val n = Audit.force(StreamTextQueries.queries(q)(spark, dir))
         ((q, (System.nanoTime() - t0) / 1e9, n))
       }
       val line = stages.map { case (q, sec, n) => s"$q=${f(sec)}s/$n" }

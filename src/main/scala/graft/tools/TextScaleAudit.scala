@@ -57,7 +57,9 @@ object TextScaleAudit {
 
     val rows = ks.map { k =>
       val dir = s"$workDir/x$k"
-      if (!new java.io.File(s"$dir/documents.parquet").exists())
+      // _SUCCESS, not bare dir existence: an interrupted ScaleUp
+      // leaves a partial dir this would otherwise silently accept.
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
         ScaleUp.run(spark, baseDir, dir, k, Set("documents"))
       val m = spark.read.parquet(s"$dir/documents.parquet").count()
       Queries.foreach(q => Audit.force(graft.SparkEntry.queries(q)(spark, dir)))

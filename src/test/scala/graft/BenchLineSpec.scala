@@ -27,6 +27,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= Bench.LineBudget, s"${line.length} chars")
   }
 
+  test("outlier re-run rule: fires on material spread, not on noise") {
+    // the r6 failure modes — a single degradation window poisoning
+    // later reps — must trigger a re-measurement
+    assert(Bench.suspectSpread(Seq(9.1, 46.1, 85.3)))
+    assert(Bench.suspectSpread(Seq(3.96, 3.37, 117.4)))
+    // steady reps of any magnitude: no re-run
+    assert(!Bench.suspectSpread(Seq(3.3, 3.5, 3.4)))
+    assert(!Bench.suspectSpread(Seq(46.0, 47.1, 45.2)))
+    // trivial-query timer wobble (4× spread but max under the floor):
+    // not evidence, no re-run
+    assert(!Bench.suspectSpread(Seq(0.01, 0.04, 0.02)))
+    // exactly-at-floor max with large spread fires
+    assert(Bench.suspectSpread(Seq(0.1, 0.5, 0.12)))
+    // degenerate zero/negative min with material max fires rather
+    // than dividing by zero
+    assert(Bench.suspectSpread(Seq(0.0, 2.0, 2.0)))
+    assert(!Bench.suspectSpread(Nil))
+  }
+
   test("value is the total over ALL queries, included or omitted") {
     val medians = mkMedians(300)
     val line = Bench.summaryLine(medians, Nil, "sf")
