@@ -502,9 +502,8 @@ object Dedup {
       .select(col(id),
         array_distinct(transform(Text.shinglesOfTokens(col("__toks"), k),
           s => xxhash64(s))).as("sh"))
-      .select(col(id), col("sh"), size(col("sh")).as("sz"))
+      .select(col(id), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col(id), col("sz"))
     // Size-band blocking is applied INSIDE the fingerprint-bucket
     // self-join, not on the aggregated candidate pairs after it: each
     // fingerprint row carries its document's shingle-set size, and the
@@ -515,17 +514,30 @@ object Dedup {
     // shuffle, not after it. At the 500k-doc probe the post-join gate
     // passed 33.4M aggregated candidate rows to the size filter; the
     // in-join band cuts the same rows where they are produced, and
-    // winnowDedup's pair aggregate never materializes them. Surviving
-    // pairs' n_shared counts are unchanged (shared-fingerprint counts
-    // don't depend on the band), so the output set is IDENTICAL.
-    val fps = winnowFingerprints(df, id, text, n, w)
-    val capped = fps
+    // the pair aggregate never materializes them. Surviving pairs'
+    // n_shared counts are unchanged (shared-fingerprint counts don't
+    // depend on the band), so the output set is IDENTICAL. The size
+    // rides from the SAME scan that emits the fingerprints (one extra
+    // tokenize+shingle pass per doc, scan-stage, codegen'd) — NOT a
+    // join against the shingle table, which would re-exchange the
+    // whole fingerprint table by id (first cut of this change: 2.5×
+    // on the sf0.1 bench from exactly that shuffle).
+    val fpsSized = df.select(col(id), col(text))
+      .repartition(par)
+      .select(col(id),
+        concat_ws(" ", Text.tokens(col(text))).as("__t"),
+        size(array_distinct(transform(
+          Text.shinglesOfTokens(Text.tokens(col(text)), k),
+          s => xxhash64(s)))).as("sz"))
+      .select(col(id), col("sz"),
+        explode(graft.functions.SketchFunctions
+          .winnowFingerprints(col("__t"), n, w)).as("fp"))
+    val capped = fpsSized
       .withColumn("bsize",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp"))))
       .filter(col("bsize") <= maxBucket)
       .drop("bsize")
-      .join(sizes, Seq(id))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = capped.as("a")
       .join(capped.as("b"),
@@ -719,15 +731,10 @@ object Dedup {
       .filter(col("u") =!= col("v"))
     // Track each round's checkpoint blocks (rdd ids that appear across
     // the localCheckpoint call) so the PREVIOUS round can be freed the
-    // moment the next round is materialized.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      sc.getPersistentRDDs.filter(kv => ids.contains(kv._1))
-        .values.foreach(_.unpersist(false))
+    // moment the next round is materialized (shared [[Frames]] helper).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+      Frames.checkpointTracked(df)
+    def free(ids: Set[Int]): Unit = Frames.free(star, ids)
     // Initial labels fold the contraction in: min over (identity,
     // local star roots) — most components are already fully labeled
     // here and the loop only reconciles across partitions.

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared lineage-truncation helpers for iterative builders.
+  *
+  * An iterative build whose round-N frame is derived from round N−1
+  * (k-means cell updates, label propagation) accretes a logical plan
+  * that nests every previous round. Even with each round persisted,
+  * every LATER action on the result re-runs analysis, optimization,
+  * and cache-lookup canonicalization over the WHOLE nested plan —
+  * driver-side planning cost that grows with rounds and with embedded
+  * literals, and is paid per use, at any data size (the table-path
+  * kNN index measured 2–6 s of pure planning per probe on a 32-row
+  * cell table this way). An EAGER `localCheckpoint` materializes the
+  * frame and replaces its plan with a flat LogicalRDD — planning
+  * becomes O(1), and the physical partitioning survives (Spark passes
+  * the plan's outputPartitioning into the LogicalRDD), so keyed joins
+  * against the checkpointed frame still skip their exchange.
+  *
+  * Checkpoint blocks are pinned outside the CacheManager (an external
+  * `spark.catalog.clearCache()` cannot drop them) and are reclaimed
+  * by the ContextCleaner once the frame is unreachable; for prompt
+  * in-loop reuse, [[checkpointTracked]] returns the block-backing RDD
+  * ids so a superseded round can be freed with [[free]] the moment
+  * its successor is materialized. */
+private[graft] object Frames {
+
+  /** Eagerly checkpoint `df`; returns the flat-plan frame plus the
+    * persistent-RDD ids that appeared across the call (the checkpoint
+    * blocks), for later [[free]]. */
+  def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(true)
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  /** Drop the blocks behind previously tracked checkpoint RDD ids.
+    * Async on purpose: freed rounds are never referenced again, and
+    * RDD blocks are keyed by unique rdd id — a late drop cannot be
+    * plan-matched onto by anything (unlike CacheManager entries). */
+  def free(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    sc.getPersistentRDDs.filter(kv => ids.contains(kv._1))
+      .values.foreach(_.unpersist(false))
+  }
+}

@@ -558,9 +558,23 @@ object Similarity {
     * replay the literal path's arithmetic bit-for-bit (SimilaritySpec
     * equality law), so the two paths are one index family with two
     * state layouts. */
+  /** Both state frames are EAGER LOCAL CHECKPOINTS (flat LogicalRDD
+    * plans), not persists: the build is a 5-iteration chain, and a
+    * persisted result's logical plan still nests every iteration —
+    * every later probe re-ran analysis/optimization/cache-lookup
+    * canonicalization over that whole plan, measured at 2–6 s of pure
+    * DRIVER time per action on a 32-row cell table (size-independent:
+    * the same constant at n=2000 and n=200000, ~15 s per kNN call in
+    * total). Checkpointing cuts per-probe planning to O(1), keeps the
+    * hash partitioning (cells by sup, assigned by cell — the pick and
+    * candidate joins still skip their exchange), and makes the frames
+    * immune to an external `clearCache()` (checkpoint blocks are not
+    * CacheManager entries). `pinned` carries the checkpoint RDD ids
+    * so [[release]] can drop the blocks promptly. */
   final case class HierIvfTableIndex(assigned: DataFrame,
                                      cells: DataFrame,
-                                     superMatrix: Array[Array[Double]]) {
+                                     superMatrix: Array[Array[Double]],
+                                     pinned: Set[Int] = Set.empty) {
     /** (total rows, biggest cell) for the salt-engage check — fixed at
       * build time, memoized so repeated probes against one index pay
       * the 1-row aggregate once, not per call. O(1) driver state. */
@@ -570,9 +584,7 @@ object Similarity {
       if (stats.isNullAt(0)) (0L, 0L)
       else (stats.getLong(0), stats.getLong(1))
     }
-    def release(): Unit = {
-      assigned.unpersist(false); cells.unpersist(false)
-    }
+    def release(): Unit = Frames.free(assigned, pinned)
   }
 
   /** Assign rows to cells through the super layer with DISTRIBUTED cell
@@ -615,11 +627,13 @@ object Similarity {
     * per-iteration map/assign/update are joins and aggregates instead
     * of driver arrays, and results are bit-identical to the literal
     * trainer (equality law in SimilaritySpec). */
+  /** Returns the checkpointed cell table plus its checkpoint-block RDD
+    * ids (for the owning index's release()). */
   private[graft] def trainHierCellsTable(sample: DataFrame, id: String,
                                          vec: String,
                                          superMatrix: Array[Array[Double]],
                                          nCells: Int,
-                                         iters: Int): DataFrame = {
+                                         iters: Int): (DataFrame, Set[Int]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val data = sample.select(col(id).as("__rid"),
       col(vec).cast("array<double>").as("x"))
@@ -627,12 +641,17 @@ object Similarity {
     // Seeds: first nCells sample rows by id, position-indexed. The
     // unpartitioned window runs over the LIMITED set (≤ nCells rows) —
     // the dictionary-sized exception, like labelFit.
+    // Every round's cell table is an EAGER localCheckpoint (flat
+    // LogicalRDD), NOT a persist: round N's plan would otherwise nest
+    // rounds 1..N−1, and each round's planning (plus every later use
+    // of the result) pays analysis + optimization over the whole
+    // chain — the [[Frames]] discipline. Superseded rounds are freed
+    // the moment their successor is materialized.
     val w = Window.orderBy(col("__rid"))
-    var cells = data.orderBy(col("__rid")).limit(nCells)
-      .select((row_number().over(w) - 1).as("cell"),
-        col("x").as("centroid"))
-      .persist(lvl)
-    cells.count()
+    var (cells, cellIds) = Frames.checkpointTracked(
+      data.orderBy(col("__rid")).limit(nCells)
+        .select((row_number().over(w) - 1).as("cell"),
+          col("x").as("centroid")))
     for (_ <- 1 to iters) {
       val mapped = cells.withColumn("sup", graft.functions.VectorFunctions
         .nearestCell(col("centroid"), superMatrix))
@@ -641,25 +660,24 @@ object Similarity {
       val sums = assigned.groupBy(col("cell"))
         .agg(graft.functions.ExactSumFunctions.exactVectorSum(col("x")).as("s"),
           count(lit(1)).as("n"))
-      val next = cells.join(sums, Seq("cell"), "left")
-        .select(col("cell"),
-          when(col("n").isNull, col("centroid"))
-            .otherwise(transform(col("s"), v => v / col("n")))
-            .as("centroid"))
-        .persist(lvl)
-      next.count()
-      cells.unpersist(false)
+      val (next, nextIds) = Frames.checkpointTracked(
+        cells.join(sums, Seq("cell"), "left")
+          .select(col("cell"),
+            when(col("n").isNull, col("centroid"))
+              .otherwise(transform(col("s"), v => v / col("n")))
+              .as("centroid")))
+      Frames.free(cells, cellIds)
       cells = next
+      cellIds = nextIds
     }
-    val out = cells.withColumn("sup", graft.functions.VectorFunctions
-        .nearestCell(col("centroid"), superMatrix))
-      .repartition(sample.sparkSession.sparkContext.defaultParallelism,
-        col("sup"))
-      .persist(lvl)
-    out.count()
-    cells.unpersist(false)
-    data.unpersist(false)
-    out
+    val (out, outIds) = Frames.checkpointTracked(
+      cells.withColumn("sup", graft.functions.VectorFunctions
+          .nearestCell(col("centroid"), superMatrix))
+        .repartition(sample.sparkSession.sparkContext.defaultParallelism,
+          col("sup")))
+    Frames.free(cells, cellIds)
+    data.unpersist(true)
+    (out, outIds)
   }
 
   /** [[buildHierIvfIndex]]'s distributed-state twin for corpora whose
@@ -688,17 +706,23 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
       .sortBy(_._1).map(_._2)
     supKm.unpersist(false)
-    val cellsDf = trainHierCellsTable(samp, id, vec, superMatrix,
+    val (cellsDf, cellIds) = trainHierCellsTable(samp, id, vec, superMatrix,
       nCells, iters = 5)
-    if (ownSample) samp.unpersist(false)
+    if (ownSample) samp.unpersist(true)
     val rows = corpus.select(col(id).as("__rid"),
       col(vec).cast("array<double>").as("x"), col(vec).as("cv"))
-    val assigned = assignHierTable(rows, "x", Seq("cv"),
-        superMatrix, cellsDf)
-      .select(col("__rid").as("neighbor_id"), col("cv"), col("cell"))
-      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    HierIvfTableIndex(assigned, cellsDf, superMatrix)
+    // Eager checkpoint, not persist: the assignment plan nests the
+    // corpus scan + sup join; a persisted frame would re-plan it on
+    // every probe (see the HierIvfTableIndex scaladoc). Partitioning
+    // by cell survives the checkpoint, so candidate joins stay
+    // co-located.
+    val (assigned, assignedIds) = Frames.checkpointTracked(
+      assignHierTable(rows, "x", Seq("cv"),
+          superMatrix, cellsDf)
+        .select(col("__rid").as("neighbor_id"), col("cv"), col("cell"))
+        .repartition(spark.sparkContext.defaultParallelism, col("cell")))
+    HierIvfTableIndex(assigned, cellsDf, superMatrix,
+      cellIds ++ assignedIds)
   }
 
   /** [[knnJoinHier]] against a [[HierIvfTableIndex]] — the documented
@@ -903,16 +927,15 @@ object Similarity {
 
   /** Process-level cache of [[buildHierIvfTableIndex]] — the
     * beyond-[[MaxLiteralCells]] registry path ([[graft.queries
-    * .SimilarityQueries]] `q_ann_knn_table`). Both distributed state
-    * frames (corpus assignment AND the cell-centroid table) are
-    * re-pinned on hit. */
+    * .SimilarityQueries]] `q_ann_knn_table`). No ensurePinned here ON
+    * PURPOSE: both state frames are local checkpoints, whose blocks an
+    * external `clearCache()` cannot drop (they are not CacheManager
+    * entries) — re-persisting them would just stack a redundant cache
+    * copy on every hit. */
   def cachedHierIvfTableIndex(corpus: => DataFrame, cacheKey: String,
-                              id: String, vec: String): HierIvfTableIndex = {
-    val idx = hierTableCache.computeIfAbsent(s"$cacheKey|$id|$vec|hiertable",
+                              id: String, vec: String): HierIvfTableIndex =
+    hierTableCache.computeIfAbsent(s"$cacheKey|$id|$vec|hiertable",
       _ => buildHierIvfTableIndex(corpus, id, vec))
-    ensurePinned(idx.assigned, idx.cells)
-    idx
-  }
 
   /** One-shot convenience: build + probe + release. Prefer
     * [[buildIvfIndex]]/[[probeIvf]] whenever more than one probe batch
