@@ -151,6 +151,132 @@ case class SquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over two array<double> columns — one codegen'd
+  * loop accumulating in index order with a 0.0 seed, which is
+  * bit-identical to the unrolled left-associated chain
+  * `x₁w₁ + x₂w₂ + …` it replaces (IEEE: 0.0 + a == a): the
+  * allreduce-loop kernels (logistic regression's margin) built that
+  * chain as ~2·dim expression nodes PER ITERATION, so every iteration
+  * re-paid Catalyst analysis/optimization over a ~190-node tree —
+  * measured ~0.27 s of pure driver time per iteration at dim = 64,
+  * data-size-independent. This node keeps the tree O(1). */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double|float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private lazy val leftFloat = VectorKernels.isFloatArray(left.dataType)
+  private lazy val rightFloat = VectorKernels.isFloatArray(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val gx = VectorKernels.getter(leftFloat, a, i)
+      val gy = VectorKernels.getter(rightFloat, b, i)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $gx * $gy;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise scale of an array<double> by a double scalar —
+  * `[x₁·s, …, x_d·s]`, each product the same IEEE multiply the
+  * unrolled `array(x₁·s, …)` projection produced (bit-identical), in
+  * one codegen'd loop writing a primitive double[] (no per-element
+  * boxing, O(1) expression tree instead of ~2·dim nodes). The
+  * gradient-scaling kernel feeding the exact vector sum. */
+case class ScaleArray(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = left.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (arrOk && right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double|float>, double), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_scale"
+
+  private lazy val leftFloat = VectorKernels.isFloatArray(left.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = xi * s
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val gx = VectorKernels.getter(leftFloat, a, i)
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $gx * $b;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaleArray =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Nearest-centroid assignment: index of the centroid (rows of `cents`)
   * with minimal squared euclidean distance to the input array<double>,
   * ties to the smaller index. The centroid matrix rides in the codegen
@@ -750,6 +876,18 @@ object VectorFunctions {
     Bridge.column(SquaredDistance(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** Column-API entry for [[DotProduct]]. */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  /** Column-API entry for [[ScaleArray]]. */
+  def scale(a: Column, s: Column): Column =
+    Bridge.column(ScaleArray(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(s.cast("double"))))
 
   /** Column-API entry for [[NearestCell]]. */
   def nearestCell(a: Column, cents: Array[Array[Double]]): Column =

@@ -46,6 +46,17 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Re-materialization cadence for [[learnMerges]]: merges since the
+    * last materialized vocab ride as a LAZY chain of native merge
+    * kernels on top of it (each is one linear in-stage pass per word —
+    * no shuffle, no action), so a step costs ONE Spark job (the pair
+    * argmax) instead of two (argmax + vocab persist). The chain is
+    * collapsed into a fresh checkpointed vocab every `RematEvery`
+    * merges, bounding both the per-step kernel depth (≤ RematEvery
+    * re-applied merges over the vocab — in-stage work, ≪ one job's
+    * fixed cost) and the codegen'd expression size. */
+  private val RematEvery = 8
+
   /** Learn `k` merges from the corpus' text column. Returns the merge
     * table (step, left, right, weight) — the tokenizer's merge list
     * in learned order. */
@@ -53,19 +64,23 @@ object Bpe {
     require(k >= 1, "k must be >= 1")
     val spark = docs.sparkSession
     // one corpus pass: word vocabulary with counts, words as char syms
-    var vocab = docs
+    val vocab0 = docs
       .select(explode(Text.tokens(col(text))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(split(col("w"), "").as("sym"), col("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    vocab.count()
+    vocab0.count()
 
+    var base = vocab0                      // last materialized vocab
+    var baseIds = Set.empty[Int]           // its checkpoint blocks (if any)
+    var pending = Vector.empty[(String, String)] // merges applied lazily
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to k) {
-      val top = vocab
+      val top = base
         .select(col("n"),
-          explode(Text.shinglesOfTokens(col("sym"), 2)).as("pair"))
+          explode(Text.shinglesOfTokens(
+            applyMerges(col("sym"), pending), 2)).as("pair"))
         .groupBy("pair").agg(sum(col("n")).as("w"))
         .orderBy(col("w").desc, col("pair").asc)
         .limit(1).collect()
@@ -73,15 +88,20 @@ object Bpe {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
         val weight = top(0).getLong(1)
         merges += ((step, a, b, weight))
-        val next = vocab
-          .select(mergePair(col("sym"), a, b).as("sym"), col("n"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist(false)
-        vocab = next
+        pending = pending :+ ((a, b))
+        if (pending.size >= RematEvery && step < k) {
+          val (next, ids) = Frames.checkpointTracked(
+            base.select(applyMerges(col("sym"), pending).as("sym"),
+              col("n")))
+          if (baseIds.nonEmpty) Frames.free(base, baseIds)
+          base = next
+          baseIds = ids
+          pending = Vector.empty
+        }
       }
     }
-    vocab.unpersist(false)
+    if (baseIds.nonEmpty) Frames.free(base, baseIds)
+    vocab0.unpersist(true)
     val out = merges.result()
     spark.createDataFrame(out).toDF("step", "left", "right", "weight")
   }

@@ -71,9 +71,19 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.withColumn("rank", lit(1.0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+    // Every round's rank frame is an eager localCheckpoint via the
+    // shared [[Frames]] discipline, NOT a persist+count: a persisted
+    // round's logical plan still nests every previous round, so each
+    // later iteration re-ran analysis/optimization/cache-lookup
+    // canonicalization over the whole chain — measured ~1.5 s of pure
+    // DRIVER planning gaps across 3 iterations at sf0.1, a constant
+    // that grows with iteration count at ANY data size. The
+    // checkpointed frame is a flat LogicalRDD (planning O(1) per
+    // round, hash partitioning survives) with no CacheManager key —
+    // also strictly safer against the repeat-execution plan-match
+    // storm this loop was patched for.
+    var (ranks, rankIds) = Frames.checkpointTracked(
+      nodes.withColumn("rank", lit(1.0)))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -84,18 +94,18 @@ object Graph {
       val withAllNodes =
         if (danglingFree) sums
         else nodes.join(sums, Seq("node"), "left")
-      val next = withAllNodes
-        .select(col("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist(true)
+      val (next, nextIds) = Frames.checkpointTracked(
+        withAllNodes
+          .select(col("node"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")))
+      Frames.free(ranks, rankIds)
       ranks = next
+      rankIds = nextIds
     }
     val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .localCheckpoint(true)
-    ranks.unpersist(true)
+    Frames.free(ranks, rankIds)
     nodes.unpersist(true)
     e.unpersist(true)
     out
@@ -249,10 +259,21 @@ object Graph {
     *
     * Returns a single row (n_triangles). */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges
+    // `und` and `orient` are eager local checkpoints ([[Frames]]
+    // discipline): the edge set feeds degree (twice, via the union),
+    // the degree join (again), and `orient` feeds the adjacency
+    // aggregate plus BOTH sides of the wedge join — referenced lazily,
+    // the one logical DAG replicated the normalize/self-join subtree
+    // ~8× (a ~250-operator physical plan whose Exchange reuse saved
+    // the recompute but whose planning alone was driver-visible, and
+    // whose duplicated aggregates were not reused). Checkpointed, each
+    // stage is computed exactly once and every consumer reads a flat
+    // LogicalRDD. Blocks are O(m) pairs of longs, reclaimed by the
+    // ContextCleaner when the result frame is dropped.
+    val (und, undIds) = Frames.checkpointTracked(edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v")).distinct())
     val deg = und.select(col("u").as("n"))
       .unionByName(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -261,9 +282,10 @@ object Graph {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val orient = keyed.select(
+    val (orient, _) = Frames.checkpointTracked(keyed.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
-      when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      when(uFirst, col("v")).otherwise(col("u")).as("b")))
+    Frames.free(und, undIds)
     // Out-adjacency lists are O(√m) long by construction, so no group
     // blows up the task heap; nodes with no out-list (graph-global
     // maxima) can close no triangle and drop out of the inner join.

@@ -216,15 +216,21 @@ object RelationalQueries {
 
     // Equi-depth (quartile) histogram per priority: cut points from
     // the exact range-refinement quantile (never a per-group raw
-    // sort), broadcast back, bucket counts in one aggregate.
+    // sort), broadcast back, bucket counts in one aggregate. All three
+    // ranks come from ONE quantilesByGroup call — the fact-table
+    // passes (stats scan, bucket histogram, winning-bucket selection)
+    // are rank-independent, so three separate quantileByGroup calls
+    // paid 3× the scans for identical cut points (r7: 1.79 → ~0.8 s).
     "q_equidepth" -> ((s, dir) => {
       val df = Tables.load(s, dir, "orders")
         .select(col("o_orderpriority").as("p"), col("o_totalprice").as("v"))
-      val cut = Seq(250, 500, 750)
-        .map(pm => graft.operators.Stats
-          .quantileByGroup(df, "p", col("v"), pm)
-          .withColumnRenamed("quantile", s"q$pm"))
-        .reduce(_.join(_, "p"))
+      val cut = graft.operators.Stats
+        .quantilesByGroup(df, "p", col("v"), Seq(250, 500, 750))
+        .groupBy(col("p"))
+        .agg(
+          max(when(col("permille") === 250, col("quantile"))).as("q250"),
+          max(when(col("permille") === 500, col("quantile"))).as("q500"),
+          max(when(col("permille") === 750, col("quantile"))).as("q750"))
       df.join(broadcast(cut), "p")
         .groupBy(col("p").as("o_orderpriority"),
           col("q250").as("q25"), col("q500").as("q50"),

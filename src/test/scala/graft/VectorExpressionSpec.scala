@@ -160,4 +160,35 @@ class VectorExpressionSpec extends SparkSpec {
       }
     }
   }
+  test("DotProduct is bit-exact vs the unrolled element_at chain") {
+    import org.apache.spark.sql.functions.element_at
+    val dim = 64
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(200)
+      .select(col("embedding").cast("array<double>").as("x"))
+    val w = Array.tabulate(dim)(d => math.cos(0.3 * d) - 0.4)
+    val wCol = array(w.map(lit): _*)
+    val unrolled = (0 until dim)
+      .map(j => element_at(col("x"), j + 1) * element_at(wCol, j + 1))
+      .reduce(_ + _)
+    val both = e.select(
+      VectorFunctions.dot(col("x"), wCol).as("native"),
+      unrolled.as("chain"))
+    assert(both.filter(col("native") =!= col("chain")).count() == 0)
+  }
+
+  test("ScaleArray is bit-exact vs the unrolled array projection") {
+    import org.apache.spark.sql.functions.element_at
+    val dim = 64
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(200)
+      .select(col("embedding").cast("array<double>").as("x"),
+        (rand(7) - lit(0.5)).as("s"))
+    val unrolled = array((0 until dim).map(j =>
+      element_at(col("x"), j + 1) * col("s")): _*)
+    val both = e.select(
+      VectorFunctions.scale(col("x"), col("s")).as("native"),
+      unrolled.as("chain"))
+    assert(both.filter(col("native") =!= col("chain")).count() == 0)
+  }
 }
