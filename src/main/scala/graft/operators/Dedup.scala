@@ -97,9 +97,8 @@ object Dedup {
     * pipeline to one task). */
   private def shingleBands(df: DataFrame, id: String, text: String,
                            k: Int, numHashes: Int, bands: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id),
         array_distinct(Text.shinglesOfTokens(col("__toks"), k)).as("__shs"))
@@ -229,7 +228,6 @@ object Dedup {
     * ADD candidates. Returns (id_a, id_b, jaccard). */
   def ngramJaccardDedup(df: DataFrame, id: String, text: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // Shingles ride as xxhash64 LONGS end to end: the exploded prefix
     // rows, the document-frequency shuffle, and the verify arrays all
     // weigh 8 bytes instead of ~30-char strings (3-4× lighter
@@ -240,7 +238,7 @@ object Dedup {
     // prefix-filter recall guarantee is untouched (and the exact
     // verify decides membership either way).
     val sh = df.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id),
         array_distinct(transform(Text.shinglesOfTokens(col("__toks"), k),
@@ -336,11 +334,10 @@ object Dedup {
     * exact hamming ≤ `maxHamming`. Returns (id_a, id_b, hamming). */
   def simhashDedup(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // Native fused kernel: tokenize → SimHashChunks in the scan stage;
     // cached so both self-join legs reuse it.
     val withSig = df.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), graft.functions.SketchFunctions
         .simhashChunks(Text.tokens(col(text)), chunks).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -359,7 +356,6 @@ object Dedup {
     * all-ones signature and pair them quadratically. */
   def simhashDedupMd5(df: DataFrame, id: String, text: String,
                       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // Staged projections (interpreted HOF lambdas have no CSE): tokens,
     // then one md5 per token, then the 64-bit vote fold over the
     // materialized hex strings.
@@ -367,7 +363,7 @@ object Dedup {
       .select(col(id),
         filter(Text.tokens(col(text)), t => t =!= "").as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .repartition(par)
+      .transform(Frames.spread)
     val hashes = toks.select(col(id),
       transform(col("__toks"), t => md5(t)).as("__h"))
     val votes = hashes.select(col(id),
@@ -401,9 +397,8 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, id: String, text: String,
                          n: Int = 8, w: Int = 4): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     df.select(col(id), concat_ws(" ", Text.tokens(col(text))).as("__t"))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), explode(graft.functions.SketchFunctions
         .winnowFingerprints(col("__t"), n, w)).as("fp"))
   }
@@ -417,10 +412,9 @@ object Dedup {
     * alone was 61 s of the 500k-doc scaling-audit corpus. */
   def winnowFingerprintsHof(df: DataFrame, id: String, text: String,
                             n: Int = 8, w: Int = 4): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val t = df
       .select(col(id), concat_ws(" ", Text.tokens(col(text))).as("__t"))
-      .repartition(par)
+      .transform(Frames.spread)
     val grams = t.select(col(id),
       when(length(col("__t")) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(col("__t")) - (n - 1)),
@@ -478,7 +472,6 @@ object Dedup {
                     n: Int = 24, w: Int = 8, minShared: Int = 2,
                     maxBucket: Int = 64, k: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // Winnow candidates are a WEAK filter by design (minShared must
     // stay low for recall — repetitive text collapses fingerprint
     // runs), so the verify side must assume candidate pairs ≫ true
@@ -497,7 +490,7 @@ object Dedup {
     //    condition, never dropping a qualifying pair — and only the
     //    survivors attach the hash arrays for the exact decision.
     val sh = df.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id),
         array_distinct(transform(Text.shinglesOfTokens(col("__toks"), k),
@@ -523,7 +516,7 @@ object Dedup {
     // whole fingerprint table by id (first cut of this change: 2.5×
     // on the sf0.1 bench from exactly that shuffle).
     val fpsSized = df.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id),
         concat_ws(" ", Text.tokens(col(text))).as("__t"),
         size(array_distinct(transform(
@@ -919,9 +912,8 @@ object Dedup {
     * k-gram approximation error. */
   def dupSpanStats(df: DataFrame, id: String, text: String,
                    k: Int = 8): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val perDoc = df.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id),
         explode(Text.shinglesOfTokens(col("__toks"), k)).as("g"))
@@ -963,9 +955,8 @@ object Dedup {
     * reassembly, not just the kept-set). */
   def scrubDupSpans(df: DataFrame, id: String, text: String,
                     k: Int = 8): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val toks = df.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
     val tokPos = toks.select(col(id),
         posexplode(col("__toks")).as(Seq("pos", "tok")))

@@ -36,6 +36,25 @@ private[graft] object Frames {
     (out, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
+  /** Round-robin spread of a frame across the session's cores — ONLY
+    * when the source actually has fewer partitions than
+    * `defaultParallelism`. The unconditional `repartition(par)` this
+    * replaces was motivated by small local fixtures arriving as one
+    * parquet split (which pins the whole downstream scan stage to one
+    * task), but at production scale the scan already has ample splits
+    * and the repartition degenerates into a gratuitous full shuffle of
+    * the operator's heaviest column (document text, embedding vectors)
+    * — guide §2.4's "repartition someone added for parallelism".
+    * Checking the physical partition count keeps the local fixture
+    * behavior bit-for-bit (every caller feeds an order-free aggregate
+    * or keyed exchange downstream) while letting a many-split corpus
+    * skip the exchange entirely. Deriving the RDD costs one physical
+    * planning of `df` (no job). */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Drop the blocks behind previously tracked checkpoint RDD ids.
     * Async on purpose: freed rounds are never referenced again, and
     * RDD blocks are keyed by unique rdd id — a late drop cannot be

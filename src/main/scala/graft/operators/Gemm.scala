@@ -133,9 +133,7 @@ object Gemm {
     // outer-product + partial-aggregate stage on one task (at 100 TB
     // the scan has ample splits and this is a cheap row-level
     // round-robin of the narrow feature column).
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
-    src.select(x.as("x"))
+    Frames.spread(df).select(x.as("x"))
       .select(explode(array(blockRows: _*)).as("b"))
       .select(col("b.bi").as("bi"), col("b.bj").as("bj"), col("b.p").as("p"))
       .groupBy("bi", "bj")

@@ -30,9 +30,8 @@ object Lm {
     * `(id, n_bigrams, surprisal)`. Documents with fewer than 2 tokens
     * have no bigrams and are absent. */
   def bigramSurprisal(docs: DataFrame, id: String, text: String): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
     val bi = docs.select(col(id), col(text))
-      .repartition(par)
+      .transform(Frames.spread)
       .select(col(id), Text.tokens(col(text)).as("__toks"))
       .select(col(id), explode(Text.shinglesOfTokens(col("__toks"), 2))
         .as("bi"))

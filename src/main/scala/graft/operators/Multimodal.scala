@@ -101,7 +101,7 @@ object Multimodal {
     // blobs-never-shuffle rule. (A production ingest reads many splits
     // and skips this; it's the id-keyed generator that concentrates.)
     df.select(col(id))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .transform(Frames.spread)
       .select(
       col(id).cast("long").as("media_id"),
       lit("image").as("modality"),

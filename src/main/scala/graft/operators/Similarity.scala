@@ -79,13 +79,13 @@ object Similarity {
                      id: String, vec: String, k: Int,
                      maxProbeRows: Long = MaxProbeRows): DataFrame = {
     requireProbeSet(queries, "bruteForceTopK", maxProbeRows)
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
-    // Repartition the corpus before scoring: a small single-file input
-    // would otherwise evaluate every cosine on one task, and at scale
-    // this is the knob matching corpus splits to cores.
+    // Spread the corpus before scoring: a small single-file input
+    // would otherwise evaluate every cosine on one task. Conditional
+    // (Frames.spread) — a many-split production scan skips the
+    // exchange of the vector payload entirely.
     val scored = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
-      .repartition(par)
+      .transform(Frames.spread)
       .join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosine(col("qv"), col("cv")).as("cos"))
@@ -234,13 +234,12 @@ object Similarity {
   def blockedTopK(corpus: DataFrame, queries: DataFrame,
                   id: String, vec: String, block: String,
                   k: Int): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val q = broadcast(queries.select(col(id).as("query_id"),
       col(vec).as("qv"), col(block).as("__qb")))
     val scored = corpus
       .select(col(id).as("neighbor_id"), col(vec).as("cv"),
         col(block).as("__cb"))
-      .repartition(par)
+      .transform(Frames.spread)
       .join(q, col("__cb") === col("__qb") &&
         col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -993,10 +992,9 @@ object Similarity {
     * ([[bruteForceTopK]] on the candidate set). */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
                     id: String, vec: String, k: Int): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val qc = quantizeInt8(corpus, id, vec)
       .select(col(id).as("neighbor_id"), col("qvec").as("cv"))
-      .repartition(par)
+      .transform(Frames.spread)
     val qq = broadcast(quantizeInt8(queries, id, vec)
       .select(col(id).as("query_id"), col("qvec").as("qv")))
     val scored = qc.join(qq, col("neighbor_id") =!= col("query_id"))
@@ -1059,7 +1057,6 @@ object Similarity {
   def buildPqIndex(corpus: DataFrame, id: String, vec: String,
                    m: Int = 8, ksub: Int = 16, iters: Int = 5): PqIndex = {
     val spark = corpus.sparkSession
-    val par = spark.sparkContext.defaultParallelism
     val dim = corpus.select(size(col(vec)).as("d")).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val ds = dim / m
@@ -1083,7 +1080,7 @@ object Similarity {
     }
     val codes = base
       .select(col(id).as("neighbor_id"), array(codeCols: _*).as("codes"))
-      .repartition(par)
+      .transform(Frames.spread)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     codes.count()
     base.unpersist(false)

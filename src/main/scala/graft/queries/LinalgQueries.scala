@@ -93,8 +93,13 @@ object LinalgQueries {
         .select(col("i"), col("j"), col("v"))
       val c = Gemm.multiplyBlocked(
         Gemm.toBlocks(x, bs), Gemm.toBlocks(w, bs), bs)
+      // The row-id trim set is exactly the distinct vec_ids — read them
+      // straight off the table instead of re-deriving the 64n-row COO
+      // explode a third time just to distinct it back down to n.
+      val ids = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("i")).distinct()
       Gemm.blocksToCoo(c, bs)
-        .join(broadcast(x.select(col("i")).distinct()), Seq("i"), "left_semi")
+        .join(broadcast(ids), Seq("i"), "left_semi")
         .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v"))
     })
   )
