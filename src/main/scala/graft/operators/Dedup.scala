@@ -48,6 +48,33 @@ object Dedup {
     mat
   }
 
+  /** Drop every row whose bucket (the `keys` tuple) holds more than
+    * `maxBucket` members — the LSH/fingerprint hot-bucket cap, as a
+    * partial-aggregable `groupBy` + anti-join instead of the previous
+    * unbounded-frame window. The window form materialized EVERY bucket
+    * inside one task's sort buffer just to count it — and the giant
+    * buckets this cap exists to DROP are exactly the ones that funnel
+    * (a boilerplate fingerprint shared by millions of documents is
+    * millions of rows through a single task at corpus scale; the same
+    * straggler shape the groupSafeSplit ADVICE fix removed). Here the
+    * count partial-aggregates map-side (only (key, count) rows cross
+    * the exchange), the over-cap key set is small by construction —
+    * it IS the pathological minority — so the anti-join broadcasts,
+    * and the bucket entries themselves never shuffle to be counted.
+    * Row set identical: a row survives iff its bucket count stays
+    * ≤ maxBucket (no ordering dependence). Precondition: bucket keys
+    * are non-null (every caller explodes generated hash/signature
+    * arrays) — a null key would compare unequal in the anti-join where
+    * the old window grouped nulls together. */
+  private def capBuckets(df: DataFrame, maxBucket: Int,
+                         keys: String*): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(hot, keys, "left_anti")
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: one surviving row (min id) per normalized-content
@@ -129,12 +156,7 @@ object Dedup {
                                 maxBucket: Int): DataFrame = {
     val buckets = prepped
       .select(col(id), posexplode(col("bands")).as(Seq("band", "bhash")))
-    val capped = buckets
-      .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bhash"))))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val capped = capBuckets(buckets, maxBucket, "band", "bhash")
     capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
@@ -184,13 +206,9 @@ object Dedup {
                    maxBucket: Int = 64): DataFrame = {
     val pa = shingleBands(dfA, id, text, k, numHashes, bands)
     val pb = shingleBands(dfB, id, text, k, numHashes, bands)
-    def capped(p: DataFrame): DataFrame = p
-      .select(col(id), posexplode(col("bands")).as(Seq("band", "bhash")))
-      .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bhash"))))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    def capped(p: DataFrame): DataFrame = capBuckets(
+      p.select(col(id), posexplode(col("bands")).as(Seq("band", "bhash"))),
+      maxBucket, "band", "bhash")
     val cands = capped(pa).as("a")
       .join(capped(pb).as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash"))
@@ -442,12 +460,7 @@ object Dedup {
     // Cache the capped fingerprint table: both self-join legs read it,
     // and uncached each leg would recompute the whole gram-hash +
     // window-min pipeline.
-    val capped = fps
-      .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"))))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val capped = capBuckets(fps, maxBucket, "fp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = capped.as("a")
       .join(capped.as("b"),
@@ -525,12 +538,7 @@ object Dedup {
       .select(col(id), col("sz"),
         explode(graft.functions.SketchFunctions
           .winnowFingerprints(col("__t"), n, w)).as("fp"))
-    val capped = fpsSized
-      .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"))))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val capped = capBuckets(fpsSized, maxBucket, "fp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = capped.as("a")
       .join(capped.as("b"),
@@ -873,12 +881,7 @@ object Dedup {
         explode(array_union(array(k0),
           when(length(k0) > 0, dels)
             .otherwise(array().cast("array<string>")))).as("__sig"))
-    val capped = sigs
-      .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__sig"))))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val capped = capBuckets(sigs, maxBucket, "__sig")
     capped.as("a")
       .join(capped.as("b"), col("a.__sig") === col("b.__sig"))
       .filter(col(s"a.$id") < col(s"b.$id"))
