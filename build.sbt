@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra JVM flags for GC/diagnostic experiments (e.g.
+  // SPARK_GRAFT_JAVA_OPTS="-XX:+UseG1GC -Xlog:gc"); empty by default.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -159,7 +159,16 @@ case class SquaredDistance(left: Expression, right: Expression)
   * chain as ~2·dim expression nodes PER ITERATION, so every iteration
   * re-paid Catalyst analysis/optimization over a ~190-node tree —
   * measured ~0.27 s of pure driver time per iteration at dim = 64,
-  * data-size-independent. This node keeps the tree O(1). */
+  * data-size-independent. This node keeps the tree O(1).
+  *
+  * Kernel contract on ragged inputs (ADVICE r7): the loop runs to
+  * min(|x|, |y|), i.e. a length-mismatched pair yields the TRUNCATED
+  * dot product rather than null/error. Every in-repo caller feeds
+  * fixed-dimension vectors (the weight vector is sized to the feature
+  * dim by construction), so the branch is unreachable there; the
+  * truncation is documented rather than guarded because a per-row
+  * length check would cost a branch in the hot loop to defend a
+  * malformed input no pipeline produces. */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 

@@ -94,6 +94,11 @@ object Bpe {
             base.select(applyMerges(col("sym"), pending).as("sym"),
               col("n")))
           if (baseIds.nonEmpty) Frames.free(base, baseIds)
+          // The first rematerialization supersedes vocab0 as the base:
+          // drop its blocks NOW instead of at loop end, so peak pinned
+          // storage holds one vocab, not the char-level one alongside
+          // every later checkpointed base (ADVICE r7).
+          else vocab0.unpersist(true)
           base = next
           baseIds = ids
           pending = Vector.empty
@@ -101,7 +106,7 @@ object Bpe {
       }
     }
     if (baseIds.nonEmpty) Frames.free(base, baseIds)
-    vocab0.unpersist(true)
+    else vocab0.unpersist(true)
     val out = merges.result()
     spark.createDataFrame(out).toDF("step", "left", "right", "weight")
   }

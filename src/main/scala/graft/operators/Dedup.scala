@@ -374,28 +374,57 @@ object Dedup {
     * all-ones signature and pair them quadratically. */
   def simhashDedupMd5(df: DataFrame, id: String, text: String,
                       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    // Staged projections (interpreted HOF lambdas have no CSE): tokens,
-    // then one md5 per token, then the 64-bit vote fold over the
-    // materialized hex strings.
+    // Signature computation as EXPLODE + one codegen'd partial
+    // aggregate, not a per-doc interpreted HOF fold. The previous form
+    // folded a 64-expression zip_with lambda over the token array —
+    // Catalyst interprets HOF lambdas (no codegen, no CSE), and each
+    // token paid 64 separate substr+conv nibble parses plus a
+    // 64-element accumulator array copy; measured as ~2.5 s of the
+    // 3.27 s driver-side bench row (the most expensive registry row in
+    // BENCH_r07). Here each token row parses the 32-hex-digit md5
+    // ONCE into two packed 32-bit halves (2 convs, not 64), the
+    // per-bit votes become 64 whole-stage-codegen'd SUM aggregates
+    // (map-side partial aggregation: the exchange carries one
+    // 64-int row per doc, and explode keeps a doc's tokens in its
+    // scan partition so the partial agg collapses locally), and
+    // vote_i = 2·Σbit_i − n_tokens replays the ±1 fold exactly in
+    // integer arithmetic — bit-for-bit the same signatures, pinned by
+    // the unchanged DuckDB oracle. Banding/verify tail unchanged.
     val toks = df
       .select(col(id),
         filter(Text.tokens(col(text)), t => t =!= "").as("__toks"))
       .filter(size(col("__toks")) > 0)
       .transform(Frames.spread)
-    val hashes = toks.select(col(id),
-      transform(col("__toks"), t => md5(t)).as("__h"))
-    val votes = hashes.select(col(id),
-      aggregate(col("__h"), array_repeat(lit(0), 64),
-        (acc, h) => zip_with(acc,
-          array((0 until 64).map { i =>
-            val nib = conv(h.substr(lit(i / 4 + 1), lit(1)), 16, 10)
-              .cast("int")
-            when(shiftright(nib, i % 4).bitwiseAND(lit(1)) === 1, 1)
-              .otherwise(-1)
-          }: _*),
-          (a, b) => a + b)).as("__v"))
-    val withSig = votes
-      .select(col(id), votesToChunks(col("__v"), chunks).as("sig"))
+    // bit i (0-based, LSB-first) of a token's 64-bit hash = bit (i%4)
+    // of hex digit (i/4 + 1) of md5(token); digits 1..8 ride packed in
+    // __hi (digit 1 = most significant nibble), digits 9..16 in __lo.
+    val packed = toks
+      .select(col(id), explode(col("__toks")).as("__t"))
+      .select(col(id), md5(col("__t")).as("__h"))
+      .select(col(id),
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long").as("__hi"),
+        conv(substring(col("__h"), 9, 8), 16, 10).cast("long").as("__lo"))
+    def bit(i: Int): Column = {
+      val digit = i / 4 + 1
+      val (src, shift) =
+        if (digit <= 8) (col("__hi"), 4 * (8 - digit) + i % 4)
+        else (col("__lo"), 4 * (16 - digit) + i % 4)
+      shiftright(src, shift).bitwiseAND(lit(1L))
+    }
+    val aggs = sum(bit(0)).as("__b0") +:
+      ((1 until 64).map(i => sum(bit(i)).as(s"__b$i")) :+
+        count(lit(1)).as("__n"))
+    val votesWide = packed.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val bitsPerChunk = 64 / chunks
+    val chunkCols = (0 until chunks).map { c =>
+      (0 until bitsPerChunk).map { p =>
+        val i = c * bitsPerChunk + p
+        when(lit(2L) * col(s"__b$i") - col("__n") >= 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val withSig = votesWide
+      .select(col(id), array(chunkCols: _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     simhashPairs(withSig, id, maxHamming)
   }
@@ -456,10 +485,13 @@ object Dedup {
   def winnowDedup(df: DataFrame, id: String, text: String,
                   n: Int = 8, w: Int = 4, minShared: Int = 2,
                   maxBucket: Int = 64): DataFrame = {
+    // Cache the RAW fingerprint table too: capBuckets reads its input
+    // twice (hot-key aggregate leg + anti-join probe leg), and uncached
+    // each leg would recompute the whole gram-hash + window-min
+    // pipeline (ADVICE r7). The capped table is cached for the two
+    // self-join legs as before.
     val fps = winnowFingerprints(df, id, text, n, w)
-    // Cache the capped fingerprint table: both self-join legs read it,
-    // and uncached each leg would recompute the whole gram-hash +
-    // window-min pipeline.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(fps, maxBucket, "fp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = capped.as("a")
@@ -468,7 +500,7 @@ object Dedup {
       .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    materializeAndRelease(pairs, capped)
+    materializeAndRelease(pairs, fps, capped)
   }
 
   /** Winnow-candidate near-dup with exact verification: fingerprint
@@ -528,6 +560,9 @@ object Dedup {
     // join against the shingle table, which would re-exchange the
     // whole fingerprint table by id (first cut of this change: 2.5×
     // on the sf0.1 bench from exactly that shuffle).
+    // fpsSized is persisted because capBuckets reads it twice (hot-key
+    // aggregate leg + anti-join probe leg); uncached, the whole
+    // winnow-fingerprint pipeline above ran once per leg (ADVICE r7).
     val fpsSized = df.select(col(id), col(text))
       .transform(Frames.spread)
       .select(col(id),
@@ -538,6 +573,7 @@ object Dedup {
       .select(col(id), col("sz"),
         explode(graft.functions.SketchFunctions
           .winnowFingerprints(col("__t"), n, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(fpsSized, maxBucket, "fp")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = capped.as("a")
@@ -555,7 +591,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(out, sh, capped)
+    materializeAndRelease(out, sh, fpsSized, capped)
   }
 
   // ---------------------------------------------------- embedding near-dup

@@ -210,15 +210,29 @@ object Graph {
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = settled.select(col("node"))
     var h = 0
-    var frontierSize = frontier.count()
-    while (h < maxHops && frontierSize > 0) {
+    var frontierEmpty = frontier.isEmpty
+    while (h < maxHops && !frontierEmpty) {
       h += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(settled.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
+      // Dedup-and-subtract in ONE aggregate: candidate dst nodes (side
+      // 1) union the settled set (side 0), grouped by node keeping the
+      // min side — a node survives iff it was reached this round AND
+      // is not already settled. The previous `distinct()` followed by
+      // `left_anti` paid two shuffle boundaries per round for the same
+      // set (the anti-join re-exchanged the whole settled union every
+      // round); the fused aggregate pays one, map-side partial (dup
+      // candidates collapse before the exchange), with identical
+      // output. Loop control is an emptiness probe over the
+      // just-checkpointed blocks (limit-1, not a full count — the
+      // count's value was never used beyond > 0).
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), lit(1).as("__side"))
+      val next = cand
+        .union(settled.select(col("node"), lit(0).as("__side")))
+        .groupBy(col("node")).agg(min(col("__side")).as("__m"))
+        .filter(col("__m") === 1)
+        .select(col("node"), lit(h).as("dist"))
         .localCheckpoint(true)
-      frontierSize = next.count()
+      frontierEmpty = next.isEmpty
       settled = settled.union(next)
       frontier = next.select(col("node"))
     }
@@ -282,7 +296,7 @@ object Graph {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val (orient, _) = Frames.checkpointTracked(keyed.select(
+    val (orient, orientIds) = Frames.checkpointTracked(keyed.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b")))
     Frames.free(und, undIds)
@@ -291,10 +305,18 @@ object Graph {
     // maxima) can close no triangle and drop out of the inner join.
     val adj = orient.groupBy(col("a"))
       .agg(collect_list(col("b")).as("nbrs"))
-    orient
+    // The 1-row result is materialized EAGERLY (trivial checkpoint) so
+    // orient's O(m) blocks can be freed right here instead of waiting
+    // for the ContextCleaner to GC the RDD — repeated calls in a
+    // long-lived session no longer accumulate pinned blocks that an
+    // external clearCache cannot drop (ADVICE r7).
+    val res = orient
       .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
       .select(size(array_intersect(col("na"), col("nb"))).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+      .localCheckpoint(true)
+    Frames.free(orient, orientIds)
+    res
   }
 }

@@ -122,16 +122,18 @@ object ML {
         centroids.toSeq.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }, 1),
       StructType(Seq(StructField("cluster", IntegerType, nullable = false),
         StructField("centroid", ArrayType(DoubleType, containsNull = false)))))
-    // k-row result: materialize it cached, then drop the big staging
-    // cache (same lifecycle as the dedup pipelines). Left join from the
-    // centroid side so an empty cell survives with size 0 — consumers
-    // (e.g. the IVF index build) always see a dense 0..k-1 cluster set.
+    // k-row result: materialize it as an eager localCheckpoint (no
+    // CacheManager entry to leak or plan-match onto — the same
+    // lifecycle the dedup pipelines use), then blocking-drop the big
+    // staging cache. Left join from the centroid side so an empty cell
+    // survives with size 0 — consumers (e.g. the IVF index build)
+    // always see a dense 0..k-1 cluster set. Callers' legacy
+    // `unpersist()` calls on the result are harmless no-ops.
     val res = cent.join(out, Seq("cluster"), "left")
       .select(col("cluster"), coalesce(col("size"), lit(0L)).as("size"),
         col("centroid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    data.unpersist(false)
+      .localCheckpoint(true)
+    data.unpersist(true)
     res
   }
 
@@ -309,7 +311,7 @@ object ML {
         .head().getSeq[Double](0)
       w = w.zip(grad).map { case (wi, gi) => wi - lr * gi / n }
     }
-    data.unpersist()
+    data.unpersist(true)
     spark.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("weights")
   }
 }

@@ -243,10 +243,12 @@ object Multimodal {
     val hashes = media.select(col("media_id"),
         graft.functions.MediaFunctions.phash64(col("bytes")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = hashPairs(hashes, maxHamming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    hashes.unpersist(false)
+    // Result = eager localCheckpoint, staging cache blocking-dropped:
+    // no CacheManager entry outlives the call (repeat executions can
+    // neither plan-match a half-dropped entry nor skip the compute —
+    // the same lifecycle the dedup pipelines use).
+    val out = hashPairs(hashes, maxHamming).localCheckpoint(true)
+    hashes.unpersist(true)
     out
   }
 

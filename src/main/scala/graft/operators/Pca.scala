@@ -176,7 +176,14 @@ object Pca {
     // replays Spark's exact double→DECIMAL(27,18) cast semantics —
     // BigDecimal.valueOf(x).setScale(18, HALF_UP) — and the decimal
     // sum is order-free, exactly the [[decStage]] discipline the norm
-    // accumulation already used.
+    // accumulation already used. Bounded-magnitude assumption
+    // (ADVICE r7): Spark's cast returns NULL (sum skips the term) for
+    // |term| ≥ 1e9 — above DECIMAL(27,18)'s 9 integer digits — while
+    // decStage keeps it with unbounded precision, so the twin diverges
+    // from the grouped aggregate only for covariance entries whose
+    // matvec terms reach 1e9; the fixtures' standardized inputs are
+    // ~1e0 and the oracle gate would fail LOUDLY if a corpus ever
+    // crossed it.
     import java.math.{BigDecimal => JBD, RoundingMode}
     def decStage(x: Double): JBD =
       JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)

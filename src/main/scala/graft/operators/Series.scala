@@ -37,17 +37,24 @@ object Series {
 
   private val PID = "__graft_pid"
 
-  /** Materialize `out` (cached), then drop the pinned staging cache so
-    * repeated series ops don't accumulate persisted inputs. The result
-    * must stay cached: its offsets/halos are only valid against the
-    * exact partition contents they were computed from. Callers done
-    * with the result should `unpersist()` it. */
+  /** Materialize `out` as an EAGER LOCAL CHECKPOINT, then
+    * blocking-drop the pinned staging cache so repeated series ops
+    * don't accumulate persisted inputs. The result must stay
+    * materialized — its offsets/halos are only valid against the exact
+    * partition contents they were computed from — and a checkpoint is
+    * strictly safer than the previous persist+count: recomputation is
+    * impossible (the lineage is truncated, so a re-sampled range
+    * partitioning can never misalign the offsets), there is no
+    * CacheManager key for a later identical call to plan-match onto
+    * mid-drop (the q_pagerank repeat-execution storm class), and the
+    * op leaves zero cache entries behind. Blocks are reclaimed by the
+    * ContextCleaner when the caller drops the frame; a caller's legacy
+    * `unpersist()` is a harmless no-op. */
   private def materializeAndRelease(out: DataFrame,
                                     staged: DataFrame): DataFrame = {
-    val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    staged.unpersist(false)
-    cached
+    val mat = out.localCheckpoint(true)
+    staged.unpersist(true)
+    mat
   }
 
   /** Running (inclusive) prefix sum of `value` in the global order of

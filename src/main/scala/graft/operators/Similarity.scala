@@ -132,10 +132,22 @@ object Similarity {
     * both members are plain DataFrames, `assigned.write.partitionBy
     * ("cell").parquet(...)` round-trips it) and probes many times.
     * Call [[release]] when done. */
+  /** `assigned` is an EAGER LOCAL CHECKPOINT (flat LogicalRDD), not a
+    * persist: a checkpointed frame has no CacheManager key, so (a) a
+    * later identical build can never plan-match onto a half-dropped
+    * InMemoryRelation (the repeat-execution storm class the r7 round
+    * fixed in pagerank/dedup), (b) an external
+    * `spark.catalog.clearCache()` cannot silently unpin the index
+    * behind its back (the old `ensurePinned` reload dance is gone),
+    * and (c) a query that uses the index leaves ZERO CacheManager
+    * entries behind. `pinned` carries the checkpoint-block RDD ids so
+    * [[release]] drops them promptly; an unreleased index's blocks are
+    * reclaimed by the ContextCleaner once the frame is unreachable. */
   final case class IvfIndex(
       assigned: DataFrame,           // (neighbor_id, cv, cell)
       centroids: DataFrame,          // (cell, centroid), broadcast-small
-      matrix: Array[Array[Double]]) {
+      matrix: Array[Array[Double]],
+      pinned: Set[Int] = Set.empty) {
     /** Per-cell member counts for the skew salt — fixed once the index
       * is built/appended, so they are computed at most once per index
       * instance (recomputing per probe call cost one extra Spark job
@@ -147,7 +159,7 @@ object Similarity {
         .foreach(r => if (!r.isNullAt(0)) counts(r.getInt(0)) = r.getLong(1))
       counts
     }
-    def release(): Unit = assigned.unpersist(false)
+    def release(): Unit = Frames.free(assigned, pinned)
   }
 
   /** Build an IVF index over `corpus` with `nCells` k-means cells.
@@ -180,14 +192,15 @@ object Similarity {
       spark.createDataFrame(centroidRows.toSeq).toDF("cell", "centroid"))
     // assignment = one narrow codegen'd projection (same NearestCell
     // kernel the index build used); partitioned by cell so every probe
-    // join is co-located on the index side.
-    val assigned = corpus.select(col(id), col(vec))
-      .withColumn("cell", graft.functions.VectorFunctions
-        .nearestCell(col(vec), matrix))
-      .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
-      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(assigned, centroids, matrix)
+    // join is co-located on the index side (hash partitioning survives
+    // the checkpoint).
+    val (assigned, assignedIds) = Frames.checkpointTracked(
+      corpus.select(col(id), col(vec))
+        .withColumn("cell", graft.functions.VectorFunctions
+          .nearestCell(col(vec), matrix))
+        .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
+        .repartition(spark.sparkContext.defaultParallelism, col("cell")))
+    IvfIndex(assigned, centroids, matrix, assignedIds)
   }
 
   /** Probe a built [[IvfIndex]]: each query visits its `nprobe` closest
@@ -537,16 +550,17 @@ object Similarity {
       nCells, iters = 5)
     if (ownSample) samp.unpersist(false)
     val members = groupMembers(c2s, superMatrix.length)
-    val assigned = corpus.select(col(id), col(vec))
-      .withColumn("cell", graft.functions.VectorFunctions
-        .nearestCellHier(col(vec), superMatrix, cells, members))
-      .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
-      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (assigned, assignedIds) = Frames.checkpointTracked(
+      corpus.select(col(id), col(vec))
+        .withColumn("cell", graft.functions.VectorFunctions
+          .nearestCellHier(col(vec), superMatrix, cells, members))
+        .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
+        .repartition(spark.sparkContext.defaultParallelism, col("cell")))
     val centroids = broadcast(spark.createDataFrame(
         cells.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "centroid"))
-    HierIvfIndex(IvfIndex(assigned, centroids, cells), superMatrix, c2s)
+    HierIvfIndex(IvfIndex(assigned, centroids, cells, assignedIds),
+      superMatrix, c2s)
   }
 
   /** The beyond-[[MaxLiteralCells]] index shape: cell centroids are a
@@ -871,55 +885,54 @@ object Similarity {
         .nearestCell(col(vec), index.matrix))
       .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("cell"))
       .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-    val merged = index.assigned.union(newRows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the merged segment, then drop the source index's
-    // persisted frame: the merged index supersedes it, and the returned
-    // index's release() only knows about `merged` — without this the
-    // base frame would be unreachable-but-pinned in a long-lived
-    // process (the cachedAppendedIndex path). The base index stays
-    // VALID for callers that still hold it (its frame just recomputes
-    // on next use).
-    merged.count()
-    index.assigned.unpersist(false)
-    IvfIndex(merged, index.centroids, index.matrix)
+    // The merged segment is its own eager checkpoint. The BASE index's
+    // blocks are NOT freed here — the base may be shared by callers
+    // that still probe it (a freed local checkpoint cannot recompute);
+    // the returned index's release() carries BOTH id sets so releasing
+    // the merged index reclaims the superseded base too (the
+    // cachedAppendedIndex path builds the base privately, so nothing
+    // else holds it).
+    val (merged, mergedIds) = Frames.checkpointTracked(
+      index.assigned.union(newRows))
+    IvfIndex(merged, index.centroids, index.matrix,
+      index.pinned ++ mergedIds)
   }
 
   private val hierCache =
     new java.util.concurrent.ConcurrentHashMap[String, HierIvfIndex]()
 
-  /** Explicit rebuild-or-reload policy for the process-level index
-    * caches under an EXTERNAL `spark.catalog.clearCache()` (the bench
-    * harness issues one before every query): the memo maps hold index
-    * objects whose persisted frames a clearCache unpersists behind
-    * their back. Without this check a cache hit hands out an index
-    * whose every probe silently recomputes the assignment pass from
-    * lineage — correct but paying build-shaped cost per probe, which
-    * inverts the economics the cache exists for. Policy: RELOAD — on
-    * every cached-getter hit, any member frame whose storageLevel has
-    * fallen to NONE is re-persisted and re-materialized (one
-    * recompute, the same cost the first un-pinned probe would have
-    * paid anyway; every later probe is index-speed again). The public
-    * `Dataset.storageLevel` probe is exact: clearCache drops the
-    * CacheManager entry synchronously, so NONE ⇔ unpinned. */
-  private def ensurePinned(frames: DataFrame*): Unit =
-    frames.foreach { df =>
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-      }
-    }
+  /** Release every memoized index (dropping its checkpoint blocks) and
+    * empty all five process-level memo maps. The bench harness calls
+    * this alongside `spark.catalog.clearCache()` before each query's
+    * measurement, so no index state survives from one query's
+    * measurement into another's: each query's untimed settle rep pays
+    * the FULL index build, and the build cost is disclosed per query
+    * in the bench artifact's settle timings. (Outside the bench the
+    * memos keep their documented build-once/probe-many economics.)
+    * All index state frames are local checkpoints — clearCache cannot
+    * touch them, and they leave zero CacheManager entries — so this
+    * is the one lever that resets them. */
+  def clearIndexCaches(): Unit = {
+    hierCache.values.forEach(_.release())
+    hierCache.clear()
+    hierTableCache.values.forEach(_.release())
+    hierTableCache.clear()
+    indexCache.values.forEach(_.release())
+    indexCache.clear()
+    ivfPqCache.values.forEach(_.release())
+    ivfPqCache.clear()
+    pqCache.values.forEach(_.release())
+    pqCache.clear()
+  }
 
   /** Process-level cache of [[buildHierIvfIndex]] (the registry/bench
     * path — the count + both cluster levels are bought once per
-    * corpus). */
+    * corpus). Checkpoint-backed state needs no re-pin check: an
+    * external clearCache cannot unpin it. */
   def cachedHierIvfIndex(corpus: => DataFrame, cacheKey: String,
-                         id: String, vec: String): HierIvfIndex = {
-    val idx = hierCache.computeIfAbsent(s"$cacheKey|$id|$vec|hier",
+                         id: String, vec: String): HierIvfIndex =
+    hierCache.computeIfAbsent(s"$cacheKey|$id|$vec|hier",
       _ => buildHierIvfIndex(corpus, id, vec))
-    ensurePinned(idx.base.assigned)
-    idx
-  }
 
   private val hierTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, HierIvfTableIndex]()
@@ -946,9 +959,9 @@ object Similarity {
               nCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
     val index = buildIvfIndex(corpus, id, vec, nCells)
     val out = probeIvf(index, queries, id, vec, k, nprobe)
-    // Materialize before releasing the index cache the result reads.
-    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
+    // Materialize (eager checkpoint — no CacheManager entry for the
+    // caller to leak) before releasing the index blocks the plan reads.
+    val res = out.localCheckpoint(true)
     index.release()
     res
   }
@@ -1009,24 +1022,18 @@ object Similarity {
   }
 
   def cachedIvfIndex(corpus: => DataFrame, cacheKey: String,
-                     id: String, vec: String, nCells: Int = 16): IvfIndex = {
-    val idx = indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",
+                     id: String, vec: String, nCells: Int = 16): IvfIndex =
+    indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells",
       _ => buildIvfIndex(corpus, id, vec, nCells))
-    ensurePinned(idx.assigned)
-    idx
-  }
 
   /** Cache of build-on-historic + [[appendToIndex]](delta) — the
     * registry/bench path for the incremental-maintenance query. */
   def cachedAppendedIndex(corpus: => DataFrame, delta: => DataFrame,
                           cacheKey: String, id: String, vec: String,
-                          nCells: Int = 16): IvfIndex = {
-    val idx = indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|incr",
+                          nCells: Int = 16): IvfIndex =
+    indexCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|incr",
       _ => appendToIndex(buildIvfIndex(corpus, id, vec, nCells),
         delta, id, vec))
-    ensurePinned(idx.assigned)
-    idx
-  }
 
   /** A built product-quantization (PQ) index: every corpus vector is
     * stored as `m` sub-codebook indices (bytes, carried as ints) — the
@@ -1040,8 +1047,9 @@ object Similarity {
     * storage once, rebuild never. Call [[release]] when done. */
   final case class PqIndex(codes: DataFrame,
                            codebooks: Array[Array[Array[Double]]],
-                           m: Int, ksub: Int, ds: Int) {
-    def release(): Unit = codes.unpersist(false)
+                           m: Int, ksub: Int, ds: Int,
+                           pinned: Set[Int] = Set.empty) {
+    def release(): Unit = Frames.free(codes, pinned)
   }
 
   /** Train a PQ index: the vector is split into `m` contiguous `ds`-dim
@@ -1078,13 +1086,11 @@ object Similarity {
       graft.functions.VectorFunctions.nearestCell(
         slice(col("__x"), j * ds + 1, ds), codebooks(j))
     }
-    val codes = base
+    val (codes, codeIds) = Frames.checkpointTracked(base
       .select(col(id).as("neighbor_id"), array(codeCols: _*).as("codes"))
-      .transform(Frames.spread)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    codes.count()
-    base.unpersist(false)
-    PqIndex(codes, codebooks, m, ksub, ds)
+      .transform(Frames.spread))
+    base.unpersist(true)
+    PqIndex(codes, codebooks, m, ksub, ds, codeIds)
   }
 
   /** Probe a built [[PqIndex]]: asymmetric-distance (ADC) scan + exact
@@ -1147,8 +1153,9 @@ object Similarity {
                               centroids: DataFrame,
                               matrix: Array[Array[Double]],
                               codebooks: Array[Array[Array[Double]]],
-                              m: Int, ksub: Int, ds: Int) {
-    def release(): Unit = codes.unpersist(false)
+                              m: Int, ksub: Int, ds: Int,
+                              pinned: Set[Int] = Set.empty) {
+    def release(): Unit = Frames.free(codes, pinned)
   }
 
   /** Combine a built coarse index and a built PQ index over the SAME
@@ -1157,13 +1164,12 @@ object Similarity {
   def composeIvfPq(ivf: IvfIndex, pq: PqIndex): IvfPqIndex = {
     val spark = ivf.assigned.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val codes = ivf.assigned.select(col("neighbor_id"), col("cell"))
-      .join(pq.codes, Seq("neighbor_id"))
-      .repartition(par, col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    codes.count()
+    val (codes, codeIds) = Frames.checkpointTracked(
+      ivf.assigned.select(col("neighbor_id"), col("cell"))
+        .join(pq.codes, Seq("neighbor_id"))
+        .repartition(par, col("cell")))
     IvfPqIndex(codes, ivf.centroids, ivf.matrix, pq.codebooks,
-      pq.m, pq.ksub, pq.ds)
+      pq.m, pq.ksub, pq.ds, codeIds)
   }
 
   /** Build IVF-PQ from scratch (both component indexes are private to
@@ -1235,14 +1241,11 @@ object Similarity {
     * composition). */
   def cachedIvfPqIndex(corpus: => DataFrame, cacheKey: String,
                        id: String, vec: String, nCells: Int = 16,
-                       m: Int = 8, ksub: Int = 16): IvfPqIndex = {
-    val idx = ivfPqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|$m|$ksub",
+                       m: Int = 8, ksub: Int = 16): IvfPqIndex =
+    ivfPqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$nCells|$m|$ksub",
       _ => composeIvfPq(
         cachedIvfIndex(corpus, cacheKey, id, vec, nCells),
         cachedPqIndex(corpus, cacheKey, id, vec, m, ksub)))
-    ensurePinned(idx.codes)
-    idx
-  }
 
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
@@ -1251,10 +1254,7 @@ object Similarity {
     * timed bench rep pays encode-scan + re-rank cost only). */
   def cachedPqIndex(corpus: => DataFrame, cacheKey: String,
                     id: String, vec: String, m: Int = 8,
-                    ksub: Int = 16): PqIndex = {
-    val idx = pqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$m|$ksub",
+                    ksub: Int = 16): PqIndex =
+    pqCache.computeIfAbsent(s"$cacheKey|$id|$vec|$m|$ksub",
       _ => buildPqIndex(corpus, id, vec, m, ksub))
-    ensurePinned(idx.codes)
-    idx
-  }
 }

@@ -212,10 +212,16 @@ object SourceQueries {
         .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
       TextIO.writePartitionedColumnar(
         events.repartition(col("day")), path, Seq("day"))
+      // The corrected day is STAGED once (eager checkpoint): both
+      // overwrite passes — the ingest and the idempotent re-run —
+      // write the same materialized blocks instead of each re-scanning
+      // events, re-filtering, and re-shuffling by day (§1.2 don't
+      // recompute; the backfill row paid that pipeline twice).
       val corrected = events
         .filter(col("day") === to_date(lit("2024-01-12")))
         .withColumn("value", col("value") * 2)
         .repartition(col("day"))
+        .localCheckpoint(true)
       TextIO.overwritePartitions(corrected, path, Seq("day"))
       TextIO.overwritePartitions(corrected, path, Seq("day")) // re-run: no-op
       TextIO.readColumnar(s, path)

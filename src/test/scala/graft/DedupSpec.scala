@@ -328,4 +328,54 @@ class DedupSpec extends SparkSpec {
       .digest("unique words only here".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString)
   }
+
+  test("simhashDedupMd5: explode-aggregate signatures are bit-identical " +
+    "to an independent driver-side replay") {
+    // The r8 rewrite replaced the per-doc interpreted HOF vote fold
+    // with explode + 64 codegen'd SUM aggregates. This differential
+    // recomputes the md5 simhash spec from scratch on the driver —
+    // md5 hex per token, bit i = bit (i%4) of hex digit (i/4+1),
+    // ±1 votes summed, 4×16-bit chunks, pigeonhole banding + exact
+    // hamming — and demands the operator's pair set AND hamming
+    // values match exactly.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "The Quick brown fox jumps over the lazy dog"), // = 1 lowered
+      (4L, "entirely different content about parquet shuffles"),
+      (5L, "   "), // tokenizes to nothing -> excluded
+      (6L, "one-token")
+    ).toDF("doc_id", "text")
+    def sig(text: String): Array[Int] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val votes = Array.fill(64)(0)
+      for (t <- toks) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (i <- 0 until 64) {
+          val nib = Integer.parseInt(hex.substring(i / 4, i / 4 + 1), 16)
+          votes(i) += (if (((nib >> (i % 4)) & 1) == 1) 1 else -1)
+        }
+      }
+      Array.tabulate(4)(c => (0 until 16)
+        .map(p => if (votes(c * 16 + p) >= 0) 1 << p else 0).sum)
+    }
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val sigs = Map(1L -> sig(docs.collect()(0).getString(1)),
+      2L -> sig("the quick brown fox jumps over the lazy dog today"),
+      3L -> sig("The Quick brown fox jumps over the lazy dog"),
+      4L -> sig("entirely different content about parquet shuffles"),
+      6L -> sig("one-token"))
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = hamming(sigs(a), sigs(b)) if h <= 3
+      if sigs(a).zip(sigs(b)).exists { case (x, y) => x == y } // banding
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashDedupMd5(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.contains((1L, 3L, 0))) // the planted exact pair
+  }
 }

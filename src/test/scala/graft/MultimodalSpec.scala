@@ -244,10 +244,22 @@ class MultimodalSpec extends SparkSpec {
     Seq((1L, Multimodal.synthPng(1L)), (2L, Multimodal.synthPng(2L)))
       .toDF("media_id", "bytes").write.mode("overwrite").parquet(dir)
     val pre = spark.read.parquet(dir)
-    val plan = Multimodal.phashDedup(pre, maxHamming = 3)
-      .queryExecution.optimizedPlan.toString
-    assert(plan.contains("graft_phash64"), plan)
-    assert(!plan.contains("UDF"), plan)
+    // phashDedup returns an eagerly-checkpointed frame (flat
+    // LogicalRDD), so the hashing expression lives in the plans that
+    // EXECUTED during the call — including the persisted (media_id, h)
+    // staging table's cached plan, unwrapped explicitly.
+    val qes = PlanCapture.during(spark) {
+      Multimodal.phashDedup(pre, maxHamming = 3).count()
+    }
+    def fullText(qe: org.apache.spark.sql.execution.QueryExecution): String = {
+      val cached = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan.toString }
+      (qe.optimizedPlan.toString +: cached).mkString("\n")
+    }
+    val texts = qes.map(fullText)
+    assert(texts.exists(_.contains("graft_phash64")), texts.mkString("\n---\n"))
+    assert(!texts.exists(_.contains("UDF")), texts.mkString("\n---\n"))
   }
 
   test("hashPairs: identical collapse is linear, banding finds <=3-bit flips") {

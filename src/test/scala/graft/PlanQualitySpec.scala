@@ -55,30 +55,30 @@ class PlanQualitySpec extends SparkSpec {
     // partition id — a Window.orderBy with no partitionBy collapses the
     // whole table into one task, the shape the halo exchange exists to
     // avoid.
-    // the stencil returns a materialized (cached) result, so the real
-    // plan lives inside the InMemoryRelation's cached physical plan,
-    // behind AQE wrapper nodes (leaf-like: unwrap explicitly)
+    // The stencil returns an eagerly-checkpointed result (flat
+    // LogicalRDD), so the windows live in the plans that EXECUTED
+    // while the query materialized (the halo collect + the checkpoint
+    // action) — capture them via PlanCapture and unwrap AQE/cache
+    // wrappers explicitly.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
       case qs: QueryStageExec => allNodes(qs.plan)
+      case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        imts +: allNodes(imts.relation.cachedPlan)
       case other => other +: other.children.flatMap(allNodes)
     }
-    val q = SparkEntry.queries("q_stencil5")(spark, sf)
-    try {
-      val cached = q.queryExecution.optimizedPlan.collect {
-        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          r.cachedPlan }
-      val windows = (q.queryExecution.executedPlan +: cached)
-        .flatMap(allNodes).collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec => w }
-      assert(windows.nonEmpty)
-      windows.foreach { w =>
-        assert(w.partitionSpec.nonEmpty,
-          s"global (unpartitioned) window in stencil plan:\n$w")
-      }
-    } finally q.unpersist()
+    val qes = PlanCapture.during(spark, minPlans = 2) {
+      SparkEntry.queries("q_stencil5")(spark, sf).count()
+    }
+    val windows = qes.map(_.executedPlan).flatMap(allNodes).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"global (unpartitioned) window in stencil plan:\n$w")
+    }
   }
 
   test("decontamination probes a broadcast benchmark, never shuffles the corpus join") {
