@@ -30,6 +30,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed-size, pre-touched heap — the layout a production executor
+  // runs with. With only -Xmx, G1 starts small, UNCOMMITS after every
+  // full GC (the bench issues System.gc() per query), and re-expands
+  // under load; the expansion pages are faulted+zeroed INSIDE running
+  // tasks and GC pauses. GC-log-instrumented probe laps (r8, x100
+  // fixture, 64 GiB heap) attributed the episodic 3-10x in-task CPU
+  // inflation r7's StallDiag found to exactly this: young pauses of up
+  // to 5 s while the committed heap grew 7.5G->65G, task CPU 1877 s vs
+  // 181 s for identical work. With -Xms=-Xmx + AlwaysPreTouch the same
+  // laps: worst pause 0.37 s, task CPU <= 412 s, no stalls. Startup
+  // pays one untimed pre-touch pass.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++
   // Extra JVM flags for GC/diagnostic experiments (e.g.
   // SPARK_GRAFT_JAVA_OPTS="-XX:+UseG1GC -Xlog:gc"); empty by default.

@@ -56,20 +56,30 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    // e0 is NOT staged in the cache: it feeds the plan twice (the
+    // degree aggregate and the join's probe side), but both reads are
+    // the SAME repartition exchange subtree, which Spark's
+    // ReuseExchange dedupes inside the one job that materializes `e` —
+    // the r7 persist+unpersist pair was two extra jobs (plus a block
+    // write/read round-trip) buying nothing (§1.2 fixed cost; part of
+    // the VERDICT #1 job-count trim: 25 → 20 jobs per execution).
     val e0 = edges.select(col("src"), col("dst"))
       .repartition(parts, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
     // out-degree is loop-invariant — join it into the edge set ONCE
     // (same src partitioning, so this is a no-exchange merge), not
     // once per iteration
     val e = e0.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
-    e0.unpersist(true)
-    val nodes = e.select(col("src").as("node"))
+    // On the danglingFree path `nodes` is read exactly once (the rank
+    // init) — persisting it was pure overhead; with the per-iteration
+    // left join it is read every round and stays cached.
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes =
+      if (danglingFree) nodes0
+      else nodes0.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Every round's rank frame is an eager localCheckpoint via the
     // shared [[Frames]] discipline, NOT a persist+count: a persisted
@@ -84,7 +94,8 @@ object Graph {
     // storm this loop was patched for.
     var (ranks, rankIds) = Frames.checkpointTracked(
       nodes.withColumn("rank", lit(1.0)))
-    for (_ <- 1 to iters) {
+    var out: DataFrame = null
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -94,19 +105,26 @@ object Graph {
       val withAllNodes =
         if (danglingFree) sums
         else nodes.join(sums, Seq("node"), "left")
-      val (next, nextIds) = Frames.checkpointTracked(
-        withAllNodes
-          .select(col("node"),
-            (lit(1.0 - damping) +
-              lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")))
-      Frames.free(ranks, rankIds)
-      ranks = next
-      rankIds = nextIds
+      val rank = (lit(1.0 - damping) +
+        lit(damping) * coalesce(col("in_rank"), lit(0.0)))
+      // The LAST round folds the output rounding into its own
+      // checkpoint — the separate `out` materialization was one more
+      // full pass + job over the rank frame for a single round() (the
+      // VERDICT #1 job-count trim).
+      if (i < iters) {
+        val (next, nextIds) = Frames.checkpointTracked(
+          withAllNodes.select(col("node"), rank.as("rank")))
+        Frames.free(ranks, rankIds)
+        ranks = next
+        rankIds = nextIds
+      } else {
+        out = withAllNodes
+          .select(col("node"), round(rank, 6).as("rank"))
+          .localCheckpoint(true)
+        Frames.free(ranks, rankIds)
+      }
     }
-    val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
-      .localCheckpoint(true)
-    Frames.free(ranks, rankIds)
-    nodes.unpersist(true)
+    if (!danglingFree) nodes.unpersist(true)
     e.unpersist(true)
     out
   }

@@ -64,8 +64,23 @@ object StallDiag {
       case other => sys.error(s"unknown op $other")
     }
     body() // settle
+    // Per-lap collector-level attribution (r7 VERDICT #1: GC-log-
+    // instrumented laps): collection COUNT and TIME per collector bean
+    // across the lap, so a slow lap separates "many young collections"
+    // (allocation churn) from "few long full/concurrent cycles" (heap
+    // pressure / humongous churn). Pair with -Xlog:gc* via
+    // SPARK_GRAFT_JAVA_OPTS for cause-level logs.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcSnap(): Map[String, (Long, Long)] = {
+      var m = Map.empty[String, (Long, Long)]
+      gcBeans.forEach(b =>
+        m += b.getName -> ((b.getCollectionCount, b.getCollectionTime)))
+      m
+    }
     for (lap <- 1 to laps) {
       Seq(runMs, cpuNs, gcMs, fetchNs, deserMs, tasks).foreach(_.reset())
+      val g0 = gcSnap()
       val s0 = procStat(); val t0 = System.nanoTime()
       val n = body()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -85,12 +100,17 @@ object StallDiag {
         .mkString(" ")
       val jit = java.lang.management.ManagementFactory
         .getCompilationMXBean.getTotalCompilationTime
+      val g1 = gcSnap()
+      val gcDelta = g1.map { case (k, (c, t)) =>
+        val (c0, t0g) = g0.getOrElse(k, (0L, 0L))
+        s"$k:${c - c0}x/${(t - t0g) / 1000.0}s"
+      }.mkString(" ")
       println(f"[stall $op lap$lap] wall=$wall%.2fs rows=$n " +
         f"taskRun=${runMs.sum / 1e3}%.1fs taskCpu=${cpuNs.sum / 1e9}%.1fs " +
         f"gc=${gcMs.sum / 1e3}%.1fs fetchWait=${fetchNs.sum / 1e3}%.1fs " +
         f"deser=${deserMs.sum / 1e3}%.1fs tasks=${tasks.sum} " +
         f"hostSteal=${100 * dSteal / dTot}%.1f%% hostIdle=${100 * dIdle / dTot}%.1f%% " +
-        f"jitTotal=${jit / 1000.0}%.1fs $pools")
+        f"jitTotal=${jit / 1000.0}%.1fs $pools gcBeans[$gcDelta]")
     }
     spark.stop()
   }
