@@ -60,9 +60,10 @@ object Graph {
     // degree aggregate and the join's probe side), but both reads are
     // the SAME repartition exchange subtree, which Spark's
     // ReuseExchange dedupes inside the one job that materializes `e` —
-    // the r7 persist+unpersist pair was two extra jobs (plus a block
-    // write/read round-trip) buying nothing (§1.2 fixed cost; part of
-    // the VERDICT #1 job-count trim: 25 → 20 jobs per execution).
+    // the r7 staging persist bought nothing but a block write/read
+    // round-trip inside the job that materializes `e` (§1.2 fixed
+    // cost; with the folded output rounding below, jobs 25 → 24 and
+    // two cache round-trips gone per execution).
     val e0 = edges.select(col("src"), col("dst"))
       .repartition(parts, col("src"))
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
