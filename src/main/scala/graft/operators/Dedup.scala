@@ -737,7 +737,6 @@ object Dedup {
   def nearDupClusters(nodes: DataFrame, pairs: DataFrame,
                       id: String = "id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sc = nodes.sparkSession.sparkContext
     val rawEdges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
     // The loop iterates over the CONTRACTED star graph (same
@@ -754,7 +753,17 @@ object Dedup {
     // the single-contraction loop needing ~8 rounds (vs 4 at sf0.1);
     // the re-contractions collapse that cross-partition spread before
     // the first join runs.
-    val par = sc.defaultParallelism
+    // Scale-adaptive re-contraction width (see [[Frames.loopWidth]]):
+    // a constant `defaultParallelism` here pinned the star frame — and
+    // every loop stage that scans it — to the core count regardless of
+    // graph size (32 near-empty tasks per round at sf0.1; the CC
+    // queries measured FASTER at 8 cores than 32). Derived from the
+    // edge frame's size estimate instead; an unknown estimate falls
+    // back to the conf width. Fewer, fuller partitions also mean each
+    // partition-local union-find sees MORE of every component, so the
+    // loop converges in the same or fewer rounds — the output (the
+    // converged min-label fixpoint) is partitioning-independent.
+    val par = Frames.loopWidth(rawEdges)
     var star0 = contractPartitions(rawEdges)
     for (_ <- 1 to 2) {
       val bidir = star0.toDF("u", "v")

@@ -55,6 +55,45 @@ private[graft] object Frames {
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
 
+  /** Scale-adaptive width for an iterative loop's explicit keyed
+    * repartition (guide §2.2/§2.4). An explicit `repartition(N, key)`
+    * is invisible to AQE — user-specified partition counts are never
+    * coalesced — so a constant N = conf width pins every loop stage
+    * (and every per-iteration join that must co-partition with the
+    * persisted frame) to the configured width regardless of data
+    * size. At sf0.1 that is 32 near-empty tasks per stage per round —
+    * pure dispatch overhead; the same iterative queries measured
+    * FASTER at 8 cores than 32. Width here = ceil(optimizer-estimated
+    * bytes / AQE's parallelism-first floor,
+    * `coalescePartitions.minPartitionSize`), clamped to
+    * [1, conf width]: the same sizing rule AQE's default
+    * parallelism-first coalescing applies, applied to the one exchange
+    * AQE cannot touch. (The 64 MB advisory target was measured first
+    * and REJECTED: it sized q_pagerank's edge frame to ONE partition
+    * and serialized ~1 s/iteration of genuinely parallel join+aggregate
+    * compute — 2.99 → 5.2 s at sf0.1. The optimizer's estimate is
+    * compressed-columnar bytes, so a shuffle-IO-sized target
+    * under-provisions CPU-bound loop stages.) The
+    * estimate is file-size-based for scans, propagates through
+    * projections/joins, and survives `localCheckpoint` (LogicalRDD
+    * carries originStats); an unknown estimate saturates huge and
+    * falls back to the conf width — exactly today's behavior. At
+    * corpus scale bytes/advisory far exceeds any sane conf width, so
+    * the conf cap governs, as before. Costs one analysis+optimization
+    * pass of `df` (no job). */
+  def loopWidth(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.conf
+    val cap = math.max(1, conf.numShufflePartitions)
+    val target = math.max(1L, conf.getConf(org.apache.spark.sql.internal
+      .SQLConf.COALESCE_PARTITIONS_MIN_PARTITION_SIZE))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val w = ((bytes + target - 1) / target)
+      .min(BigInt(cap)).max(BigInt(1)).toInt
+    if (sys.env.contains("SPARK_GRAFT_WIDTH_DEBUG"))
+      System.err.println(s"[loopWidth] bytes=$bytes target=$target cap=$cap -> $w")
+    w
+  }
+
   /** Drop the blocks behind previously tracked checkpoint RDD ids.
     * Async on purpose: freed rounds are never referenced again, and
     * RDD blocks are keyed by unique rdd id — a late drop cannot be

@@ -54,8 +54,11 @@ object Graph {
                damping: Double = 0.85,
                danglingFree: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val spark = edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // Scale-adaptive loop width (see [[Frames.loopWidth]]): the edge
+    // frame's partitioning is the one exchange AQE cannot coalesce
+    // (explicit count) AND it pins every iteration's rank-side
+    // exchange to the same width via the persisted co-partitioning.
+    val parts = Frames.loopWidth(edges)
     // e0 is NOT staged in the cache: it feeds the plan twice (the
     // degree aggregate and the join's probe side), but both reads are
     // the SAME repartition exchange subtree, which Spark's
@@ -220,8 +223,8 @@ object Graph {
   def hopDistance(edges: DataFrame, sources: DataFrame,
                   maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val spark = edges.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // Scale-adaptive loop width — same rationale as [[pageRank]]'s.
+    val parts = Frames.loopWidth(edges)
     val e = edges.select(col("src"), col("dst"))
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

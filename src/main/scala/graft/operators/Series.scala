@@ -63,8 +63,13 @@ object Series {
   def cumsum(df: DataFrame, order: Column, value: Column, out: String,
              numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // Width is scale-adaptive ([[Frames.loopWidth]]): an explicit
+    // range-repartition count is invisible to AQE, and the conf-width
+    // constant pinned the two window passes + the O(width) driver
+    // exscan to 32 near-empty tasks at sf0.1. The exact decimal sums
+    // make the output identical under ANY partitioning.
     val n = if (numPartitions > 0) numPartitions
-            else spark.sessionState.conf.numShufflePartitions
+            else Frames.loopWidth(df)
     val parted = df
       .repartitionByRange(n, order)
       .sortWithinPartitions(order)
@@ -116,8 +121,11 @@ object Series {
   def globalRowNumbers(df: DataFrame, order: Column, out: String,
                        numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    // Scale-adaptive width — see [[cumsum]]; ids are deterministic for
+    // a unique `order` key under any partitioning (range partition +
+    // local row_number + exscanned offsets compose to the global rank).
     val n = if (numPartitions > 0) numPartitions
-            else spark.sessionState.conf.numShufflePartitions
+            else Frames.loopWidth(df)
     val parted = df
       .repartitionByRange(n, order)
       .withColumn(PID, spark_partition_id())
@@ -170,8 +178,12 @@ object Series {
              (f: Seq[Column] => Column): DataFrame = {
     require(radius >= 1, "radius must be >= 1")
     val spark = df.sparkSession
+    // Scale-adaptive width — see [[cumsum]]; the halo stitching makes
+    // the stencil partitioning-independent by construction (borders
+    // copy input, interior neighbors are the same values wherever the
+    // partition boundary falls).
     val n = if (numPartitions > 0) numPartitions
-            else spark.sessionState.conf.numShufflePartitions
+            else Frames.loopWidth(df)
     val parted = df
       .repartitionByRange(n, order)
       .sortWithinPartitions(order)

@@ -337,10 +337,23 @@ object RelationalQueries {
 
     // CUBE over both group keys (grouping-sets class, §2.5 "not
     // supported" in the reference; one expanded shuffle).
-    "q_cube" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))),
+    // Aggregate BEFORE the Expand (guide §2.3): cube() multiplies
+    // every input row by its 4 grouping sets before the partial
+    // aggregate, so the raw form pushed 4×|lineitem| rows through the
+    // hash aggregate. Collapsing to the (flag, status) cells first
+    // feeds the Expand ~|cells| rows instead of the table. count and
+    // the DECIMAL sum are exactly associative (sub-sums widen, never
+    // round), so the regrouped result is bit-identical — gated by the
+    // unchanged oracle.
+    "q_cube" -> ((s, dir) => {
+      val pre = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__s"))
+      pre.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("__n")).as("n"),
+          sum(col("__s")).cast("double").as("qty"))
+    }),
 
     // Exact distributed median per group: the sorted-multiset values
     // at ranks (n+1)/2 and (n+2)/2 averaged — decimal-exact and
